@@ -1,0 +1,272 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json north
+star). Exact + near-dup families, all designed for the 100 TB path:
+
+- exact: hash-groupBy on a fingerprint — one shuffle of (hash, id) pairs,
+  never of document bodies.
+- MinHash + LSH: shingles -> k minhashes -> b bands -> band-bucket self-join.
+  The self-join keys on (band_id, band_hash), so only colliding candidates
+  meet; with b·r = k this is the classic s-curve tradeoff. Shuffle volume is
+  O(docs · b) small integer tuples.
+- SimHash: 64-bit rotation-invariant fingerprint via per-token hash bit
+  voting; near-dups differ in few bits. Banding the 64 bits into 4×16-bit
+  keys finds all pairs within Hamming distance 3 without an O(n²) scan.
+- n-gram Jaccard: exact pairwise similarity, but only over LSH/ simhash
+  candidate pairs — never the cross product.
+
+Cross-engine note: the oracle-checked variants use ``md5`` (identical hex in
+Spark and DuckDB); ``xxhash64`` is the fast path for production use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.operators.text import md5_fingerprint_col
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, keeper_id, copies).
+
+    GroupBy on the md5 of the raw text; keeper = min id (deterministic).
+    Only (hash, id) pairs shuffle.
+    """
+    return (
+        docs.select(
+            md5_fingerprint_col(F.col(text_col), normalize=False).alias("fp"),
+            F.col(id_col),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per identical text (the keeper = min id)."""
+    keepers = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column as array<string> (distinct)."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: array of num_hashes minima of seeded xxhash64.
+
+    Each hash function is ``xxhash64(shingle, seed=i)``; the signature
+    estimates Jaccard similarity componentwise. Pure expressions — the whole
+    signature computes inside codegen, no UDF.
+    """
+    mins = [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows_per_band = num_hashes // bands. Two docs collide iff some band of
+    their signatures is identical. The band explode emits ``bands`` rows per
+    doc; the self-join groups by (band, band_sig) — no cross product.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(shingles_col(F.col(text_col), shingle_n), num_hashes)
+    signed = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    banded = signed.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice("sig", b * r + 1, r).alias("band_sig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs only.
+
+    Joins shingle sets onto (id_a, id_b) and computes
+    |A∩B| / |A∪B| with array intersection — verification stage of the
+    MinHash pipeline (candidates << n², so the double join is cheap).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(0.0).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
+    larger id of each confirmed pair (greedy keeper = smallest id)."""
+    cands = lsh_candidate_pairs(docs, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    dupes = ngram_jaccard_pairs(
+        docs, cands, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint: per-token xxhash64, bitwise majority vote.
+
+    Expressed as a fold over tokens accumulating ``bits`` counters (+1/-1
+    per bit), then re-packed into a long. Native expressions throughout —
+    at 64 bits this builds a 64-element accumulator array per row; cost is
+    O(tokens · bits) bit-ops inside codegen, still far cheaper than a
+    Python UDF round trip.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0), bits)
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return packed
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit distance via 4-band banding.
+
+    Pigeonhole: any two 64-bit hashes within Hamming distance 3 agree on at
+    least one of four 16-bit bands. Join on (band, band_bits), then filter
+    by exact popcount distance.
+    """
+    sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("h"))
+    bands = sh.select(
+        "id",
+        "h",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright("h", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,51 @@
+"""Sampling operators (SURVEY.md §2.9 R1-R3).
+
+The reference uses ``random.sample`` for exact-k without-replacement draws
+(``/root/reference/src/utils/sampling.py:5-31``). Distributed equivalents:
+
+- :func:`sample_exact_k` — exact-k via ``orderBy(rand(seed)).limit(k)``.
+  A full sort at leaderboard scale (≤ thousands of rows) is trivial; Spark
+  plans TakeOrderedAndProject, so only k rows survive per partition before
+  the single merge.
+- :func:`sample_approx` — ``df.sample`` for data-scale sampling: no sort,
+  no shuffle, approximate row count (binomial per partition).
+- :func:`sample_deterministic_mod` — seedless *deterministic* pseudo-sample
+  on a key (hash-mod). Used where cross-engine reproducibility matters more
+  than uniformity (e.g. the DuckDB oracle, which cannot reproduce either
+  engine's RNG stream — SURVEY.md §7.4 risk #4).
+
+Seed semantics differ from ``random.sample`` by construction; tests fix the
+sampled *set* via injected tag lists, never by RNG replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_exact_k(df: DataFrame, k: int, seed: int | None = None, *, strict: bool = True) -> DataFrame:
+    """R1 — exact-k uniform without-replacement sample.
+
+    ``strict`` mirrors the reference's ``raise if n < k``; with
+    ``strict=False`` it degrades to min(n, k) rows like the call sites'
+    ``min(250, n)`` clamp (``meta_workflow.py:232``).
+    """
+    if strict and df.count() < k:
+        raise ValueError(f"population smaller than sample size {k}")
+    r = F.rand(seed) if seed is not None else F.rand()
+    return df.orderBy(r.asc()).limit(k)
+
+
+def sample_approx(df: DataFrame, fraction: float, seed: int | None = None) -> DataFrame:
+    """Scale path: per-partition binomial sample, zero shuffle."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def sample_deterministic_mod(key: Column, modulus: int, keep_below: int) -> Column:
+    """Deterministic pseudo-sample predicate: ``key % modulus < keep_below``.
+
+    Engine-independent (pure integer arithmetic) — the only sampling form
+    the DuckDB oracle can verify bit-for-bit.
+    """
+    return F.pmod(key, F.lit(modulus)) < keep_below

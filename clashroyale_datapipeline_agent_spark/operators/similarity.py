@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Baseline: brute-force cosine top-k — a single scan with a native
+``zip_with``/``aggregate`` dot product (no UDF, no shuffle until the final
+top-k merge, which is TakeOrderedAndProject).
+
+Scale path: LSH bucketing (random hyperplane signs) so each query probes
+only its bucket — turns the 100 TB scan into a bucket-pruned scan. An IVF
+variant (k-means-style coarse centroids) follows the same join shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Native dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either norm is 0 (guarded division)."""
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    The query is folded into the plan as an array literal; scoring is one
+    codegen'd projection over the scan, and the top-k is
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG; no numpy needed
+    at plan-build time, reproducible across sessions)."""
+    state = seed
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            v.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits packed into a long."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot_col(vec, pc) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    With the bucket column precomputed and the table partitioned by it,
+    partition pruning reduces the scan to ~1/2^n_planes of the data. Recall
+    is tunable via n_planes (fewer planes -> bigger buckets -> higher
+    recall, more compute); multi-probe variants add neighbor buckets.
+    """
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qvec = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = embeddings.withColumn(
+        "_bucket", lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes)
+    )
+    qbucket = (
+        bucketed.sparkSession.range(1)
+        .select(lsh_bucket_col(qvec, planes).alias("b"))
+        .collect()[0]["b"]
+    )
+    return (
+        bucketed.filter(F.col("_bucket") == qbucket)
+        .select(
+            F.col(id_col),
+            cosine_col(F.col(vec_col).cast("array<double>"), qvec).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN: top-k corpus neighbors per query row via broadcast
+    cross-join + per-query ranking window. Queries side must be small
+    (broadcast); for query sets beyond broadcast size, pre-bucket both
+    sides with :func:`lsh_bucket_col` and join on bucket instead.
+    """
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine_col(
+            F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,111 @@
+"""Sources: schema-pinned readers (SURVEY.md §2.1).
+
+The reference's sources are REST fetches landed into Python lists
+(``/root/reference/src/api/players.py:6-23``, ``src/api/battles.py:20-44``)
+and a JSON dimension file loaded at import time
+(``src/analytics/deck_type.py:8-16``). Spark-first equivalents:
+
+- REST fan-out belongs OUTSIDE the engine: land responses as JSONL, then
+  ``spark.read.json(path, schema=...)``. At 100 TB the fetcher tier writes
+  partitioned files; the engine never blocks on HTTP.
+- The card dimension is a 121-row DataFrame we always broadcast.
+- The synthetic star schema is parquet read with explicit schemas so column
+  pruning + predicate pushdown reach the scan (``PushedFilters`` in explain).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from clashroyale_datapipeline_agent_spark import schemas
+
+_DATA_DIR = Path(__file__).resolve().parents[1] / "data"
+CARD_METADATA_PATH = _DATA_DIR / "card_metadata.json"
+
+
+def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table with its pinned schema.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read it as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and convert
+    with integer division (``div 1000``: a double division would lose
+    precision on 19-digit nano values and round instead of truncate,
+    diverging from DuckDB's ns->us truncation).
+    """
+    if name not in schemas.STAR_SCHEMA:
+        raise KeyError(f"unknown table {name!r}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = StructType(
+            [
+                StructField("event_id", LongType(), True),
+                StructField("ts", LongType(), True),
+                StructField("user_id", LongType(), True),
+                StructField("event_type", StringType(), True),
+                StructField("value", DoubleType(), True),
+                StructField("props", StringType(), True),
+            ]
+        )
+        return (
+            spark.read.schema(raw_schema)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.read.schema(schemas.STAR_SCHEMA[name]).parquet(path)
+
+
+def load_star_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    wanted = names or tuple(schemas.STAR_SCHEMA)
+    return {n: load_star_table(spark, sf_dir, n) for n in wanted}
+
+
+def load_card_metadata(spark: SparkSession, path: str | Path | None = None) -> DataFrame:
+    """121-row card dimension (fixture copy of the reference's
+    ``src/data/card_metadata.json``; see FIXTURES.md §A2).
+
+    Loaded via the driver (tiny file) into a schema-pinned DataFrame; join
+    sides wrap it in ``F.broadcast``. Null elixir (1 card) stays null.
+    """
+    rows = load_card_metadata_rows(path)
+    return spark.createDataFrame(rows, schema=schemas.CARD_METADATA)
+
+
+def load_card_metadata_rows(path: str | Path | None = None) -> list[dict]:
+    """Plain-Python card rows (used by the classify oracle + map literal)."""
+    p = Path(path) if path is not None else CARD_METADATA_PATH
+    with p.open("r", encoding="utf-8") as f:
+        raw = json.load(f)
+    return [
+        {
+            "id": int(c["id"]),
+            "name": c["name"],
+            "maxLevel": c.get("maxLevel"),
+            "elixir": c.get("elixir"),
+            "is_big_tank": bool(c.get("is_big_tank", False)),
+            "is_bait_piece": bool(c.get("is_bait_piece", False)),
+            "is_bridge_spam_piece": bool(c.get("is_bridge_spam_piece", False)),
+        }
+        for c in raw
+    ]
+
+
+def read_raw_battles_json(spark: SparkSession, path: str) -> DataFrame:
+    """Scan landed battlelog JSONL with the explicit raw-battle schema.
+
+    Extra API fields are pruned by the schema (never materialized); malformed
+    rows come back null-filled rather than failing the scan (PERMISSIVE).
+    """
+    return spark.read.schema(schemas.RAW_BATTLE).json(path)

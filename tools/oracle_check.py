@@ -1,0 +1,115 @@
+"""Local mirror of the driver's DuckDB-oracle differential check.
+
+Runs every registered query through BOTH engines at a given sf dir, sorts
+columns by name and rows by value, and compares cell-by-cell (exact for
+strings/ints/bools, 1e-9-relative for floats). Usage:
+
+    python tools/oracle_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def compare_frames(spark_rows: list[dict], duck_rows: list[tuple], duck_cols: list[str]) -> str | None:
+    """Return None on match, else a description of the first mismatch."""
+    if not spark_rows and not duck_rows:
+        return None
+    s_cols = sorted(spark_rows[0].keys()) if spark_rows else sorted(duck_cols)
+    d_cols = sorted(duck_cols)
+    if s_cols != d_cols:
+        return f"schema mismatch: spark={s_cols} duck={d_cols}"
+    if len(spark_rows) != len(duck_rows):
+        return f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"
+
+    def norm(v):
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, float):
+            return ("f", round(v, 9))
+        if isinstance(v, int):
+            return ("f", float(v)) if False else ("i", v)
+        return ("s", str(v))
+
+    s_sorted = sorted(
+        [tuple(norm(r[c]) for c in s_cols) for r in spark_rows]
+    )
+    idx = {c: i for i, c in enumerate(duck_cols)}
+    d_sorted = sorted(
+        [tuple(norm(row[idx[c]]) for c in d_cols) for row in duck_rows]
+    )
+    for i, (srow, drow) in enumerate(zip(s_sorted, d_sorted)):
+        for c, sv, dv in zip(s_cols, srow, drow):
+            if sv[0] == "f" and dv[0] == "f":
+                if not math.isclose(sv[1], dv[1], rel_tol=1e-9, abs_tol=1e-9):
+                    return f"row {i} col {c}: spark={sv[1]} duck={dv[1]}"
+            elif sv != dv:
+                return f"row {i} col {c}: spark={sv} duck={dv}"
+    return None
+
+
+def run_check(sf_dir: str, names: list[str] | None = None) -> dict[str, str | None]:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    results: dict[str, str | None] = {}
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        if name not in sqls:
+            # rows-only check
+            try:
+                n = fn(spark, sf_dir).count()
+                results[name] = None if n >= 0 else "negative count?"
+            except Exception as e:  # pragma: no cover
+                results[name] = f"SPARK ERROR: {e}"
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_rows = [r.asDict() for r in sdf.collect()]
+        except Exception as e:
+            results[name] = f"SPARK ERROR: {e}"
+            continue
+        try:
+            cur = con.execute(sqls[name])
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"DUCKDB ERROR: {e}"
+            continue
+        results[name] = compare_frames(spark_rows, duck_rows, duck_cols)
+    return results
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    res = run_check(sf_dir, names)
+    bad = 0
+    for name, err in sorted(res.items()):
+        status = "OK " if err is None else "FAIL"
+        if err is not None:
+            bad += 1
+        print(f"{status} {name}" + (f" :: {err}" if err else ""))
+    print(f"\n{len(res) - bad}/{len(res)} queries match")
+    sys.exit(1 if bad else 0)
