@@ -25,6 +25,7 @@ Fidelity notes (the subtle bits, per SURVEY.md §7.4):
 
 from __future__ import annotations
 
+from functools import lru_cache
 from pathlib import Path
 
 from pyspark.sql import Column
@@ -41,25 +42,33 @@ ARCHETYPE_HYBRID = "Hybrid"
 
 
 def card_meta_map(path: str | Path | None = None) -> Column:
-    """The card dimension as a ``map<string, struct>`` literal column.
+    """The card elixir dimension as a flat ``map<string,int>`` literal.
 
-    121 entries ≈ 3 KB of literals — cheaper than any join and available to
-    every executor inside codegen. For dimensions too big to inline, use the
-    broadcast-join path instead.
+    Only elixir needs a value lookup; the three boolean flags compile to
+    ``isin`` literal lists instead (9/22/7 names), keeping the classify
+    expression tree small enough for whole-stage codegen (a map-of-structs
+    formulation blew past comfortable codegen size once referenced from
+    every feature). The card with null elixir is simply omitted — same
+    semantics as the reference's isinstance-drop (``deck_type.py:51-53``).
+    For dimensions too big to inline, use the broadcast-join path.
     """
     rows = load_card_metadata_rows(path)
     entries: list[Column] = []
     for r in rows:
+        if r["elixir"] is None:
+            continue
         entries.append(F.lit(r["name"]))
-        entries.append(
-            F.struct(
-                F.lit(r["elixir"]).cast("int").alias("elixir"),
-                F.lit(bool(r["is_big_tank"])).alias("is_big_tank"),
-                F.lit(bool(r["is_bait_piece"])).alias("is_bait_piece"),
-                F.lit(bool(r["is_bridge_spam_piece"])).alias("is_bridge_spam_piece"),
-            )
-        )
+        entries.append(F.lit(int(r["elixir"])))
     return F.create_map(*entries)
+
+
+@lru_cache(maxsize=4)
+def _flag_names(path: str | None = None) -> dict[str, tuple[str, ...]]:
+    rows = load_card_metadata_rows(path)
+    return {
+        flag: tuple(r["name"] for r in rows if r[flag])
+        for flag in ("is_bait_piece", "is_bridge_spam_piece", "is_big_tank")
+    }
 
 
 def deck_feature_cols(cards: Column, meta_map: Column) -> dict[str, Column]:
@@ -67,10 +76,13 @@ def deck_feature_cols(cards: Column, meta_map: Column) -> dict[str, Column]:
 
     Mirrors ``_precompute_deck_values`` (``deck_type.py:38-82``) including
     its quirks (see module docstring). ``cards`` is ``array<string>``.
+    Flag counts are per card *instance* (duplicates count twice), matching
+    the reference's per-meta iteration — hence ``filter``+``isin``, not
+    ``array_intersect`` (which would dedup).
     """
-    metas = F.transform(cards, lambda c: F.element_at(meta_map, c))
+    flags = _flag_names()
     elixirs = F.filter(
-        F.transform(metas, lambda m: m.getField("elixir")),
+        F.transform(cards, lambda c: F.element_at(meta_map, c)),
         lambda e: e.isNotNull(),
     )
     n_elixirs = F.size(elixirs)
@@ -85,10 +97,9 @@ def deck_feature_cols(cards: Column, meta_map: Column) -> dict[str, Column]:
         )
     )
 
-    def _flag_count(field: str) -> Column:
-        return F.size(
-            F.filter(metas, lambda m: F.coalesce(m.getField(field), F.lit(False)))
-        )
+    def _flag_count(flag: str) -> Column:
+        names = flags[flag]
+        return F.size(F.filter(cards, lambda c: c.isin(*names)))
 
     return {
         "avg_elixir": avg_elixir,

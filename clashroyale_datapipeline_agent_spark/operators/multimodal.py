@@ -1,0 +1,101 @@
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata (schemas.MEDIA_ASSET). The Spark-side plumbing — schema,
+partitioning, Arrow batch shape, mapInPandas signatures — is real and
+tested; the codec calls themselves are STUBBED (this container ships no
+image/audio libraries) behind ``_decode_stub``, clearly marked.
+
+Scale design: decode/feature-extract run as ``mapInPandas`` so each task
+streams Arrow batches (no per-row Python overhead, no driver collect);
+payloads stay columnar end-to-end. Batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory holds
+``batch × max_payload`` comfortably.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of feature extraction — fixed-size float vector + status.
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, "
+    "feature array<float>, status string"
+)
+
+FEATURE_DIM = 8
+
+
+def _decode_stub(payload: bytes | None, media_type: str) -> list[float]:
+    """STUB decoder — deterministic fake features from the raw bytes.
+
+    Real deployments replace this with PIL/torchvision/ffmpeg calls; the
+    container has none of those, so we derive a stable FEATURE_DIM-vector
+    from byte statistics (keeps tests deterministic and the plumbing real).
+    Raises on None payload to exercise the error path.
+    """
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder would fetch/stream")
+    n = len(payload)
+    return [
+        float(n % 251),
+        float(payload[0] if n else 0),
+        float(payload[-1] if n else 0),
+        float(sum(payload[:64]) % 997),
+        float(len(media_type)),
+        float(n % 7),
+        float(n % 13),
+        float(n % 17),
+    ]
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Decode + featurize media assets via ``mapInPandas``.
+
+    One Arrow batch in, one out; per-asset failures are captured in
+    ``status`` instead of failing the task (at 100 TB a single corrupt
+    payload must not kill a stage).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, status, nbytes = [], [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                try:
+                    feats.append(_decode_stub(payload, mtype))
+                    status.append("ok")
+                except Exception as e:  # noqa: BLE001 — per-row tolerance
+                    feats.append([0.0] * FEATURE_DIM)
+                    status.append(f"error:{type(e).__name__}")
+                nbytes.append(0 if payload is None else len(payload))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": nbytes,
+                    "feature": feats,
+                    "status": status,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: explodes per-asset frame indices from
+    metadata (``meta['n_frames']``) — the decode of each sampled frame is
+    the stubbed step. Demonstrates the explode-then-mapInPandas shape that
+    keeps frame fan-out distributed."""
+    n_frames = F.coalesce(
+        F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
+    )
+    return assets.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,464 @@
+"""Beyond-parity oracle-checked queries: text analysis, dedup, similarity
+search, and event-window shapes over documents/embeddings/events
+(BASELINE.json north star; SURVEY.md §7.3 M7).
+
+Registered into the same registry as plans/star_queries (shared driver
+contract). Cross-engine notes:
+- token splits use a literal single-space split + empty filter, expressed
+  identically in both engines;
+- hashes use md5 (identical hex both sides); xxhash64 variants stay
+  pytest-only (engine-specific seeds);
+- float-array math casts to double FIRST in both engines, then rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.operators.similarity import (
+    cosine_col,
+    norm_col,
+)
+from clashroyale_datapipeline_agent_spark.operators.text import STOPWORDS
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _r2, _t, register
+
+
+def _toks(text):
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats_by_lang",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS DOUBLE)), 2) AS avg_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+           CAST(MAX(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents, aggregated per language (whitespace
+    tokenizer as a pure codegen expression — no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(_toks(F.col("text")))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        _r2(F.avg(ntok.cast("double"))).alias("avg_tokens"),
+        _r2(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        F.max(ntok).cast("bigint").alias("max_tokens"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 4) AS repetition_ratio
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (token count, vocabulary, repetition
+    ratio) — the quality-scoring operator, per-doc grain."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        uniq.cast("bigint").alias("n_unique"),
+        F.round(
+            F.when(n > 0, 1.0 - uniq.cast("double") / n).otherwise(0.0), 4
+        ).alias("repetition_ratio"),
+    )
+
+
+def _sw_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({words})))"
+    )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH hits AS (
+        SELECT lang,
+               {_sw_sql('en')} AS sw_en,
+               {_sw_sql('de')} AS sw_de,
+               {_sw_sql('fr')} AS sw_fr,
+               {_sw_sql('es')} AS sw_es
+        FROM documents
+    ),
+    guessed AS (
+        SELECT lang,
+               CASE WHEN greatest(sw_en, sw_de, sw_fr, sw_es) = 0 THEN NULL
+                    WHEN sw_en >= sw_de AND sw_en >= sw_fr AND sw_en >= sw_es THEN 'en'
+                    WHEN sw_de >= sw_fr AND sw_de >= sw_es THEN 'de'
+                    WHEN sw_fr >= sw_es THEN 'fr'
+                    ELSE 'es' END AS lang_guess
+        FROM hits
+    )
+    SELECT lang, COALESCE(lang_guess, 'unknown') AS lang_guess,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM guessed
+    GROUP BY lang, lang_guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword votes, first-max-wins in the fixed
+    order en>de>fr>es) cross-tabulated against the labeled lang."""
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    def _hits(ws: tuple[str, ...]):
+        # NB: the lambda must be unary — PySpark passes (element, index) to
+        # two-parameter higher-order-function lambdas, so a default-arg
+        # closure trick would bind the index column instead.
+        return F.size(F.filter(_toks(low), lambda t: t.isin(*ws)))
+
+    hits = {lang: _hits(tuple(ws)) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, F.lit(None).cast("string"))
+        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    return (
+        d.select("lang", F.coalesce(guess, F.lit("unknown")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprint_md5",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_fp,
+           MIN(md5(text)) AS min_fp
+    FROM documents
+    GROUP BY source
+    """,
+)
+def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content-hash cardinality per source (md5 —
+    cross-engine identical; the fast xxhash64 path is pytest-covered)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_fp"),
+        F.min(F.md5("text")).alias("min_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT)    AS copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint; keeper = min
+    id. Only (hash, id) shuffles — never document bodies."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    g = exact_dedup_groups(d)
+    return g.select(
+        "fp",
+        F.col("keeper_id").cast("bigint"),
+        F.col("copies").cast("bigint"),
+    )
+
+
+@register(
+    "dedup_shingle_minhash_md5",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(list_filter(string_split(lower(text), ' '), x -> x != '')) - 2, 0)),
+                   i -> concat_ws(' ',
+                        list_filter(string_split(lower(text), ' '), x -> x != '')[i],
+                        list_filter(string_split(lower(text), ' '), x -> x != '')[i+1],
+                        list_filter(string_split(lower(text), ' '), x -> x != '')[i+2])
+               )) AS shingles
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(shingles) AS BIGINT) AS n_shingles,
+           list_min(list_transform(shingles, s -> md5(s)))            AS minhash_0,
+           list_min(list_transform(shingles, s -> md5(s || '#1')))    AS minhash_1
+    FROM sh
+    """,
+)
+def dedup_shingle_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over word-3-gram shingles with md5 hash functions (salted
+    per band) — the cross-engine-checkable core of the MinHash-LSH dedup
+    pipeline (the xxhash64 production variant is pytest-covered)."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles_col(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        F.size(sh).cast("bigint").alias("n_shingles"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("minhash_0"),
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("#1"))))).alias(
+            "minhash_1"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "embeddings_norm_stats",
+    """
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 2) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-math smoke over the embedding column: L2 norms per label via
+    native fold expressions (no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        _r2(F.avg(norm_col(F.col("embedding").cast("array<double>")))).alias(
+            "avg_norm"
+        ),
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 query vector: one scan,
+    codegen'd dot product, TakeOrderedAndProject top-k. The LSH-bucketed
+    scale path is pytest-covered (bucket membership is engine-determined)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    q = F.array(*[F.lit(x) for x in qvec])
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding").cast("array<double>"), q), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# event windows (batch twins of the streaming operators)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sliding_1h_30m",
+    """
+    WITH starts AS (
+        SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) * 1800 AS s0,
+               event_type, value
+        FROM events
+    ),
+    expanded AS (
+        SELECT s0 AS window_start_epoch, event_type, value FROM starts
+        UNION ALL
+        SELECT s0 - 1800, event_type, value FROM starts
+    )
+    SELECT window_start_epoch, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM expanded
+    GROUP BY window_start_epoch, event_type
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide) — each event lands in exactly
+    two windows. Spark's ``window()`` generates the assignment natively; the
+    oracle derives the same two starts arithmetically. Window starts are
+    emitted as epoch seconds in both engines (DuckDB's ``to_timestamp`` is
+    tz-aware while Spark's windows are naive — integers compare cleanly)."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running
+    sum — the batch twin of ``session_window`` in Structured Streaming.
+    One shuffle by user_id serves both windows and the final agg."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "events_cumulative_per_user",
+    """
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT)    AS event_seq,
+           ROUND(SUM(value) OVER w, 2)            AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def events_cumulative_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 family — running aggregates per user (cumulative frame)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("bigint")
+        .alias("event_seq"),
+        _r2(F.sum("value").over(w)).alias("running_value"),
+    )
+
+
+@register(
+    "j_range_join_ship_window",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderstatus
+    """,
+)
+def j_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate join (equi key + date-range residual) — beyond the
+    reference's join surface (SURVEY §2.3 headroom note). The equi key
+    carries the join; the range is a cheap residual filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            _r2(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+    )

@@ -1,0 +1,187 @@
+"""End-to-end pipeline tests: Phase-1 catalog, Phase-0 loop semantics
+(SURVEY.md §5.2 items 4-5), Phase-2 router fixtures (FIXTURES.md §A6)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from clashroyale_datapipeline_agent_spark.fixtures import (
+    generate_leaderboard,
+    generate_raw_battles,
+    raw_battles_df,
+)
+from clashroyale_datapipeline_agent_spark.plans import qna_router as qr
+from clashroyale_datapipeline_agent_spark.plans.pipeline import (
+    MetaDatasetBuilder,
+    run_user_pipeline,
+    user_llm_tables,
+    user_analytics_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    raw = raw_battles_df(spark, n_players=8, battles_per_player=25)
+    return run_user_pipeline(raw)
+
+
+def test_user_pipeline_catalog_complete(catalog):
+    expected = {
+        "summary", "best_cards", "worst_cards", "tough_opp_cards",
+        "easy_opp_cards", "best_decks", "worst_decks", "tough_matchups",
+        "easy_matchups", "my_deck_types", "opp_deck_types",
+        "deck_type_matchups", "llm_user_summary", "llm_user_deck_summary",
+        "llm_user_matchup_summary", "llm_user_card_summary",
+        "llm_opponent_card_summary",
+    }
+    assert expected <= set(catalog)
+
+
+def test_llm_card_summary_roles(catalog):
+    rows = catalog["llm_user_card_summary"].collect()
+    assert {r["role"] for r in rows} == {"best", "worst"}
+    for r in rows:
+        assert r["card_name"] == r["card"]
+        assert r["source"] in ("best_cards", "worst_cards")
+
+
+def test_summary_melt_is_stringly(catalog):
+    rows = {r["metric"]: r["value"] for r in catalog["llm_user_summary"].collect()}
+    assert set(rows) == {"games_played", "wins", "losses", "draws", "win_rate"}
+    assert all(isinstance(v, str) for v in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# Phase-0 loop
+# ---------------------------------------------------------------------------
+
+def _mk_fetcher(n_per_player: int = 25):
+    """Scripted battlelog source keyed by tag (deterministic)."""
+    def fetch(tag: str) -> list[dict]:
+        idx = abs(hash(tag)) % 1000
+        return generate_raw_battles(
+            n_players=1, battles_per_player=n_per_player, seed=idx
+        )
+    return fetch
+
+
+def test_meta_loop_stops_enough(spark, tmp_path):
+    b = MetaDatasetBuilder(
+        spark,
+        _mk_fetcher(),
+        str(tmp_path / "staging"),
+        min_total_battles=50,
+        min_games_per_type=0,
+        initial_sample=10,
+        increment_sample=3,
+        seed=1,
+    )
+    tables = b.run(generate_leaderboard(40))
+    assert b.notes[-1].split("decision=")[1].startswith("enough")
+    assert tables["battles"].count() >= 50
+    # participant table doubles rows
+    assert tables["participants"].count() == 2 * tables["battles"].count()
+
+
+def test_meta_loop_stops_by_exhaustion(spark, tmp_path):
+    b = MetaDatasetBuilder(
+        spark,
+        _mk_fetcher(),
+        str(tmp_path / "staging2"),
+        min_total_battles=10_000_000,  # unreachable
+        min_games_per_type=0,
+        initial_sample=5,
+        increment_sample=5,
+        max_loops=50,
+        seed=2,
+    )
+    b.run(generate_leaderboard(12))
+    assert "decision=stop" in b.notes[-1]
+    # every usable tag fetched
+    usable = sum(1 for p in generate_leaderboard(12) if p.get("tag"))
+    assert len(b.fetched_tags) == usable
+
+
+def test_meta_loop_stops_by_max_loops(spark, tmp_path):
+    b = MetaDatasetBuilder(
+        spark,
+        _mk_fetcher(),
+        str(tmp_path / "staging3"),
+        min_total_battles=10_000_000,
+        initial_sample=2,
+        increment_sample=1,
+        max_loops=3,
+        seed=3,
+    )
+    b.run(generate_leaderboard(200))
+    assert b.loop_count == 3
+    assert "decision=stop" in b.notes[-1]
+
+
+# ---------------------------------------------------------------------------
+# Phase-2 router (offline, mocked classifier)
+# ---------------------------------------------------------------------------
+
+def test_parse_classifier_fallbacks():
+    c = qr.parse_classifier_output("not json at all")
+    assert c.category == "other" and c.data_needs == ["SEND_ALL"]
+    c = qr.parse_classifier_output(json.dumps({"category": "bogus", "data_needs": []}))
+    assert c.category == "other" and c.data_needs == ["SEND_ALL"]
+    c = qr.parse_classifier_output(
+        json.dumps({"category": "card", "data_needs": ["NOT_A_BLOCK"]})
+    )
+    assert c.category == "card" and c.data_needs == ["USER_CARD_SUMMARY"]
+
+
+def test_route_precedence_needs_over_category():
+    c = qr.Classification("meta", ["USER_MATCHUP_SUMMARY"])
+    assert qr.route_by_category(c) == "matchup"
+    c = qr.Classification("user", ["OPPONENT_CARD_SUMMARY"])
+    assert qr.route_by_category(c) == "card"
+    c = qr.Classification("card", [])
+    assert qr.route_by_category(c) == "card"  # category fallback
+    c = qr.Classification("other", ["SEND_ALL"])
+    assert qr.route_by_category(c) == "other"
+
+
+def test_enough_data_meta_exempt():
+    ok, warn = qr.enough_data(3, "meta")
+    assert ok and warn == ""
+    ok, warn = qr.enough_data(3, "user")
+    assert not ok and "only 3 recent ranked games" in warn
+    ok, _ = qr.enough_data(20, "user")
+    assert ok
+
+
+def test_full_qna_flow_offline(catalog):
+    user_tables = {
+        "user_summary": catalog["llm_user_summary"],
+        "user_deck_summary": catalog["llm_user_deck_summary"],
+        "user_matchup_summary": catalog["llm_user_matchup_summary"],
+        "user_card_summary": catalog["llm_user_card_summary"],
+        "opponent_card_summary": catalog["llm_opponent_card_summary"],
+    }
+    meta_tables = {
+        "meta_deck_summary": catalog["llm_user_deck_summary"],  # stand-in
+        "meta_matchup_summary": catalog["llm_user_matchup_summary"],
+    }
+    state = qr.answer_question(
+        "why do I keep losing to bait?",
+        classify=lambda q: json.dumps(
+            {"category": "matchup", "data_needs": ["USER_MATCHUP_SUMMARY"]}
+        ),
+        answer=lambda q, ctx: f"ctx:{len(ctx)}",
+        user_tables=user_tables,
+        meta_tables=meta_tables,
+        games_played=25,
+    )
+    assert state["route"] == "matchup"
+    assert state["context_tables"] == [
+        "meta_deck_summary", "meta_matchup_summary",
+        "user_matchup_summary", "user_summary",
+    ]
+    assert state["has_enough_data"]
+    # context cap honored
+    assert int(state["answer"].split(":")[1]) <= qr.CONTEXT_CHAR_CAP
