@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clashroyale_datapipeline_agent_spark.plans import star_queries
 from clashroyale_datapipeline_agent_spark.plans import text_queries  # noqa: F401  (registers)
+from clashroyale_datapipeline_agent_spark.plans import domain_queries  # noqa: F401  (registers)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -66,7 +66,11 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of a text column as array<string> (distinct)."""
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # NB: sequence(1, 0) yields a DESCENDING [1, 0] (auto step -1), so the
+    # short-text case must be guarded with an empty array, not greatest().
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
@@ -200,28 +204,39 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     zero = F.array_repeat(F.lit(0), bits)
+    # per-bit vote array is built with STATIC shift amounts (shiftright takes
+    # a Python int, not a Column) — a 64-branch literal array per token,
+    # still fully codegen'd
     counts = F.aggregate(
         hashes,
         zero,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for i in range(bits)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
+    # distinct powers of two never overlap, so a sum assembles the word;
+    # the top bit uses the negative two's-complement literal
+    weights = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
     packed = F.aggregate(
         F.zip_with(
             counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            weights,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+        lambda acc, x: acc + x,
     )
     return packed
 
@@ -240,18 +255,18 @@ def simhash_candidate_pairs(
     by exact popcount distance.
     """
     sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("h"))
-    bands = sh.select(
-        "id",
-        "h",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright("h", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
-                ),
+    # static band shifts (shiftright needs a Python int, not a Column)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("h"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
             )
-        ).alias("bb"),
+            for b in range(4)
+        ]
+    )
+    bands = sh.select(
+        "id", "h", F.explode(band_structs).alias("bb")
     ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))

@@ -1,0 +1,197 @@
+"""Dedup / similarity / text / multimodal operator tests (BASELINE.json
+north-star surface)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.operators import dedup as D
+from clashroyale_datapipeline_agent_spark.operators import similarity as S
+from clashroyale_datapipeline_agent_spark.operators import text as T
+from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+)
+from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+        (4, "completely different words entirely here now friends"),
+        (5, "der hund ist nicht auf der couch und das ist gut"),
+        (6, ""),  # empty text edge
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = {r["keeper_id"]: r["copies"] for r in D.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 identical
+    assert groups[3] == 1
+    kept = {r["doc_id"] for r in D.exact_dedup(docs).collect()}
+    assert 2 not in kept and {1, 3, 4, 5, 6} <= kept
+
+
+def test_shingles_and_minhash(docs):
+    sh = docs.select(
+        "doc_id", D.shingles_col(F.col("text"), 3).alias("sh")
+    ).collect()
+    by_id = {r["doc_id"]: list(r["sh"]) for r in sh}
+    assert "the quick brown" in by_id[1]
+    assert by_id[6] == []
+    sig = docs.select(
+        "doc_id", D.minhash_signature(D.shingles_col(F.col("text"), 3), 16).alias("sig")
+    ).collect()
+    sigs = {r["doc_id"]: list(r["sig"]) for r in sig}
+    assert sigs[1] == sigs[2]  # identical docs -> identical signatures
+    # docs 1/3 share 4 of 10 distinct shingles (J=0.4) -> expect ~40% of
+    # minhash components to agree; require at least a few
+    same = sum(1 for a, b in zip(sigs[1], sigs[3]) if a == b)
+    assert same >= 3
+
+
+def test_lsh_candidates_and_jaccard(docs):
+    cands = D.lsh_candidate_pairs(docs, num_hashes=16, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    verified = D.ngram_jaccard_pairs(docs, cands, threshold=0.35).collect()
+    vm = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert vm[(1, 2)] == pytest.approx(1.0)
+    assert vm[(1, 3)] == pytest.approx(0.4)  # 4 shared / 10 union shingles
+    deduped = D.minhash_lsh_dedup(docs, threshold=0.35, num_hashes=16, bands=8)
+    kept = {r["doc_id"] for r in deduped.collect()}
+    assert 2 not in kept and 3 not in kept and 1 in kept
+
+
+def test_simhash(docs):
+    pairs = D.simhash_candidate_pairs(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0  # identical
+    sh = {r["doc_id"]: r["h"] for r in docs.select("doc_id", D.simhash_col(F.col("text")).alias("h")).collect()}
+    assert sh[1] == sh[2]
+    assert bin(sh[1] ^ sh[3]).count("1") <= 16  # near dup close in hamming
+
+
+def test_cosine_topk(spark, sf_dir):
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    top = S.brute_force_topk(emb, qvec, k=5, exclude_id=0).collect()
+    assert len(top) == 5
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+    # self-similarity sanity: query against itself scores 1
+    self_top = S.brute_force_topk(emb, qvec, k=1).collect()[0]
+    assert self_top["vec_id"] == 0 and self_top["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_subset_of_bruteforce_order(spark, sf_dir):
+    emb = load_star_table(spark, sf_dir, "embeddings").cache()
+    qvec = [float(x) for x in emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    approx = S.lsh_topk(emb, qvec, k=5, n_planes=4)
+    rows = approx.collect()
+    assert 0 < len(rows) <= 5
+    # every returned cosine must match the exact score for that id
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in S.brute_force_topk(emb, qvec, k=10**6).collect()
+    }
+    for r in rows:
+        assert r["cosine"] == pytest.approx(exact[r["vec_id"]])
+
+
+def test_pairwise_topk_join(spark, sf_dir):
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id in (1, 2)").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = S.pairwise_topk_join(emb, queries, k=3)
+    rows = res.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2}
+    for q, rs in by_q.items():
+        assert len(rs) == 3
+        assert rs[0]["vec_id"] == q  # self is nearest
+
+
+def test_token_and_quality_stats(docs):
+    stats = {r["doc_id"]: r for r in T.with_token_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[1]["n_unique_tokens"] == 8  # 'the' twice
+    assert stats[6]["n_tokens"] == 0 and stats[6]["avg_token_len"] == 0.0
+    q = docs.select("doc_id", *[v.alias(k) for k, v in T.quality_score_cols(F.col("text")).items()]).collect()
+    qm = {r["doc_id"]: r for r in q}
+    assert qm[1]["repetition_ratio"] == pytest.approx(1 - 8 / 9)
+    assert qm[6]["punct_ratio"] == 0.0
+
+
+def test_language_scores(docs):
+    scored = {r["doc_id"]: r for r in T.with_language_scores(docs).collect()}
+    assert scored[1]["lang_guess"] == "en"
+    assert scored[5]["lang_guess"] == "de"
+    assert scored[6]["lang_guess"] is None
+
+
+def test_fingerprints(docs):
+    fp = docs.select(
+        "doc_id",
+        T.fingerprint_col(F.col("text")).alias("xx"),
+        T.md5_fingerprint_col(F.col("text")).alias("md5"),
+    ).collect()
+    m = {r["doc_id"]: r for r in fp}
+    assert m[1]["xx"] == m[2]["xx"] and m[1]["md5"] == m[2]["md5"]
+    assert m[1]["xx"] != m[3]["xx"]
+    import hashlib
+
+    assert m[4]["md5"] == hashlib.md5(
+        "completely different words entirely here now friends".encode()
+    ).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNG" + b"x" * 100), {"w": "64", "h": "64"}),
+        (2, "audio", bytearray(b"RIFF" + b"y" * 400), {"sr": "16000"}),
+        (3, "video", bytearray(b"\x00\x00ftyp" + b"z" * 900), {"n_frames": "95"}),
+        (4, "image", None, {}),  # missing payload -> error path
+    ]
+    from clashroyale_datapipeline_agent_spark.schemas import MEDIA_ASSET
+
+    return spark.createDataFrame(rows, MEDIA_ASSET)
+
+
+def test_extract_features_shapes_and_errors(assets):
+    out = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert len(out) == 4
+    for aid, r in out.items():
+        assert len(r["feature"]) == FEATURE_DIM
+    assert out[1]["status"] == "ok" and out[1]["n_bytes"] == 104
+    assert out[4]["status"].startswith("error:NotImplementedError")
+    assert out[4]["n_bytes"] == 0
+    # determinism: same payload -> same features
+    again = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert [float(x) for x in again[2]["feature"]] == [float(x) for x in out[2]["feature"]]
+
+
+def test_frame_sample_plan(assets):
+    frames = frame_sample_plan(assets, every_n=30).collect()
+    by_asset: dict = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    assert by_asset[3] == [0, 30, 60, 90]
+    assert by_asset[1] == [0]  # no n_frames meta -> single frame 0

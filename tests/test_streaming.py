@@ -1,0 +1,114 @@
+"""Structured Streaming operator tests (SURVEY.md §2.10).
+
+Driven with deterministic file sources (JSON micro-batches written to a tmp
+dir) so streaming results are comparable to their batch twins — no timing
+dependence, no external services.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.streaming.events import (
+    accumulate_stream_to_parquet,
+    stateful_dedup,
+    tumbling_counts,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_batch(path, rows, name):
+    with open(f"{path}/{name}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def event_rows():
+    rows = []
+    for i in range(200):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T{i % 24:02d}:{(i * 7) % 60:02d}:00.000Z",
+                "user_id": i % 5,
+                "event_type": "click" if i % 2 == 0 else "view",
+                "value": float(i),
+            }
+        )
+    # duplicates for dedup coverage
+    rows += rows[:20]
+    return rows
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path, event_rows):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, event_rows, "b0")
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out = tumbling_counts(stream, window="1 hour", watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tumble")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.read.schema(SCHEMA).json(str(src))
+    expected = (
+        batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in spark.sql("select * from t_tumble").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in expected.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stateful_dedup_stream(spark, tmp_path, event_rows):
+    src = tmp_path / "src2"
+    src.mkdir()
+    _write_batch(src, event_rows, "b0")
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    deduped = stateful_dedup(stream, key_cols=["event_id"], watermark="10 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(distinct event_id) c, count(*) n from t_dedup").collect()[0]
+    assert n["n"] == n["c"] == 200  # 220 input rows, 20 dups dropped
+
+
+def test_accumulate_availablenow(spark, tmp_path, event_rows):
+    src = tmp_path / "src3"
+    src.mkdir()
+    _write_batch(src, event_rows[:100], "b0")
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    sink = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    q = accumulate_stream_to_parquet(stream, sink, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 100
+    # second batch arrives; restart picks up only the new file
+    _write_batch(src, event_rows[100:200], "b1")
+    stream2 = spark.readStream.schema(SCHEMA).json(str(src))
+    q2 = accumulate_stream_to_parquet(stream2, sink, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 200
