@@ -131,6 +131,87 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids + per-vector centroid
+    assignment (the ``_centroid`` column).
+
+    Training runs on MLlib KMeans (distributed Lloyd iterations); assignment
+    is a native argmin expression over the centroid literals, so the indexed
+    table needs no model object at query time. Partitioning/sorting the
+    stored table by ``_centroid`` turns queries into partition-pruned scans
+    of ~1/n_centroids of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = embeddings.withColumn(
+        "_centroid", nearest_centroid_col(F.col(vec_col), centroids)
+    )
+    return assigned, centroids
+
+
+def nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmin-by-L2 centroid id as a pure expression (no model, no UDF)."""
+    def sqdist(c: list[float]) -> Column:
+        cc = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(vec.cast("array<double>"), cc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best_id = F.lit(0)
+    best_d = sqdist(centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = sqdist(c)
+        closer = d < best_d
+        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: score only vectors in the ``n_probe`` centroids nearest
+    the query. Recall/latency tradeoff via n_probe; with the table
+    partitioned by ``_centroid`` the filter is partition pruning."""
+    import math as _math
+
+    def dist(c: list[float]) -> float:
+        return _math.sqrt(sum((a - b) ** 2 for a, b in zip(query_vec, c)))
+
+    probes = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        indexed.filter(F.col("_centroid").isin(probes))
+        .select(
+            F.col(id_col),
+            cosine_col(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_topk_join(
     embeddings: DataFrame,
     queries: DataFrame,

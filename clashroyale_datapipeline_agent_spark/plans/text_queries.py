@@ -432,6 +432,35 @@ def events_cumulative_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f6_json_props_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 2)     AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f6_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — JSON parsing as a column op: ``from_json`` with an explicit
+    schema (never schema_of_json per row), bucketed aggregation over the
+    extracted field. The streaming twin parses kafka values the same way."""
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        e.select(
+            F.pmod(parsed.getField("k"), F.lit(10)).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            _r2(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+@register(
     "j_range_join_ship_window",
     """
     SELECT o_orderstatus,

@@ -1,0 +1,96 @@
+"""S4/S6 sinks, batched LLM classify, and IVF similarity tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.operators import plots as P
+from clashroyale_datapipeline_agent_spark.operators.llm_batch import classify_questions
+from clashroyale_datapipeline_agent_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_index,
+    ivf_topk,
+)
+from clashroyale_datapipeline_agent_spark.sources import sinks
+from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+
+def test_write_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sinks.write_json(df, str(tmp_path / "j"))
+    back = spark.read.schema("id long, v string").json(str(tmp_path / "j"))
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en")], "id long, lang string"
+    )
+    sinks.write_parquet(df, str(tmp_path / "p"), partition_by=["lang"])
+    assert (tmp_path / "p" / "lang=en").exists()
+    back = spark.read.parquet(str(tmp_path / "p"))
+    assert back.filter(F.col("lang") == "en").count() == 2
+
+
+def test_plot_sinks_degrade_without_matplotlib(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("Cycle", 10, 0.5), ("Bait", 8, 0.4)], "deck_type string, games long, win_rate double"
+    )
+    out = P.plot_bar(df, x="deck_type", y="games", out_dir=tmp_path, name="T")
+    if P.HAVE_MPL:  # pragma: no cover - env without mpl
+        assert out and out.endswith("t.png")
+    else:
+        assert out is None
+    pdf = P.top_k_pandas(df, [F.desc("games")], 1)
+    assert list(pdf["deck_type"]) == ["Cycle"]
+
+
+def test_classify_questions_batched(spark):
+    qs = spark.createDataFrame(
+        [
+            (1, "why do I lose to bait?"),
+            (2, "what is strong in the meta?"),
+            (3, "???"),
+        ],
+        "question_id long, question string",
+    )
+
+    def make_client():
+        def client(q: str) -> str:
+            if "lose to" in q:
+                return json.dumps(
+                    {"category": "matchup", "data_needs": ["USER_MATCHUP_SUMMARY"]}
+                )
+            if "meta" in q:
+                return json.dumps(
+                    {"category": "meta", "data_needs": ["META_DECK_SUMMARY"]}
+                )
+            return "garbage"
+
+        return client
+
+    out = {r["question_id"]: r for r in classify_questions(qs, make_client).collect()}
+    assert out[1]["route"] == "matchup"
+    assert out[2]["route"] == "meta"
+    assert out[3]["category"] == "other" and out[3]["data_needs"] == ["SEND_ALL"]
+
+
+def test_ivf_topk_matches_bruteforce_for_probed_ids(spark, sf_dir):
+    emb = load_star_table(spark, sf_dir, "embeddings").cache()
+    indexed, centroids = ivf_index(emb, n_centroids=8)
+    qvec = [float(x) for x in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    approx = ivf_topk(indexed, centroids, qvec, k=5, n_probe=8)  # all probes = exact
+    exact = brute_force_topk(emb, qvec, k=5)
+    assert [r["vec_id"] for r in approx.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+    # fewer probes returns a subset scored identically
+    small = ivf_topk(indexed, centroids, qvec, k=5, n_probe=2).collect()
+    exact_scores = {r["vec_id"]: r["cosine"] for r in brute_force_topk(emb, qvec, k=10**6).collect()}
+    for r in small:
+        assert r["cosine"] == pytest.approx(exact_scores[r["vec_id"]])
+    # self vector must be found (its own centroid is always probed first)
+    assert small[0]["vec_id"] == 3
