@@ -42,6 +42,47 @@ def sample_approx(df: DataFrame, fraction: float, seed: int | None = None) -> Da
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 
 
+def sample_exact_k_reservoir(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """R1 at scale: exact-k without the full sort.
+
+    ``orderBy(rand).limit(k)`` sorts everything; this keeps a size-k
+    reservoir per partition (`mapPartitions`, O(n) scan, O(k) memory) and
+    merges the ≤ p·k survivors with one tiny TakeOrdered. Each row carries
+    its uniform draw so the merge stays exact-uniform: the global sample is
+    the k rows with the smallest draws, and every partition's reservoir
+    provably contains its local smallest-k.
+    """
+    import heapq
+    import random as _random
+
+    schema = df.schema
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keyed_schema = StructType([StructField("_draw", DoubleType(), False), *schema])
+
+    def reservoir(idx: int, rows):
+        rng = _random.Random((seed << 16) ^ idx)
+        heap: list[tuple[float, int, tuple]] = []  # max-heap via negation
+        for i, row in enumerate(rows):
+            d = rng.random()
+            item = (-d, i, tuple(row))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif -heap[0][0] > d:
+                heapq.heapreplace(heap, item)
+        for negd, _, vals in heap:
+            yield (-negd, *vals)
+
+    spark = df.sparkSession
+    kept = spark.createDataFrame(
+        df.rdd.mapPartitionsWithIndex(reservoir, preservesPartitioning=False),
+        keyed_schema,
+    )
+    return (
+        kept.orderBy(F.asc("_draw")).limit(k).drop("_draw")
+    )
+
+
 def sample_deterministic_mod(key: Column, modulus: int, keep_below: int) -> Column:
     """Deterministic pseudo-sample predicate: ``key % modulus < keep_below``.
 

@@ -287,3 +287,152 @@ def cr_exact_deck_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("games") >= 3)
     )
+
+
+@register(
+    "cr_user_matchup_summary",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_cards_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_cards_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_cards_rel')}),
+    opp_types AS ({_classify_sql('opp_cards_rel')}),
+    matchups AS (
+        SELECT m.deck_type AS my_deck_type, p.deck_type AS opp_deck_type,
+               CASE WHEN o.o_orderstatus = 'F' THEN 'win'
+                    WHEN o.o_orderstatus = 'O' THEN 'loss'
+                    ELSE 'draw' END AS result
+        FROM orders o
+        JOIN my_types m  ON m.o_orderkey = o.o_orderkey
+        JOIN opp_types p ON p.o_orderkey = o.o_orderkey
+    ),
+    agg AS (
+        SELECT my_deck_type, opp_deck_type,
+               COUNT(*) AS games,
+               SUM(CASE WHEN result = 'win'  THEN 1 ELSE 0 END) AS wins,
+               SUM(CASE WHEN result = 'loss' THEN 1 ELSE 0 END) AS losses,
+               SUM(CASE WHEN result NOT IN ('win','loss') THEN 1 ELSE 0 END) AS draws,
+               SUM(CASE WHEN result = 'win' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS win_rate
+        FROM matchups
+        GROUP BY my_deck_type, opp_deck_type
+        HAVING COUNT(*) >= 10
+    )
+    SELECT my_deck_type, opp_deck_type,
+           CAST(games AS BIGINT)  AS games,
+           CAST(wins AS BIGINT)   AS wins,
+           CAST(losses AS BIGINT) AS losses,
+           CAST(draws AS BIGINT)  AS draws,
+           ROUND(win_rate, 4)     AS win_rate,
+           CASE WHEN win_rate >= 0.55 THEN 'favored'
+                WHEN win_rate <= 0.45 THEN 'unfavored'
+                ELSE 'even' END   AS advantage_label
+    FROM agg
+    """,
+)
+def cr_user_matchup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + A13 + P9 cross-engine: the production user matchup-matrix
+    operator (classify both sides, counter-agg, HAVING min 10) flattened
+    with advantage labels via the production ``build_matchup_summary``
+    rename path."""
+    from clashroyale_datapipeline_agent_spark.functions.common import advantage_label
+    from clashroyale_datapipeline_agent_spark.operators.battle_aggs import (
+        compute_deck_type_matchups,
+        with_deck_types,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    battles = o.select(
+        _deck_col(F.col("o_orderkey"), 7, 0).alias("my_cards"),
+        _deck_col(F.col("o_orderkey"), 11, 5).alias("opp_cards"),
+        _result_col().alias("result"),
+    )
+    mm = compute_deck_type_matchups(with_deck_types(battles), min_games=10)
+    return mm.select(
+        "my_deck_type",
+        "opp_deck_type",
+        F.col("games").cast("bigint"),
+        F.col("wins").cast("bigint"),
+        F.col("losses").cast("bigint"),
+        F.col("draws").cast("bigint"),
+        F.round("win_rate", 4).alias("win_rate"),
+        advantage_label(F.col("win_rate")).alias("advantage_label"),
+    )
+
+
+@register(
+    "cr_user_deck_summary_reagg",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_cards_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_cards_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_cards_rel')}),
+    opp_types AS ({_classify_sql('opp_cards_rel')}),
+    matchups AS (
+        SELECT m.deck_type AS my_deck_type, p.deck_type AS opp_deck_type,
+               CASE WHEN o.o_orderstatus = 'F' THEN 'win'
+                    WHEN o.o_orderstatus = 'O' THEN 'loss'
+                    ELSE 'draw' END AS result
+        FROM orders o
+        JOIN my_types m  ON m.o_orderkey = o.o_orderkey
+        JOIN opp_types p ON p.o_orderkey = o.o_orderkey
+    ),
+    cell AS (
+        SELECT my_deck_type, opp_deck_type,
+               COUNT(*) AS games,
+               SUM(CASE WHEN result = 'win'  THEN 1 ELSE 0 END) AS wins,
+               SUM(CASE WHEN result = 'loss' THEN 1 ELSE 0 END) AS losses,
+               SUM(CASE WHEN result NOT IN ('win','loss') THEN 1 ELSE 0 END) AS draws
+        FROM matchups GROUP BY my_deck_type, opp_deck_type
+    ),
+    reagg AS (
+        SELECT my_deck_type AS deck_type,
+               SUM(games) AS games, SUM(wins) AS wins,
+               SUM(losses) AS losses, SUM(draws) AS draws
+        FROM cell GROUP BY my_deck_type
+    )
+    SELECT deck_type,
+           CAST(games AS BIGINT) AS games,
+           ROUND(games * 1.0 / SUM(games) OVER (), 4) AS user_share,
+           CAST(wins AS BIGINT) AS wins,
+           CAST(losses AS BIGINT) AS losses,
+           CAST(draws AS BIGINT) AS draws,
+           ROUND(CASE WHEN games > 0 THEN wins * 1.0 / games ELSE 0.0 END, 4) AS win_rate,
+           games >= 20 AS sample_ok
+    FROM reagg
+    """,
+)
+def cr_user_deck_summary_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 + J5 cross-engine: the production re-aggregation of the matchup
+    matrix over opponents (summed counters, share window, sample_ok flag)."""
+    from clashroyale_datapipeline_agent_spark.operators.battle_aggs import (
+        compute_deck_type_matchups,
+        with_deck_types,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.meta import (
+        build_user_deck_summary,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    battles = o.select(
+        _deck_col(F.col("o_orderkey"), 7, 0).alias("my_cards"),
+        _deck_col(F.col("o_orderkey"), 11, 5).alias("opp_cards"),
+        _result_col().alias("result"),
+    )
+    mm = compute_deck_type_matchups(with_deck_types(battles), min_games=1)
+    out = build_user_deck_summary(mm, min_games_per_deck=20)
+    return out.select(
+        "deck_type",
+        F.col("games").cast("bigint"),
+        F.round("user_share", 4).alias("user_share"),
+        F.col("wins").cast("bigint"),
+        F.col("losses").cast("bigint"),
+        F.col("draws").cast("bigint"),
+        F.round("win_rate", 4).alias("win_rate"),
+        "sample_ok",
+    )

@@ -1,0 +1,147 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.10 design target; the brief's custom-stateful-operator slot).
+
+The Phase-0 stopping rule is a *stateful trigger*: accumulate per-archetype
+counters until every floor is met. The reference runs it as a driver loop;
+here it is also available as a true streaming operator — per-key state
+lives in the state store, survives restarts via checkpoints, and emits a
+row only when a key's floor is first crossed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+THRESHOLD_OUT_SCHEMA = "deck_type string, games bigint, crossed boolean"
+STATE_SCHEMA = "games bigint"
+
+
+def archetype_floor_monitor(
+    participants: DataFrame,
+    *,
+    min_games_per_type: int = 200,
+) -> DataFrame:
+    """Streaming per-archetype counter with floor detection.
+
+    Input: a *streaming* participant table (deck_type column). For each
+    archetype, keeps a running game count in state; emits (deck_type,
+    games, crossed=True) exactly once when the count first reaches
+    ``min_games_per_type``, and (deck_type, games, crossed=False) progress
+    rows otherwise. The Phase-0 driver loop's stopping predicate, as an
+    incremental operator — no per-batch full recompute.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        new_rows = sum(len(p) for p in pdfs)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + new_rows
+        crossed_now = prev < min_games_per_type <= total
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "deck_type": [key[0]],
+                "games": [total],
+                "crossed": [bool(crossed_now)],
+            }
+        )
+
+    return participants.groupBy("deck_type").applyInPandasWithState(
+        update,
+        outputStructType=THRESHOLD_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, closed boolean"
+)
+SESSION_STATE_SCHEMA = "start_ms bigint, last_ms bigint, n bigint"
+
+
+def session_aggregator(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom sessionizer with explicit state + processing-time timeout —
+    the hand-rolled twin of ``session_window`` for semantics Spark's
+    built-in can't express (e.g. emitting in-progress session snapshots).
+
+    Emits a closed-session row when a batch's events jump past the gap, and
+    a timeout-closed row when a key goes quiet (state evicted). Shows the
+    full state lifecycle: get/update/timeout/remove.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_ms, last_ms, n = state.get
+                rows.append(
+                    {
+                        "user_id": key[0],
+                        "session_start": pd.Timestamp(start_ms, unit="ms"),
+                        "session_end": pd.Timestamp(last_ms, unit="ms"),
+                        "n_events": n,
+                        "closed": True,
+                    }
+                )
+                state.remove()
+        else:
+            ts_all = (
+                pd.concat(list(pdfs))[ts_col]
+                .sort_values()
+                .astype("datetime64[ms]")
+            )
+            start_ms, last_ms, n = (
+                state.get if state.exists else (None, None, 0)
+            )
+            for t in ts_all:
+                ms = int(t.value // 1_000_000)
+                if start_ms is None:
+                    start_ms, last_ms, n = ms, ms, 1
+                elif ms - last_ms > gap_seconds * 1000:
+                    rows.append(
+                        {
+                            "user_id": key[0],
+                            "session_start": pd.Timestamp(start_ms, unit="ms"),
+                            "session_end": pd.Timestamp(last_ms, unit="ms"),
+                            "n_events": n,
+                            "closed": True,
+                        }
+                    )
+                    start_ms, last_ms, n = ms, ms, 1
+                else:
+                    last_ms = ms
+                    n += 1
+            state.update((start_ms, last_ms, n))
+            state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start", "session_end", "n_events", "closed"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

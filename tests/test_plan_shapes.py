@@ -1,0 +1,69 @@
+"""Plan-regression tests: assert the physical-plan properties the scale
+design depends on (SCALE.md). If a refactor silently turns a broadcast join
+into a shuffle join or blocks pushdown, these fail."""
+
+from __future__ import annotations
+
+import pytest
+
+from clashroyale_datapipeline_agent_spark.plans import star_queries as SQ
+
+
+def _plan(spark, df) -> str:
+    return spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, SQ.p1_predicate_pushdown_scan(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed filter (not an empty list)
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(p.strip() for p in pushed)
+    # column pruning: only the 5 consumed columns are read
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1]
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, SQ.j1_broadcast_dim_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_broadcasts_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, SQ.j3_anti_join_unordered_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, SQ.o1_global_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_counter_agg_is_partial_final(spark, sf_dir):
+    plan = _plan(spark, SQ.p10_win_rate_per_customer(spark, sf_dir))
+    # two HashAggregate nodes (partial + final) around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_classify_plan_has_no_python_udf(spark, sf_dir):
+    from clashroyale_datapipeline_agent_spark.plans import domain_queries as DQ
+
+    plan = _plan(spark, DQ.cr_classify_archetype_counts(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    from clashroyale_datapipeline_agent_spark.plans import text_queries as TQ
+
+    plan = _plan(spark, TQ.events_sessionization(spark, sf_dir))
+    # the user_id shuffle is reused by lag, cumsum, and the final agg
+    # (formatted mode lists each node twice: tree + details section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
