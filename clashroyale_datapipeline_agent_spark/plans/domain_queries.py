@@ -54,6 +54,17 @@ def _deck_col(key, mult: int, offset: int):
     )
 
 
+
+
+def _spread(df):
+    """Classification is compute-heavy per row; a single small parquet file
+    arrives as ONE partition locally, serializing the whole query. Spread to
+    the session's parallelism first — at cluster scale inputs are already
+    multi-partition and AQE coalesces, so this is a no-op there; on one file
+    it buys full-core classify throughput for a trivial row shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
 def _result_col():
     return (
         F.when(F.col("o_orderstatus") == "F", "win")
@@ -149,7 +160,7 @@ def cr_classify_archetype_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 + A5 cross-engine: the production ``classify_deck_col`` over ~15k
     deterministic decks, counter-aggregated per archetype, vs an independent
     SQL transcription of the classifier cascade."""
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     decks = o.select(
         _deck_col(F.col("o_orderkey"), 7, 0).alias("my_cards"),
         _result_col().alias("result"),
@@ -214,7 +225,7 @@ def cr_symmetric_matchup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         compute_symmetric_matchups,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     battles = o.select(
         _deck_col(F.col("o_orderkey"), 7, 0).alias("my_cards"),
         _deck_col(F.col("o_orderkey"), 11, 5).alias("opp_cards"),
@@ -267,7 +278,7 @@ def cr_exact_deck_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5-of-joined-names as the engine-comparable key) + HAVING threshold.
     NB: the multiplier 3 shares a factor with 121's step so decks repeat —
     giving groups with games >= 3 to survive the HAVING."""
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     decks = o.select(
         F.md5(
             F.concat_ws("|", F.array_sort(_deck_col(F.col("o_orderkey"), 3, 2)))
@@ -343,7 +354,7 @@ def cr_user_matchup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_deck_types,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     battles = o.select(
         _deck_col(F.col("o_orderkey"), 7, 0).alias("my_cards"),
         _deck_col(F.col("o_orderkey"), 11, 5).alias("opp_cards"),
@@ -418,7 +429,7 @@ def cr_user_deck_summary_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_user_deck_summary,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     battles = o.select(
         _deck_col(F.col("o_orderkey"), 7, 0).alias("my_cards"),
         _deck_col(F.col("o_orderkey"), 11, 5).alias("opp_cards"),

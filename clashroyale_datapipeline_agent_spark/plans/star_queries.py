@@ -667,3 +667,87 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.sum("value")).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> two fact joins ->
+    grouped revenue -> global top-k. The segment filter pushes into the
+    customer scan; AQE picks broadcast for the filtered customer side."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join with a same-nation theta
+    condition folded into the customer equi-join. Region/nation broadcast;
+    the region filter prunes before any fact is touched."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(r)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .join(li, li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("n_name")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
