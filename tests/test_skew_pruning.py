@@ -1,0 +1,54 @@
+"""Skew helpers + partition-pruning plan evidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.operators.skew import (
+    salted_counter_agg,
+    salted_join,
+)
+
+
+def test_salted_counter_agg_exact(spark):
+    # heavily skewed: 90% of rows share one key
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("k"),
+        F.lit(1.0).alias("v"),
+    )
+    out = {
+        r["k"]: r
+        for r in salted_counter_agg(
+            df, ["k"], {"games": "count", "total": "sum:v"}, salt=8
+        ).collect()
+    }
+    assert out["hot"]["games"] == 9_000 and out["hot"]["total"] == 9_000.0
+    assert out["cold"]["games"] == 1_000
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(5_000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, label string"
+    )
+    plain = big.join(small, "k").groupBy("label").count()
+    salted = salted_join(big, small, "k", salt=4).groupBy("label").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(300)], "id long, lang string"
+    )
+    path = str(tmp_path / "pp")
+    df.write.partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "de")
+    plan = spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "lang" in seg  # the filter prunes directories, not rows
+    assert back.count() == 100
