@@ -33,6 +33,11 @@ HEADLINE = [
     "dedup_shingle_minhash_md5",
     "ann_cosine_topk",
     "j_range_join_ship_window",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "text_token_stats_by_lang",
+    "lang_id_confusion",
+    "f6_json_props_extract",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
