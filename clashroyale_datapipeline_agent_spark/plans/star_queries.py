@@ -751,3 +751,79 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "u_set_ops_except_intersect",
+    """
+    SELECT 'active_only' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'both', CAST(COUNT(*) AS BIGINT) FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def u_set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation headroom beyond the reference's union-only surface
+    (SURVEY §2.7): EXCEPT/INTERSECT plan as aggregated anti/semi joins."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    only = c.exceptAll(o).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.lit("active_only").alias("bucket"), "n")
+    both = c.intersect(o).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.lit("both").alias("bucket"), "n")
+    return only.unionByName(both)
+
+
+@register(
+    "a_rollup_hierarchy",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets headroom (SURVEY §2.4 note): one scan produces the
+    full hierarchy (flag+status, flag, grand total) — no separate passes."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register("a_approx_count_distinct", None)  # rows-only: HLL sketches differ per engine
+def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregate headroom: HLL++ distinct counts per segment.
+    No oracle — sketch estimates are engine-specific by construction; the
+    pytest-side check bounds the relative error against exact counts."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("c_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("c_custkey").alias("exact_customers"),
+    )

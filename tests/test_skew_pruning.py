@@ -52,3 +52,17 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     seg = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "lang" in seg  # the filter prunes directories, not rows
     assert back.count() == 100
+
+
+def test_approx_count_distinct_error_bound(spark):
+    from clashroyale_datapipeline_agent_spark.plans.star_queries import (
+        a_approx_count_distinct,
+    )
+
+    rows = a_approx_count_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_customers"] - r["exact_customers"]) / max(
+            r["exact_customers"], 1
+        )
+        assert rel <= 0.10  # 2% target rsd, wide margin
