@@ -112,3 +112,53 @@ def test_accumulate_availablenow(spark, tmp_path, event_rows):
     q2 = accumulate_stream_to_parquet(stream2, sink, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 200
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode tumbling agg with a short watermark: a second batch
+    containing an event far older than the advanced watermark must not
+    resurrect its (already finalized) window."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    early = [
+        {"event_id": 1, "ts": "2024-01-01T00:05:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T06:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+    ]
+    _write_batch(src, early, "b0")
+
+    ckpt = str(tmp_path / "late_ckpt")
+    sink = str(tmp_path / "late_out")
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        out = tumbling_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (str(r["window_start"]), r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    first = run_once()
+    # watermark advanced to 05:00; the 00:00 window is finalized and emitted
+    assert (("2024-01-01 00:00:00", "click")) in first
+
+    # a very late event for the finalized 00:00 window arrives
+    _write_batch(
+        src,
+        [{"event_id": 3, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+        "b1",
+    )
+    second = run_once()
+    # the finalized window's count must NOT change (late row dropped)
+    assert second[("2024-01-01 00:00:00", "click")] == 1
