@@ -162,3 +162,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     second = run_once()
     # the finalized window's count must NOT change (late row dropped)
     assert second[("2024-01-01 00:00:00", "click")] == 1
+
+
+def test_incremental_counters_match_full_recompute(spark, tmp_path):
+    """foreachBatch incremental counter maintenance == full recompute."""
+    import json as _json
+
+    from clashroyale_datapipeline_agent_spark.fixtures import generate_raw_battles
+    from clashroyale_datapipeline_agent_spark.operators.normalize import (
+        filter_and_normalize_ranked_1v1,
+    )
+    from clashroyale_datapipeline_agent_spark import schemas
+    from clashroyale_datapipeline_agent_spark.streaming.incremental import (
+        IncrementalCounterStore,
+        participant_counter_deltas,
+        start_incremental_meta_counters,
+    )
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+
+    def land(name: str, seed: int):
+        raws = generate_raw_battles(n_players=3, battles_per_player=15, seed=seed)
+        with open(src / name, "w") as f:
+            for b in raws:
+                f.write(_json.dumps(b) + "\n")
+
+    land("b0.jsonl", 1)
+    store = IncrementalCounterStore(spark, str(tmp_path / "state"))
+    ckpt = str(tmp_path / "inc_ckpt")
+
+    def run_once():
+        raw_stream = spark.readStream.schema(schemas.RAW_BATTLE).json(str(src))
+        normalized = filter_and_normalize_ranked_1v1(raw_stream)
+        q = start_incremental_meta_counters(normalized, store, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    land("b1.jsonl", 2)
+    run_once()
+
+    # ground truth: full recompute over ALL landed data (batch)
+    raw_all = spark.read.schema(schemas.RAW_BATTLE).json(str(src))
+    want = {
+        r["deck_type"]: (r["games"], r["wins"], r["losses"], r["draws"])
+        for r in participant_counter_deltas(
+            filter_and_normalize_ranked_1v1(raw_all)
+        ).collect()
+    }
+    got = {
+        r["deck_type"]: (r["games"], r["wins"], r["losses"], r["draws"])
+        for r in store.read().collect()
+    }
+    assert got == want and sum(v[0] for v in got.values()) > 0
