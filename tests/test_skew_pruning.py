@@ -66,3 +66,35 @@ def test_approx_count_distinct_error_bound(spark):
             r["exact_customers"], 1
         )
         assert rel <= 0.10  # 2% target rsd, wide margin
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """SCALE.md claim: co-bucketed tables join without any Exchange."""
+    import re
+
+    from clashroyale_datapipeline_agent_spark.sources.sinks import (
+        write_bucketed_table,
+    )
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed_table(left, "t_left", bucket_by=["k"], num_buckets=8, sort_by=["k"])
+    write_bucketed_table(right, "t_right", bucket_by=["k"], num_buckets=8, sort_by=["k"])
+    try:
+        joined = (
+            spark.table("t_left")
+            .hint("merge")  # force SMJ so broadcast doesn't mask bucketing
+            .join(spark.table("t_right"), "k")
+        )
+        plan = spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
