@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from clashroyale_datapipeline_agent_spark.functions.cards import (
     classify_deck_col,
 )
-from clashroyale_datapipeline_agent_spark.functions.common import flip_result
 from clashroyale_datapipeline_agent_spark.operators.battle_aggs import counter_aggs
 from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
 from clashroyale_datapipeline_agent_spark.sources.readers import (

@@ -11,7 +11,6 @@ from clashroyale_datapipeline_agent_spark.operators import battle_aggs as ba
 from clashroyale_datapipeline_agent_spark.operators.normalize import (
     filter_and_normalize_ranked_1v1,
 )
-from clashroyale_datapipeline_agent_spark import schemas
 
 from tests import domain_oracle as oracle
 

@@ -4,8 +4,6 @@ into a shuffle join or blocks pushdown, these fail."""
 
 from __future__ import annotations
 
-import pytest
-
 from clashroyale_datapipeline_agent_spark.plans import star_queries as SQ
 
 
