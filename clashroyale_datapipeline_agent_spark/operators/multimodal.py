@@ -93,9 +93,15 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
     n_frames = F.coalesce(
         F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
     )
-    return assets.select(
-        "asset_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
-        ).alias("frame_idx"),
+    # Frameless assets (n_frames <= 0 or missing meta) contribute NO rows —
+    # without the filter, sequence(0, greatest(-1, 0)) would fabricate a
+    # phantom frame_idx 0 for them.
+    return (
+        assets.where(n_frames > 0)
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
     )

@@ -61,7 +61,17 @@ def salted_join(
     exploded ``salt``× with every salt value, so (key, salt) pairs match
     exactly once. Network cost: small side × salt (bounded by construction);
     win: the hot key's rows spread over ``salt`` reducers instead of one.
+
+    Only ``inner`` and ``left`` are supported: for right/full outer joins
+    every *unmatched* small-side row survives once per replica, multiplying
+    unmatched rows ``salt``× in the output.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full outer would emit each unmatched small-side row "
+            f"{salt} times (one per salt replica)"
+        )
     big_s = big.withColumn("_salt", (F.rand() * salt).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

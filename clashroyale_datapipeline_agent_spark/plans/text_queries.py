@@ -385,7 +385,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle by user_id serves both windows and the final agg."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Fractional epoch seconds on BOTH engines (DuckDB oracle uses epoch(),
+    # which is fractional): cast('long') would truncate to whole seconds and
+    # mis-classify a true gap in (1800s, 1801s) relative to the oracle and
+    # the full-precision streaming session_window twin.
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     marked = e.select(
         "user_id",
         "ts",

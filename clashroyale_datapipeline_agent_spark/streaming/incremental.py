@@ -6,9 +6,9 @@ Each micro-batch contributes per-archetype counter DELTAS (a few rows);
 the merge reads the previous compact state, sums, and writes a new
 version — O(|archetypes|) work per batch regardless of history size. With
 Delta/Iceberg the versioning collapses to a MERGE INTO; on plain parquet we
-keep an explicit version chain (write-new-then-repoint, crash-safe: an
-interrupted batch leaves the old version current, and foreachBatch replays
-the batch id).
+keep an explicit version chain (write-new → marker-commit → repoint; the
+marker is the commit point, so a crash at any step either replays the merge
+against the old version or completes the repoint — never double-applies).
 """
 
 from __future__ import annotations
@@ -45,12 +45,22 @@ class IncrementalCounterStore:
         )
 
     def merge_deltas(self, deltas: DataFrame, batch_id: int) -> None:
-        """Sum deltas into the state; idempotent per batch_id (replays
-        after a crash observe the recorded high-water mark and skip)."""
+        """Sum deltas into the state; idempotent per batch_id.
+
+        The *marker* (recording the target version) is the commit point,
+        written BEFORE the ``_VERSION`` repoint. Crash cases on replay:
+        data written but no marker → old version still current, the merge
+        recomputes and overwrites; marker written but ``_VERSION`` stale →
+        the replay completes the repoint and skips the merge. Either way
+        deltas apply exactly once.
+        """
         applied = self.root / "_applied"
         applied.mkdir(exist_ok=True)
         marker = applied / str(batch_id)
         if marker.exists():
+            committed = int(marker.read_text())
+            if self.current_version() < committed:
+                self._version_file().write_text(str(committed))
             return
         merged = (
             self.read()
@@ -65,8 +75,8 @@ class IncrementalCounterStore:
         )
         nxt = self.current_version() + 1
         merged.write.mode("overwrite").parquet(str(self.root / f"v{nxt}"))
+        marker.write_text(str(nxt))
         self._version_file().write_text(str(nxt))
-        marker.touch()
 
 
 def participant_counter_deltas(battles: DataFrame) -> DataFrame:

@@ -192,4 +192,6 @@ def test_frame_sample_plan(assets):
     for r in frames:
         by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
     assert by_asset[3] == [0, 30, 60, 90]
-    assert by_asset[1] == [0]  # no n_frames meta -> single frame 0
+    # frameless assets (no n_frames meta) contribute no rows — a fabricated
+    # frame_idx 0 here was an ADVICE.md round-1 finding
+    assert set(by_asset) == {3}

@@ -38,6 +38,21 @@ def test_salted_join_matches_plain_join(spark):
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
 
 
+def test_salted_join_rejects_outer(spark):
+    """Right/full outer would replicate unmatched small-side rows salt×
+    (ADVICE.md round-1 finding) — the API refuses them outright."""
+    import pytest
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.createDataFrame([(0, "a")], "k long, label string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(big, small, "k", salt=4, how=how)
+    # left is allowed: unmatched BIG rows survive exactly once
+    left = salted_join(big, small, "k", salt=4, how="left")
+    assert left.count() == 10
+
+
 def test_partition_pruning_reaches_scan(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, ["en", "de", "fr"][i % 3]) for i in range(300)], "id long, lang string"

@@ -215,3 +215,28 @@ def test_incremental_counters_match_full_recompute(spark, tmp_path):
         for r in store.read().collect()
     }
     assert got == want and sum(v[0] for v in got.values()) > 0
+
+
+def test_merge_deltas_marker_is_commit_point(spark, tmp_path):
+    """Replay after a crash between marker write and _VERSION repoint must
+    complete the repoint and NOT re-apply the deltas (ADVICE.md round-1:
+    the old code repointed first, so that crash window double-counted)."""
+    from clashroyale_datapipeline_agent_spark.streaming.incremental import (
+        IncrementalCounterStore,
+    )
+
+    store = IncrementalCounterStore(spark, str(tmp_path / "state"))
+    deltas = spark.createDataFrame(
+        [("Cycle", 10, 6, 3, 1)],
+        "deck_type string, games bigint, wins bigint, losses bigint, draws bigint",
+    )
+    store.merge_deltas(deltas, batch_id=0)
+    committed = store.current_version()
+
+    # simulate the crash window: marker for batch 0 exists, _VERSION stale
+    (store.root / "_VERSION").write_text(str(committed - 1))
+    store.merge_deltas(deltas, batch_id=0)  # replay
+
+    assert store.current_version() == committed  # repoint completed
+    row = {r["deck_type"]: r["games"] for r in store.read().collect()}
+    assert row == {"Cycle": 10}  # applied exactly once, not doubled
