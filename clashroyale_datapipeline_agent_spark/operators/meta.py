@@ -91,6 +91,20 @@ def compute_symmetric_matchups(battles: DataFrame) -> DataFrame:
     )
 
 
+def exclude_mirror_matchups(
+    matchups: DataFrame,
+    attacker_col: str = "deck_type",
+    defender_col: str = "opp_type",
+) -> DataFrame:
+    """P8 — drop mirror matchups (attacker == defender).
+
+    Parity: ``meta_workflow.py:127-137`` (the reference excludes mirrors
+    from the per-archetype plot series; totals keep them). A pure filter —
+    pushes straight into whatever produced the matrix.
+    """
+    return matchups.filter(F.col(attacker_col) != F.col(defender_col))
+
+
 def compute_deck_type_counts(battles: DataFrame, side: str) -> DataFrame:
     """A8 — archetype value_counts for one side with zero-backfill of all six
     archetypes (``meta_analytics.py:186-197``).

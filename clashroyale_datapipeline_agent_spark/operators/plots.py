@@ -105,8 +105,12 @@ def generate_meta_plots(
             out_dir=out_dir, name="Meta share",
         ),
     }
-    no_mirror = matchup_summary.filter(
-        F.col("attacker_type") != F.col("defender_type")
+    from clashroyale_datapipeline_agent_spark.operators.meta import (
+        exclude_mirror_matchups,
+    )
+
+    no_mirror = exclude_mirror_matchups(
+        matchup_summary, "attacker_type", "defender_type"
     )
     for row in matchup_summary.select("attacker_type").distinct().collect():
         t = row["attacker_type"]

@@ -57,11 +57,18 @@ def _deck_col(key, mult: int, offset: int):
 
 def _spread(df):
     """Classification is compute-heavy per row; a single small parquet file
-    arrives as ONE partition locally, serializing the whole query. Spread to
-    the session's parallelism first — at cluster scale inputs are already
-    multi-partition and AQE coalesces, so this is a no-op there; on one file
-    it buys full-core classify throughput for a trivial row shuffle."""
+    arrives as ONE input split locally (a file with one row group is
+    unsplittable regardless of ``maxPartitionBytes``), serializing the whole
+    query on one core. GUARDED repartition: only when the scan yields fewer
+    than half the session's cores do we pay one round-robin exchange of the
+    (narrow, pre-projection) fact rows to unlock full-core classify
+    throughput. At cluster scale a fact scan arrives with thousands of
+    splits, the guard is false, and NO exchange is inserted — the round-1
+    version repartitioned unconditionally, a gratuitous full-table shuffle
+    at 100 TB (VERDICT.md round-1 finding)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
     return df.repartition(target)
 
 def _result_col():
@@ -445,4 +452,481 @@ def cr_user_deck_summary_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("draws").cast("bigint"),
         F.round("win_rate", 4).alias("win_rate"),
         "sample_ok",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: oracle coverage for the operators that were pytest-only
+# in round 1 (VERDICT.md "Next round" #1) — J6, A15, P8, P11, and
+# order-sensitive variants of O2-O5 (each ordering wrapped in a LIMIT so the
+# driver's order-insensitive hash checks the SORT through the selected set).
+# ---------------------------------------------------------------------------
+
+
+def _battles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared derived battle table: deck(7,0) vs deck(11,5) + result."""
+    o = _spread(_t(spark, sf_dir, "orders"))
+    return o.select(
+        _deck_col(F.col("o_orderkey"), 7, 0).alias("my_cards"),
+        _deck_col(F.col("o_orderkey"), 11, 5).alias("opp_cards"),
+        _result_col().alias("result"),
+    )
+
+
+_RESULT_SQL = """CASE WHEN o.o_orderstatus = 'F' THEN 'win'
+                    WHEN o.o_orderstatus = 'O' THEN 'loss'
+                    ELSE 'draw' END"""
+
+#: opponent-deck stats CTE chain shared by the J6/O5 oracles
+_J6_STATS_SQL = f"""
+    opp_rel AS ({{opp_rel}}),
+    decks AS (
+        SELECT o_orderkey,
+               md5(array_to_string(list_sort(list(name)), '|')) AS deck_key
+        FROM opp_rel GROUP BY o_orderkey
+    ),
+    battles AS (
+        SELECT d.deck_key, {_RESULT_SQL} AS result
+        FROM decks d JOIN orders o ON d.o_orderkey = o.o_orderkey
+    ),
+    stats AS (
+        SELECT deck_key,
+               COUNT(*) AS games,
+               SUM(CASE WHEN result = 'win'  THEN 1 ELSE 0 END) AS wins,
+               SUM(CASE WHEN result = 'loss' THEN 1 ELSE 0 END) AS losses,
+               SUM(CASE WHEN result NOT IN ('win','loss') THEN 1 ELSE 0 END) AS draws,
+               SUM(CASE WHEN result = 'win' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS wr
+        FROM battles GROUP BY deck_key
+    ),
+    overall AS (
+        SELECT SUM(CASE WHEN result = 'win' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS owr
+        FROM battles
+    )
+"""
+
+
+def _j6_shape(df: DataFrame, role: str) -> DataFrame:
+    return df.select(
+        F.lit(role).alias("role"),
+        F.md5(F.concat_ws("|", "deck")).alias("deck_key"),
+        F.col("games").cast("bigint").alias("games"),
+        F.col("wins").cast("bigint").alias("wins"),
+        F.col("losses").cast("bigint").alias("losses"),
+        F.col("draws").cast("bigint").alias("draws"),
+        F.round("win_rate", 4).alias("win_rate"),
+    )
+
+
+def _overall_win_rate(battles: DataFrame) -> float:
+    """Driver-boundary scalar, as in the reference (the user summary feeds
+    the tough/easy thresholds). Plain int division in Python — bit-identical
+    to the engines' double division on the same exact integers."""
+    row = battles.agg(
+        F.sum(F.when(F.col("result") == "win", 1).otherwise(0)).alias("w"),
+        F.count(F.lit(1)).alias("g"),
+    ).collect()[0]
+    return (row["w"] / row["g"]) if row["g"] else 0.0
+
+
+@register(
+    "cr_j6_tough_easy_split",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    {_J6_STATS_SQL.format(opp_rel=_decks_sql(11, 5, 'opp'))}
+    SELECT 'tough' AS role, deck_key,
+           CAST(games AS BIGINT) AS games, CAST(wins AS BIGINT) AS wins,
+           CAST(losses AS BIGINT) AS losses, CAST(draws AS BIGINT) AS draws,
+           ROUND(wr, 4) AS win_rate
+    FROM stats, overall WHERE wr <= owr
+    UNION ALL
+    SELECT 'easy' AS role, deck_key,
+           CAST(games AS BIGINT), CAST(wins AS BIGINT),
+           CAST(losses AS BIGINT), CAST(draws AS BIGINT),
+           ROUND(wr, 4)
+    FROM stats, overall WHERE wr >= owr
+    """,
+)
+def cr_j6_tough_easy_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 cross-engine: the production ``compute_user_deck_matchups`` —
+    per-opponent-deck stats, two INDEPENDENT threshold filters against the
+    overall win rate (a deck whose WR equals the overall WR lands in BOTH
+    lists — the reference quirk, ``user_analytics.py:99-175``). Deck key is
+    md5-of-sorted-names for engine comparability."""
+    from clashroyale_datapipeline_agent_spark.operators.battle_aggs import (
+        compute_user_deck_matchups,
+    )
+
+    battles = _battles(spark, sf_dir)
+    overall = _overall_win_rate(battles)
+    tough, easy = compute_user_deck_matchups(battles, overall, min_games=1)
+    return _j6_shape(tough, "tough").unionByName(_j6_shape(easy, "easy"))
+
+
+@register(
+    "o5_tough_order_topk",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    {_J6_STATS_SQL.format(opp_rel=_decks_sql(11, 5, 'opp'))}
+    SELECT deck_key,
+           CAST(games AS BIGINT) AS games, CAST(wins AS BIGINT) AS wins,
+           CAST(losses AS BIGINT) AS losses, CAST(draws AS BIGINT) AS draws,
+           ROUND(wr, 4) AS win_rate
+    FROM stats, overall
+    WHERE wr <= owr
+    ORDER BY ROUND(wr, 4) ASC, games ASC, deck_key ASC
+    LIMIT 8
+    """,
+)
+def o5_tough_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 under a LIMIT: the tough list's ascending (win_rate, games) order
+    decides which rows survive, so the hash checks the sort. Tiebreak is the
+    md5 deck key (engine-comparable stand-in for the reference's
+    insertion-order-stable Python sort — SURVEY.md §7.4 risk #3)."""
+    from clashroyale_datapipeline_agent_spark.operators.battle_aggs import (
+        compute_user_deck_matchups,
+    )
+
+    battles = _battles(spark, sf_dir)
+    overall = _overall_win_rate(battles)
+    tough, _ = compute_user_deck_matchups(battles, overall, min_games=1)
+    return (
+        _j6_shape(tough, "tough")
+        .drop("role")
+        .orderBy(F.asc("win_rate"), F.asc("games"), F.asc("deck_key"))
+        .limit(8)
+    )
+
+
+@register(
+    "cr_a15_combined_type_counts",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_rel')}),
+    opp_types AS ({_classify_sql('opp_rel')}),
+    all_types AS (
+        SELECT deck_type FROM my_types
+        UNION ALL
+        SELECT deck_type FROM opp_types
+    ),
+    counts AS (SELECT deck_type, COUNT(*) AS c FROM all_types GROUP BY deck_type),
+    archetypes(deck_type) AS (
+        VALUES ('Siege'), ('Bait'), ('Cycle'), ('Bridge Spam'), ('Beatdown'), ('Hybrid')
+    )
+    SELECT LOWER(a.deck_type) AS deck_type,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
+    FROM archetypes a LEFT JOIN counts c ON a.deck_type = c.deck_type
+    """,
+)
+def cr_a15_combined_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 cross-engine: production ``compute_deck_type_counts`` per side
+    (zero-backfilled over all six archetypes) summed by LOWERCASED archetype
+    via ``combined_type_counts`` — the Phase-0 stopping check's view
+    (``meta_workflow.py:401-415``)."""
+    from clashroyale_datapipeline_agent_spark.operators.meta import (
+        combined_type_counts,
+        compute_deck_type_counts,
+    )
+
+    battles = _battles(spark, sf_dir)
+    my_c = compute_deck_type_counts(battles, "my")
+    opp_c = compute_deck_type_counts(battles, "opp")
+    out = combined_type_counts(my_c, opp_c)
+    return out.select("deck_type", F.col("cnt").cast("bigint").alias("cnt"))
+
+
+@register(
+    "cr_p8_mirror_exclusion",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_cards_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_cards_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_cards_rel')}),
+    opp_types AS ({_classify_sql('opp_cards_rel')}),
+    battles AS (
+        SELECT m.deck_type AS my_type, p.deck_type AS opp_type,
+               {_RESULT_SQL} AS result
+        FROM orders o
+        JOIN my_types m  ON m.o_orderkey = o.o_orderkey
+        JOIN opp_types p ON p.o_orderkey = o.o_orderkey
+    ),
+    doubled AS (
+        SELECT my_type AS deck_type, opp_type, result FROM battles
+        UNION ALL
+        SELECT opp_type AS deck_type, my_type AS opp_type,
+               CASE WHEN result = 'win' THEN 'loss'
+                    WHEN result = 'loss' THEN 'win' ELSE result END AS result
+        FROM battles
+    )
+    SELECT deck_type, opp_type,
+           CAST(COUNT(*) AS BIGINT) AS games,
+           CAST(SUM(CASE WHEN result = 'win'  THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+           ROUND(SUM(CASE WHEN result = 'win' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS win_rate
+    FROM doubled
+    WHERE deck_type <> opp_type
+    GROUP BY deck_type, opp_type
+    """,
+)
+def cr_p8_mirror_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 cross-engine: the production ``exclude_mirror_matchups`` filter
+    over the production symmetric matrix — mirrors dropped from the plot
+    view while totals keep them (``meta_workflow.py:127-137``)."""
+    from clashroyale_datapipeline_agent_spark.operators.meta import (
+        compute_symmetric_matchups,
+        exclude_mirror_matchups,
+    )
+
+    battles = _battles(spark, sf_dir)
+    out = exclude_mirror_matchups(compute_symmetric_matchups(battles))
+    return out.select(
+        "deck_type",
+        "opp_type",
+        F.col("games").cast("bigint").alias("games"),
+        F.col("wins").cast("bigint").alias("wins"),
+        F.round("win_rate", 4).alias("win_rate"),
+    )
+
+
+@register(
+    "p11_alias_reconciliation",
+    """
+    SELECT o_orderkey,
+           COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN 'cycle' END,
+                    CASE WHEN o_orderkey % 2 = 0 THEN 'siege' ELSE 'hybrid' END)
+               AS deck_type,
+           'c' || CAST(o_orderkey % 5 AS VARCHAR) AS card
+    FROM orders o
+    """,
+)
+def p11_alias_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 cross-engine: production ``reconcile_column_aliases`` — accept any
+    of several candidate columns for a target (``deck_type | type |
+    my_deck_type``; ``card | card_name``), coalescing whichever exist and
+    dropping the aliases (``user_workflow.py:46-74``)."""
+    from clashroyale_datapipeline_agent_spark.operators.llm_tables import (
+        reconcile_column_aliases,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("cycle")).alias("type"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("siege"))
+        .otherwise(F.lit("hybrid"))
+        .alias("my_deck_type"),
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "card_name"
+        ),
+    )
+    df = reconcile_column_aliases(df, "deck_type", ["deck_type", "type", "my_deck_type"])
+    df = reconcile_column_aliases(df, "card", ["card", "card_name"])
+    return df.select("o_orderkey", "deck_type", "card")
+
+
+@register(
+    "o2_worst_first_topk",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_rel AS ({_decks_sql(7, 0, 'my')}),
+    card_rows AS (
+        SELECT d.name AS card, {_RESULT_SQL} AS result
+        FROM my_rel d JOIN orders o ON d.o_orderkey = o.o_orderkey
+    ),
+    stats AS (
+        SELECT card,
+               COUNT(*) AS games,
+               SUM(CASE WHEN result = 'win'  THEN 1 ELSE 0 END) AS wins,
+               SUM(CASE WHEN result = 'loss' THEN 1 ELSE 0 END) AS losses,
+               SUM(CASE WHEN result NOT IN ('win','loss') THEN 1 ELSE 0 END) AS draws,
+               SUM(CASE WHEN result = 'win' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS wr
+        FROM card_rows GROUP BY card HAVING COUNT(*) >= 3
+    )
+    SELECT card, CAST(games AS BIGINT) AS games, CAST(wins AS BIGINT) AS wins,
+           CAST(losses AS BIGINT) AS losses, CAST(draws AS BIGINT) AS draws,
+           ROUND(wr, 4) AS win_rate
+    FROM stats
+    ORDER BY wr ASC, games ASC, card DESC
+    LIMIT 15
+    """,
+)
+def o2_worst_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 under a LIMIT: production ``compute_card_performance`` (A2
+    explode + counter agg + HAVING) ordered by the production
+    ``order_worst_first`` (the reference's ``reversed(desc)`` dual =
+    ascending with desc-key tiebreak); the LIMIT makes the hash
+    order-sensitive."""
+    from clashroyale_datapipeline_agent_spark.operators.battle_aggs import (
+        compute_card_performance,
+        order_worst_first,
+    )
+
+    battles = _battles(spark, sf_dir).select("my_cards", "result")
+    stats = compute_card_performance(battles, "my_cards", min_games=3)
+    out = order_worst_first(stats).limit(15)
+    return out.select(
+        "card",
+        F.col("games").cast("bigint").alias("games"),
+        F.col("wins").cast("bigint").alias("wins"),
+        F.col("losses").cast("bigint").alias("losses"),
+        F.col("draws").cast("bigint").alias("draws"),
+        F.round("win_rate", 4).alias("win_rate"),
+    )
+
+
+@register(
+    "o3_meta_summary_order",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_rel')}),
+    opp_types AS ({_classify_sql('opp_rel')}),
+    labeled AS (
+        SELECT m.deck_type AS my_type, p.deck_type AS opp_type,
+               {_RESULT_SQL} AS result
+        FROM orders o
+        JOIN my_types m  ON m.o_orderkey = o.o_orderkey
+        JOIN opp_types p ON p.o_orderkey = o.o_orderkey
+    ),
+    participants AS (
+        SELECT my_type AS deck_type, result FROM labeled
+        UNION ALL
+        SELECT opp_type AS deck_type,
+               CASE WHEN result = 'win' THEN 'loss'
+                    WHEN result = 'loss' THEN 'win' ELSE result END AS result
+        FROM labeled
+    ),
+    agg AS (
+        SELECT deck_type,
+               COUNT(*) AS games,
+               SUM(CASE WHEN result = 'win'  THEN 1 ELSE 0 END) AS wins,
+               SUM(CASE WHEN result = 'loss' THEN 1 ELSE 0 END) AS losses,
+               SUM(CASE WHEN result = 'draw' THEN 1 ELSE 0 END) AS draws
+        FROM participants GROUP BY deck_type
+    )
+    SELECT deck_type,
+           CAST(games AS BIGINT) AS games,
+           ROUND(games * 1.0 / SUM(games) OVER (), 4) AS meta_share,
+           CAST(wins AS BIGINT) AS wins,
+           CAST(losses AS BIGINT) AS losses,
+           CAST(draws AS BIGINT) AS draws,
+           ROUND(wins * 1.0 / games, 4) AS win_rate,
+           games >= 50 AS sample_ok
+    FROM agg
+    ORDER BY games DESC, deck_type ASC
+    LIMIT 4
+    """,
+)
+def o3_meta_summary_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 under a LIMIT + A10 direct oracle: production
+    ``build_participant_table`` (A9 POV doubling) into
+    ``build_meta_deck_summary`` (games-desc ordering, share window,
+    sample_ok); the LIMIT makes the games-desc order decide the
+    surviving archetypes."""
+    from clashroyale_datapipeline_agent_spark.operators.meta import (
+        build_meta_deck_summary,
+        build_participant_table,
+    )
+
+    o = _spread(_t(spark, sf_dir, "orders"))
+    battles = o.select(
+        F.col("o_orderdate").alias("battle_time"),
+        F.concat(F.lit("#P"), F.col("o_custkey").cast("string")).alias("player_tag"),
+        _deck_col(F.col("o_orderkey"), 7, 0).alias("my_cards"),
+        _deck_col(F.col("o_orderkey"), 11, 5).alias("opp_cards"),
+        _result_col().alias("result"),
+        F.lit("Ranked1v1").alias("mode_name"),
+    )
+    parts = build_participant_table(battles)
+    out = build_meta_deck_summary(parts, min_games_per_type=50).limit(4)
+    return out.select(
+        "deck_type",
+        F.col("games").cast("bigint").alias("games"),
+        F.round("meta_share", 4).alias("meta_share"),
+        F.col("wins").cast("bigint").alias("wins"),
+        F.col("losses").cast("bigint").alias("losses"),
+        F.col("draws").cast("bigint").alias("draws"),
+        F.round("win_rate", 4).alias("win_rate"),
+        "sample_ok",
+    )
+
+
+@register(
+    "o4_matchup_order_topk",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_cards_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_cards_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_cards_rel')}),
+    opp_types AS ({_classify_sql('opp_cards_rel')}),
+    matchups AS (
+        SELECT m.deck_type AS my_deck_type, p.deck_type AS opp_deck_type,
+               {_RESULT_SQL} AS result
+        FROM orders o
+        JOIN my_types m  ON m.o_orderkey = o.o_orderkey
+        JOIN opp_types p ON p.o_orderkey = o.o_orderkey
+    ),
+    agg AS (
+        SELECT my_deck_type, opp_deck_type,
+               COUNT(*) AS games,
+               SUM(CASE WHEN result = 'win'  THEN 1 ELSE 0 END) AS wins,
+               SUM(CASE WHEN result = 'loss' THEN 1 ELSE 0 END) AS losses,
+               SUM(CASE WHEN result NOT IN ('win','loss') THEN 1 ELSE 0 END) AS draws,
+               SUM(CASE WHEN result = 'win' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS wr
+        FROM matchups
+        GROUP BY my_deck_type, opp_deck_type
+        HAVING COUNT(*) >= 1
+    )
+    SELECT my_deck_type, opp_deck_type,
+           CAST(games AS BIGINT) AS games, CAST(wins AS BIGINT) AS wins,
+           CAST(losses AS BIGINT) AS losses, CAST(draws AS BIGINT) AS draws,
+           ROUND(wr, 4) AS win_rate
+    FROM agg
+    ORDER BY games DESC, wr DESC, my_deck_type ASC, opp_deck_type ASC
+    LIMIT 10
+    """,
+)
+def o4_matchup_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 under a LIMIT: production ``order_matchups`` — (games, win_rate)
+    desc with key tiebreaks (``user_analytics.py:94-96``) over the
+    production A6 matrix; the LIMIT makes the order decide the set."""
+    from clashroyale_datapipeline_agent_spark.operators.battle_aggs import (
+        compute_deck_type_matchups,
+        order_matchups,
+        with_deck_types,
+    )
+
+    battles = _battles(spark, sf_dir)
+    mm = compute_deck_type_matchups(with_deck_types(battles), min_games=1)
+    out = order_matchups(mm).limit(10)
+    return out.select(
+        "my_deck_type",
+        "opp_deck_type",
+        F.col("games").cast("bigint").alias("games"),
+        F.col("wins").cast("bigint").alias("wins"),
+        F.col("losses").cast("bigint").alias("losses"),
+        F.col("draws").cast("bigint").alias("draws"),
+        F.round("win_rate", 4).alias("win_rate"),
     )
