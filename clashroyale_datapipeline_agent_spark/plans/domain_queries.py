@@ -930,3 +930,50 @@ def o4_matchup_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("draws").cast("bigint").alias("draws"),
         F.round("win_rate", 4).alias("win_rate"),
     )
+
+
+@register(
+    "j2_elixir_backfill",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    raw AS (
+        SELECT name,
+               CASE WHEN idx % 7 = 0 THEN NULL ELSE (idx % 9) + 1 END AS elixirCost
+        FROM cards WHERE idx % 3 <> 0
+    )
+    SELECT c.name,
+           CAST(CASE WHEN r.name IS NOT NULL THEN r.elixirCost ELSE c.elixir END
+                AS BIGINT) AS elixir,
+           CASE WHEN r.name IS NOT NULL THEN 'updated' ELSE 'missing' END
+               AS backfill_status
+    FROM cards c LEFT JOIN raw r ON c.name = r.name
+    """,
+)
+def j2_elixir_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 cross-engine: the production ``backfill_elixir`` dimension refresh
+    (``update_cardsdata.py:36-52`` parity) against a derived raw dump that
+    exercises all three paths — matched-with-value, matched-with-NULL (the
+    verbatim overwrite, NOT coalesce), and missing (keeps old elixir)."""
+    from clashroyale_datapipeline_agent_spark.operators.dim_maintenance import (
+        backfill_elixir,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        load_card_metadata,
+    )
+
+    meta = load_card_metadata(spark)
+    raw_rows = [
+        (r["name"], None if i % 7 == 0 else (i % 9) + 1)
+        for i, r in enumerate(_ROWS)
+        if i % 3 != 0
+    ]
+    raw = spark.createDataFrame(raw_rows, "name string, elixirCost int")
+    out = backfill_elixir(meta, raw)
+    return out.select(
+        "name",
+        F.col("elixir").cast("bigint").alias("elixir"),
+        "backfill_status",
+    )
