@@ -19,6 +19,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 CATEGORIES = ["user", "matchup", "meta", "card", "other"]
 
@@ -146,6 +147,56 @@ def prep_context(
     return out
 
 
+def render_context_lines(
+    route: str,
+    needs: list[str],
+    user_tables: dict[str, DataFrame],
+    *,
+    deck_rows_limit: int = 5,
+) -> str:
+    """F7 — formatted, human-readable context lines rendered ENGINE-SIDE.
+
+    Parity: ``phase2_qna_workflow.py:68-86`` — ``"{metric}: {value}"`` lines
+    for the user summary and ``"- {deck_type}: {wins}/{games} wins
+    ({win_rate:.2f})"`` for the top deck rows, with the empty-table fallback
+    sentence. The f-strings become ``F.format_string`` expressions (JVM
+    codegen), so only the final rendered strings cross the driver boundary —
+    at scale the limit prunes before formatting, and nothing re-renders
+    driver-side.
+
+    Display nuance: ``%.2f`` rounds HALF_UP in the JVM while Python's
+    f-string rounds half-even, so a win_rate landing exactly on a 2dp
+    half-boundary (e.g. 0.625) can differ in the last digit. Display-only.
+    """
+    lines: list[str] = []
+    if route == "user" and "USER_SUMMARY" in needs:
+        rendered = user_tables["user_summary"].select(
+            F.format_string("%s: %s", "metric", "value").alias("line")
+        )
+        lines.extend(r["line"] for r in rendered.collect())
+    if route == "user" and "USER_DECK_SUMMARY" in needs:
+        deck = (
+            user_tables["user_deck_summary"]
+            .limit(deck_rows_limit)
+            .select(
+                F.format_string(
+                    "- %s: %d/%d wins (%.2f)",
+                    F.col("deck_type"),
+                    F.col("wins").cast("long"),
+                    F.col("games").cast("long"),
+                    F.col("win_rate").cast("double"),
+                ).alias("line")
+            )
+        )
+        rows = deck.collect()
+        if rows:
+            lines.append("\nYour deck performance:")
+            lines.extend(r["line"] for r in rows)
+        else:
+            lines.append("\nNo deck statistics found for this user.")
+    return "\n".join(lines)
+
+
 def serialize_context(tables: dict[str, DataFrame], char_cap: int = CONTEXT_CHAR_CAP) -> str:
     """Driver-boundary sink: tables -> JSON, truncated to the reference's
     4,000-char cap (``:392-398``). The only place rows are collected."""
@@ -170,7 +221,10 @@ def answer_question(
     route = route_by_category(c)
     ok, warning = enough_data(games_played, c.category)
     tables = prep_context(route, c.data_needs, user_tables, meta_tables)
+    context_text = render_context_lines(route, c.data_needs, user_tables)
     context = serialize_context(tables)
+    if context_text:
+        context = context_text + "\n" + context
     if warning:
         context = warning + "\n" + context
     return {
@@ -180,5 +234,6 @@ def answer_question(
         "has_enough_data": ok,
         "low_data_warning": warning,
         "context_tables": sorted(tables),
+        "context_text": context_text,
         "answer": answer(question, context),
     }

@@ -185,3 +185,155 @@ def test_full_qna_flow_offline(catalog):
     assert state["has_enough_data"]
     # context cap honored
     assert int(state["answer"].split(":")[1]) <= qr.CONTEXT_CHAR_CAP
+
+
+# ---------------------------------------------------------------------------
+# Phase-2 coach loop (parity: phase2_qna_workflow.py:474-685)
+# ---------------------------------------------------------------------------
+
+def _coach_session(catalog, counters):
+    from clashroyale_datapipeline_agent_spark.plans.coach import CoachSession
+
+    def build_meta():
+        counters["meta"] += 1
+        return {
+            "meta_deck_summary": catalog["llm_user_deck_summary"],  # stand-in
+            "meta_matchup_summary": catalog["llm_user_matchup_summary"],
+        }
+
+    def build_user(tag):
+        counters["user"] += 1
+        counters["tags"].append(tag)
+        return {
+            "user_summary": catalog["llm_user_summary"],
+            "user_deck_summary": catalog["llm_user_deck_summary"],
+            "user_matchup_summary": catalog["llm_user_matchup_summary"],
+            "user_card_summary": catalog["llm_user_card_summary"],
+            "opponent_card_summary": catalog["llm_opponent_card_summary"],
+        }
+
+    return CoachSession(
+        build_meta=build_meta,
+        build_user=build_user,
+        classify=lambda q: json.dumps(
+            {"category": "meta" if "meta" in q else "user", "data_needs": []}
+        ),
+        answer=lambda q, ctx: f"A[{q}] ctx:{len(ctx)}",
+    )
+
+
+def test_coach_loop_memoizes_and_stops(catalog):
+    """3 questions then a stop word: phase builds run EXACTLY once each
+    (ensure_meta/ensure_user memoization), every question is answered,
+    and the stop word ends the loop without an answer."""
+    from clashroyale_datapipeline_agent_spark.plans.coach import run_coach_loop
+
+    counters = {"meta": 0, "user": 0, "tags": []}
+    session = _coach_session(catalog, counters)
+    script = iter(["GVJQ20", "how is my win rate?", "what is the meta?",
+                   "which deck should I play?", "  STOP  "])
+    emitted = []
+    state = run_coach_loop(session, ask=lambda prompt: next(script),
+                           emit=emitted.append)
+
+    assert counters == {"meta": 1, "user": 1, "tags": ["GVJQ20"]}
+    assert state["meta_builds"] == 1 and state["user_builds"] == 1
+    assert state["player_tag"] == "GVJQ20"
+    assert [r["question"] for r in state["results"]] == [
+        "how is my win rate?", "what is the meta?", "which deck should I play?",
+    ]
+    assert len(emitted) == 3 and all(e.startswith("A[") for e in emitted)
+    # routing flows through the real Phase-2 router per question
+    assert state["results"][1]["route"] == "meta"
+    assert state["results"][0]["route"] == "user"
+
+
+def test_coach_loop_stop_variants(catalog):
+    from clashroyale_datapipeline_agent_spark.plans.coach import (
+        is_stop,
+        run_coach_loop,
+    )
+
+    assert is_stop("stop") and is_stop(" Exit ") and is_stop("QUIT")
+    assert not is_stop("stop losing") and not is_stop(None)
+
+    counters = {"meta": 0, "user": 0, "tags": []}
+    session = _coach_session(catalog, counters)
+    # immediate quit: no answers, but both phases still prebuilt (reference
+    # graph order: ensure_meta -> ask_for_tag -> ensure_user -> ask)
+    script = iter(["TAG", "quit"])
+    state = run_coach_loop(session, ask=lambda p: next(script))
+    assert state["results"] == []
+    assert counters["meta"] == 1 and counters["user"] == 1
+
+
+def test_rendered_context_matches_reference_fstrings(spark):
+    """F7: engine-side F.format_string rendering reproduces the reference's
+    f-string lines (phase2_qna_workflow.py:68-86) on a fixture with no
+    half-ULP 2dp boundary values (JVM %.2f rounds HALF_UP, Python
+    half-even — display-only divergence, excluded here by construction)."""
+    summary = spark.createDataFrame(
+        [("games_played", "30"), ("wins", "17"), ("win_rate", "0.5667")],
+        "metric string, value string",
+    )
+    deck = spark.createDataFrame(
+        [("Cycle", 30, 17, 0.5666666666666667),
+         ("Beatdown", 9, 3, 1.0 / 3.0),
+         ("Siege", 4, 2, 0.5)],
+        "deck_type string, games long, wins long, win_rate double",
+    )
+    tables = {"user_summary": summary, "user_deck_summary": deck}
+    rendered = qr.render_context_lines(
+        "user", ["USER_SUMMARY", "USER_DECK_SUMMARY"], tables
+    )
+    expected_rows = [("games_played", "30"), ("wins", "17"), ("win_rate", "0.5667")]
+    expected = [f"{m}: {v}" for m, v in expected_rows]
+    expected.append("\nYour deck performance:")
+    for dt, g, w, wr in [("Cycle", 30, 17, 17 / 30), ("Beatdown", 9, 3, 1 / 3),
+                         ("Siege", 4, 2, 0.5)]:
+        expected.append(f"- {dt}: {w}/{g} wins ({wr:.2f})")
+    assert rendered == "\n".join(expected)
+
+    # empty deck table -> the reference's fallback sentence
+    empty = deck.filter("games < 0")
+    rendered = qr.render_context_lines(
+        "user", ["USER_DECK_SUMMARY"], {"user_deck_summary": empty,
+                                        "user_summary": summary}
+    )
+    assert rendered == "\nNo deck statistics found for this user."
+
+
+def test_answer_question_includes_rendered_text(catalog):
+    user_tables = {
+        "user_summary": catalog["llm_user_summary"],
+        "user_deck_summary": catalog["llm_user_deck_summary"],
+        "user_matchup_summary": catalog["llm_user_matchup_summary"],
+        "user_card_summary": catalog["llm_user_card_summary"],
+        "opponent_card_summary": catalog["llm_opponent_card_summary"],
+    }
+    meta_tables = {
+        "meta_deck_summary": catalog["llm_user_deck_summary"],
+        "meta_matchup_summary": catalog["llm_user_matchup_summary"],
+    }
+    captured = {}
+
+    def answer(q, ctx):
+        captured["ctx"] = ctx
+        return "ok"
+
+    state = qr.answer_question(
+        "how am I doing?",
+        classify=lambda q: json.dumps(
+            {"category": "user",
+             "data_needs": ["USER_SUMMARY", "USER_DECK_SUMMARY"]}
+        ),
+        answer=answer,
+        user_tables=user_tables,
+        meta_tables=meta_tables,
+        games_played=25,
+    )
+    assert state["route"] == "user"
+    assert "games_played:" in state["context_text"]
+    assert "Your deck performance:" in state["context_text"]
+    # the rendered text is shipped to the expert ahead of the JSON tables
+    assert captured["ctx"].startswith(state["context_text"])
