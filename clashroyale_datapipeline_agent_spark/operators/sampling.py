@@ -24,15 +24,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: Above this row count ``sample_exact_k`` hands off to the reservoir
+#: implementation: the footgun (full ``orderBy(rand)`` of a fact table)
+#: cannot be pointed at anything bigger than a leaderboard.
+EXACT_K_SORT_CEILING = 100_000
+
+
 def sample_exact_k(df: DataFrame, k: int, seed: int | None = None, *, strict: bool = True) -> DataFrame:
     """R1 — exact-k uniform without-replacement sample.
 
     ``strict`` mirrors the reference's ``raise if n < k``; with
     ``strict=False`` it degrades to min(n, k) rows like the call sites'
     ``min(250, n)`` clamp (``meta_workflow.py:232``).
+
+    Inputs above :data:`EXACT_K_SORT_CEILING` rows delegate to
+    :func:`sample_exact_k_reservoir` (O(n) scan, O(k) memory per
+    partition) instead of the full sort — still exact-uniform, but the
+    seed maps onto the reservoir's per-partition RNG stream rather than
+    ``F.rand``, so the sampled *set* differs between the two paths.
     """
-    if strict and df.count() < k:
+    n = df.count()
+    if strict and n < k:
         raise ValueError(f"population smaller than sample size {k}")
+    if n > EXACT_K_SORT_CEILING:
+        return sample_exact_k_reservoir(df, k, seed=seed if seed is not None else 42)
     r = F.rand(seed) if seed is not None else F.rand()
     return df.orderBy(r.asc()).limit(k)
 

@@ -242,3 +242,69 @@ def pairwise_topk_join(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def bucketed_pairwise_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Batch ANN for query sets too big to broadcast: LSH-bucket BOTH
+    sides and equi-join on the bucket id — a plain shuffle hash join, never
+    a crossJoin, so the candidate set is O(collisions) instead of
+    O(|corpus|·|queries|).
+
+    Approximate by construction: a corpus vector is a candidate only if it
+    lands in a probed bucket. ``multi_probe`` additionally probes every
+    bucket at Hamming distance 1 from the query's own bucket (``n_planes``
+    extra probes), which recovers near-boundary neighbors at
+    ``(n_planes+1)×`` query-side fan-out — the fan-out is on the smaller
+    side and each (query, corpus) pair still matches at most once because
+    the probe ids are distinct. Recall is tuned with ``n_planes`` (fewer
+    planes → bigger buckets → higher recall) and ``multi_probe``;
+    ``tests/test_similarity_recall.py`` pins the floor vs brute force.
+    """
+    from pyspark.sql import Window
+
+    dim = len(queries.select(qvec_col).head()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    corpus = embeddings.withColumn(
+        "_bucket", lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes)
+    )
+    probed = queries.withColumn(
+        "_qbucket", lsh_bucket_col(F.col(qvec_col).cast("array<double>"), planes)
+    )
+    if multi_probe:
+        flips = F.array(
+            F.col("_qbucket"),
+            *[
+                F.col("_qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        probed = probed.withColumn("_bucket", F.explode(flips))
+    else:
+        probed = probed.withColumn("_bucket", F.col("_qbucket"))
+
+    scored = corpus.join(probed.drop("_qbucket"), "_bucket").select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine_col(
+            F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

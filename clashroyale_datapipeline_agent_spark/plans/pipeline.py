@@ -146,10 +146,14 @@ class MetaDatasetBuilder:
         initial_sample: int = 250,
         increment_sample: int = 5,
         seed: int | None = None,
+        bucket_table: str | None = None,
+        num_buckets: int = 32,
     ) -> None:
         self.spark = spark
         self.fetch = fetch_battlelog
         self.staging = Path(staging_dir)
+        self.bucket_table = bucket_table
+        self.num_buckets = num_buckets
         self.min_total = min_total_battles
         self.min_per_type = min_games_per_type
         self.max_loops = max_loops
@@ -193,10 +197,23 @@ class MetaDatasetBuilder:
         raw_df = self.spark.createDataFrame(raws, schema=schemas.RAW_BATTLE)
         normalized = filter_and_normalize_ranked_1v1(raw_df)
         kept = M.most_recent_per_player(normalized, self.per_player)
-        kept.write.mode("append").parquet(str(self.staging))
+        if self.bucket_table:
+            # SCALE.md battle-store design: bucketed by player_tag so every
+            # downstream per-player window/join (W1, user matchups) reads
+            # pre-clustered data with no Exchange
+            (
+                kept.write.mode("append")
+                .bucketBy(self.num_buckets, "player_tag")
+                .sortBy("player_tag", "battle_ts")
+                .saveAsTable(self.bucket_table, format="parquet")
+            )
+        else:
+            kept.write.mode("append").parquet(str(self.staging))
         return kept.count()
 
     def staged_battles(self) -> DataFrame:
+        if self.bucket_table:
+            return self.spark.table(self.bucket_table)
         return self.spark.read.schema(schemas.NORMALIZED_BATTLE).parquet(
             str(self.staging)
         )
@@ -227,7 +244,9 @@ class MetaDatasetBuilder:
 
     def run(self, players: list[dict]) -> dict[str, DataFrame]:
         """Execute the loop; returns the meta table catalog."""
-        if self.staging.exists():
+        if self.bucket_table:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.bucket_table}")
+        elif self.staging.exists():
             shutil.rmtree(self.staging)
 
         tags = self._sample_tags(players, self.initial_sample)

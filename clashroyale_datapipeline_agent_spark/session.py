@@ -58,6 +58,10 @@ def get_spark(
         # --- python boundary ------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet ships TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read nanos as long session-wide (readers
+        # convert with integer `div 1000`)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quiet local runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

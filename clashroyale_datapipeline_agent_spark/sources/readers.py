@@ -48,7 +48,12 @@ def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session default lives in session.get_spark; this fallback only
+        # fires under a vanilla SparkSession (e.g. the driver's smoke
+        # harness), where the runtime-settable flag is still required to
+        # read TIMESTAMP(NANOS) at all
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = StructType(
             [
                 StructField("event_id", LongType(), True),

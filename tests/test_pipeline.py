@@ -337,3 +337,44 @@ def test_answer_question_includes_rendered_text(catalog):
     assert "Your deck performance:" in state["context_text"]
     # the rendered text is shipped to the expert ahead of the JSON tables
     assert captured["ctx"].startswith(state["context_text"])
+
+
+# ---------------------------------------------------------------------------
+# Bucketed battle store (SCALE.md wiring: VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+
+def test_meta_loop_bucketed_store_no_exchange(spark, tmp_path):
+    """With the staging store bucketed by player_tag, the per-player
+    most-recent-k window (W1) over the staged table plans WITHOUT any
+    Exchange — the bucketed scan already satisfies the window's required
+    hash distribution."""
+    import re
+
+    from clashroyale_datapipeline_agent_spark.operators import meta as M
+
+    b = MetaDatasetBuilder(
+        spark,
+        _mk_fetcher(),
+        str(tmp_path / "staging-unused"),
+        min_total_battles=50,
+        min_games_per_type=0,
+        initial_sample=10,
+        increment_sample=3,
+        seed=1,
+        bucket_table="battles_bucketed_test",
+        num_buckets=8,
+    )
+    try:
+        tables = b.run(generate_leaderboard(40))
+        assert tables["battles"].count() >= 50
+
+        ranked = M.most_recent_per_player(b.staged_battles(), 3)
+        plan = spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            ranked._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        # and the result is still the real W1 semantics
+        counts = ranked.groupBy("player_tag").count().collect()
+        assert counts and all(r["count"] <= 3 for r in counts)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS battles_bucketed_test")
