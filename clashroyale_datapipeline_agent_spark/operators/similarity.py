@@ -212,6 +212,89 @@ def ivf_topk(
     )
 
 
+def cosine_all_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine for every (id_a < id_b) pair — the embedding-cosine
+    near-dup baseline.
+
+    Inherently O(n²): the plan is a nested-loop self-join, so this is for
+    key-sampled slices / per-bucket verification only. The scale path for a
+    full corpus is :func:`cosine_near_dup_pairs` (LSH candidates + exact
+    verify — same output columns, recall-tested against this).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: LSH-bucket the corpus, meet only
+    within (multi-probed) buckets, then exact-cosine verify against
+    ``threshold``.
+
+    Candidate generation is an equi-join on bucket id — O(collisions), never
+    n². Random-hyperplane LSH is angular, so high-cosine pairs collide with
+    high probability; ``multi_probe`` ORs in every Hamming-1 bucket of side
+    A, recovering pairs split by a single plane. Output matches
+    :func:`cosine_all_pairs` (id_a < id_b, exact cosine) minus pairs whose
+    buckets never met; recall vs exact is pinned in
+    ``tests/test_similarity_recall.py``.
+    """
+    planes = _hyperplanes(
+        len(embeddings.select(vec_col).head()[0]), n_planes, seed
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes).alias("_b0"),
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("_b0"),
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        a = e.select("id", "v", F.explode(probes).alias("_bucket"))
+    else:
+        a = e.select("id", "v", F.col("_b0").alias("_bucket"))
+    b = e.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("_b0").alias("_bucket"),
+    )
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            cosine_col(F.col("v"), F.col("v_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def pairwise_topk_join(
     embeddings: DataFrame,
     queries: DataFrame,

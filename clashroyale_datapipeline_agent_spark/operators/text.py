@@ -102,6 +102,48 @@ def with_language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", F.when(best > 0, expr))
 
 
+def tf_idf(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF over whitespace tokens, fully relational.
+
+    tf = term count / doc token count; idf = ln(N / df). Shapes:
+    token explode → (doc, term) count (one shuffle on the pair), document
+    frequency is a re-agg of that same table keyed by term (word-count
+    shape — no skew beyond natural term frequency), and the corpus size N
+    joins in as a broadcast 1-row aggregate, never a driver-side collect.
+    Everything stays in codegen; at 100 TB the (doc, term) shuffle is the
+    cost, which is the floor for exact TF-IDF.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
+    )
+    term_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_count"))
+    doc_len = term_counts.groupBy(id_col).agg(F.sum("tf_count").alias("n_tokens"))
+    df_counts = term_counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        term_counts.join(doc_len, id_col)
+        .join(df_counts, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf_count").cast("bigint").alias("tf_count"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            (
+                (F.col("tf_count").cast("double") / F.col("n_tokens").cast("double"))
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq").cast("double"))
+            ).alias("tf_idf"),
+        )
+    )
+
+
 def fingerprint_col(text: Column, *, normalize: bool = True) -> Column:
     """Deterministic 64-bit content fingerprint (xxhash64 of normalized
     text). For cross-engine oracles use ``md5`` (hex string) instead —

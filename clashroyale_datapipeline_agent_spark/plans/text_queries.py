@@ -308,6 +308,132 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS term
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, term, count(*) AS tf_count FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(sum(tf_count) AS DOUBLE) AS n_tokens FROM tc GROUP BY 1
+    ), dfreq AS (
+        SELECT term, count(*) AS doc_freq FROM tc GROUP BY 1
+    ), n AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    )
+    SELECT tc.doc_id, tc.term,
+           CAST(tf_count AS BIGINT) AS tf_count,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           ROUND(CAST(tf_count AS DOUBLE) / n_tokens * ln(n_docs / CAST(doc_freq AS DOUBLE)), 4) AS tf_idf
+    FROM tc JOIN dl USING (doc_id) JOIN dfreq USING (term), n
+    ORDER BY tf_idf DESC, doc_id ASC, term ASC
+    LIMIT 100
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (SURVEY §7.3 M7 text-analysis item): top-100 most distinctive
+    (doc, term) pairs. Exact, fully relational — word-count-shaped shuffles
+    plus a broadcast 1-row corpus size; no driver collect."""
+    from clashroyale_datapipeline_agent_spark.operators.text import tf_idf
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        tf_idf(d)
+        .select(
+            "doc_id",
+            "term",
+            "tf_count",
+            "doc_freq",
+            F.round("tf_idf", 4).alias("tf_idf"),
+        )
+        .orderBy(F.desc("tf_idf"), F.asc("doc_id"), F.asc("term"))
+        .limit(100)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+        FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 0)),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a ASC, id_b ASC
+    LIMIT 50
+    """,
+)
+def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard, top-50 most-similar pairs on a keyed
+    document slice — the n-gram-Jaccard near-dup operator in its exact,
+    oracle-checkable form. Pairs meet through a shingle-keyed equi-join
+    (never a cross product); the full-corpus scale path runs the same
+    verify over banded-LSH candidates (``minhash_lsh_dedup``)."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = ngram_jaccard_all_pairs(d, shingle_n=3)
+    return pairs.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.round("jaccard", 4).alias("jaccard"),
+    ).orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")).limit(50)
+
+
+@register(
+    "dedup_embedding_cosine_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 4 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, id_a ASC, id_b ASC
+    LIMIT 50
+    """,
+)
+def dedup_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup in its exact form: top-50 highest-cosine
+    pairs on a keyed slice (all-pairs is O(n²) by definition — the slice is
+    the point). The full-corpus scale path is
+    ``similarity.cosine_near_dup_pairs`` (LSH-bucketed candidates + exact
+    verify), recall-pinned against this exact operator in
+    ``tests/test_similarity_recall.py``."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        cosine_all_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    pairs = cosine_all_pairs(e)
+    return pairs.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b")).limit(50)
+
+
 # ---------------------------------------------------------------------------
 # event windows (batch twins of the streaming operators)
 # ---------------------------------------------------------------------------

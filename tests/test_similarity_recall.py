@@ -12,6 +12,7 @@ Measured on the fixture (2026-08-13):
   lsh_topk                n_planes=2              recall@10 = 0.20
   ivf_topk                n_probe=2/8             recall@10 = 0.80
   ivf_topk                n_probe=4/8             recall@10 = 1.00
+  cosine_near_dup_pairs   thr=0.30 planes=2/3/4   recall    = 0.85 / 0.61 / 0.48
 """
 
 from __future__ import annotations
@@ -121,3 +122,56 @@ def test_bucketed_pairwise_topk_recall_and_plan(emb):
         .collect()
     )
     assert per_q and all(r["count"] <= 3 for r in per_q)
+
+
+def test_cosine_near_dup_recall_vs_exact(emb):
+    """The LSH-bucketed near-dup path recovers a floor fraction of the true
+    >= threshold pairs on a keyed slice, every returned pair is genuinely
+    above threshold (exact verify — zero false positives), and multi-probe
+    recall dominates single-probe."""
+    sl = emb.filter(F.col("vec_id") % 4 == 0)
+    thr = 0.30
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_all_pairs(sl).filter(F.col("cosine") >= thr).collect()
+    }
+    assert exact, "fixture must contain pairs above threshold"
+
+    got_rows = S.cosine_near_dup_pairs(sl, threshold=thr, n_planes=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    # exact verify => no false positives, and orientation is id_a < id_b
+    assert got <= exact
+    assert all(r["id_a"] < r["id_b"] for r in got_rows)
+    recall = len(got) / len(exact)
+    assert recall >= 0.5, (recall, len(exact))
+
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(
+            sl, threshold=thr, n_planes=3, multi_probe=False
+        ).collect()
+    }
+    assert len(got) >= len(single)
+
+
+def test_ngram_jaccard_all_pairs_consistent_with_candidate_verify(spark, sf_dir):
+    """The exact shingle-join Jaccard agrees with the LSH-candidate verify
+    path on every candidate pair (same numbers, from two different plans)."""
+    from clashroyale_datapipeline_agent_spark.operators import dedup as D
+    from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+    docs = load_star_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    cands = D.lsh_candidate_pairs(docs, bands=16)
+    via_verify = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in D.ngram_jaccard_pairs(docs, cands, threshold=0.0).collect()
+    }
+    all_pairs = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in D.ngram_jaccard_all_pairs(docs).collect()
+    }
+    for pair, j in via_verify.items():
+        if j > 0:
+            assert all_pairs.get(pair) == j, pair
