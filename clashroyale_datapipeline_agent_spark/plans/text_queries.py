@@ -434,6 +434,67 @@ def dedup_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b")).limit(50)
 
 
+@register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (A-family distribution
+    aggregate). Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the linear-interpolation convention, so this is oracle-checkable; the
+    sketch-based scale variant is ``approx_percentile`` (rows-only, like
+    ``a_approx_count_distinct``). Exact percentile sorts within each group
+    partition — fine at bounded group count; for 100 TB prefer the sketch."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "events_pivot_hour_by_type",
+    """
+    SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) — hour-of-day × event-type count matrix via
+    ``groupBy().pivot()`` with an EXPLICIT value list: one pass, one
+    shuffle, no value-discovery pre-job, and a deterministic column set
+    (the implicit-values form runs a distinct scan first and its output
+    schema depends on the data — never do that at 100 TB)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.select(F.hour("ts").cast("bigint").alias("hour_of_day"), "event_type")
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    )
+
+
 # ---------------------------------------------------------------------------
 # event windows (batch twins of the streaming operators)
 # ---------------------------------------------------------------------------

@@ -99,6 +99,46 @@ def stateful_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    right events of the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + within]`` (e.g. view → purchase conversion within
+    30 minutes).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance in ONE direction per side, which is exactly what Spark needs
+    to compute state eviction for both join buffers — without the time
+    bound the right-side buffer would grow forever. Works identically on
+    batch DataFrames (the batch twin is a plain range join, the
+    ``j_range_join_ship_window`` shape).
+    """
+    l = left.withWatermark(ts_col, left_watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark(ts_col, right_watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("l_key", "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
 def accumulate_stream_to_parquet(
     events: DataFrame,
     path: str,

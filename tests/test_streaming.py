@@ -240,3 +240,57 @@ def test_merge_deltas_marker_is_commit_point(spark, tmp_path):
     assert store.current_version() == committed  # repoint completed
     row = {r["deck_type"]: r["games"] for r in store.read().collect()}
     assert row == {"Cycle": 10}  # applied exactly once, not doubled
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: click->view pairs for the
+    same user within 30 minutes. The streaming result (availableNow over a
+    file source) must equal the same plan run in batch mode, and only the
+    in-window pair matches."""
+    from clashroyale_datapipeline_agent_spark.streaming.events import interval_join
+
+    src = tmp_path / "src_join"
+    src.mkdir()
+    rows = []
+    for h in range(6):
+        u = h % 3
+        rows.append({"event_id": h * 10, "ts": f"2024-01-01T{h:02d}:00:00.000Z",
+                     "user_id": u, "event_type": "click", "value": 1.0})
+        # in-window view (+10 min), out-of-window view (+45 min), wrong user (+5 min)
+        rows.append({"event_id": h * 10 + 1, "ts": f"2024-01-01T{h:02d}:10:00.000Z",
+                     "user_id": u, "event_type": "view", "value": 1.0})
+        rows.append({"event_id": h * 10 + 2, "ts": f"2024-01-01T{h:02d}:45:00.000Z",
+                     "user_id": u, "event_type": "view", "value": 1.0})
+        rows.append({"event_id": h * 10 + 3, "ts": f"2024-01-01T{h:02d}:05:00.000Z",
+                     "user_id": u + 3, "event_type": "view", "value": 1.0})
+    _write_batch(src, rows, "b0")
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "view"),
+        )
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out = interval_join(*split(stream), within="30 minutes",
+                        left_watermark="10 hours", right_watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ivjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.schema(SCHEMA).json(str(src))
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in interval_join(*split(batch), within="30 minutes").collect()
+    }
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("select * from t_ivjoin").collect()
+    }
+    assert want == {(h * 10, h * 10 + 1) for h in range(6)}
+    assert got == want
