@@ -30,8 +30,8 @@ def build_participant_table(battles: DataFrame) -> DataFrame:
     8-card guard (unlike the user-side deck-type stats); opp rows flip
     win/loss; ``is_win = result == "win"`` after flipping.
 
-    Spark shape: ``unionByName`` of two projections of one (cached) typed
-    scan — the classify expression is evaluated once per side.
+    Spark shape: classify once per side, then explode a 2-struct array —
+    map-side doubling with a single evaluation of the classify cascade.
     """
     valid = battles.filter(
         F.col("my_cards").isNotNull()
@@ -44,20 +44,37 @@ def build_participant_table(battles: DataFrame) -> DataFrame:
         }
     )
 
-    def side(role: str) -> DataFrame:
-        typ = F.col("_my_type") if role == "my" else F.col("_opp_type")
-        res = F.col("result") if role == "my" else flip_result(F.col("result"))
-        return valid.select(
-            F.col("battle_time"),
-            F.col("player_tag"),
-            F.lit(role).alias("role"),
-            typ.alias("deck_type"),
-            res.alias("result"),
-            (res == "win").alias("is_win"),
-            F.col("mode_name"),
-        )
-
-    return side("my").unionByName(side("opp"))
+    # explode-based POV doubling (see compute_symmetric_matchups): one
+    # Generate over a single classified projection, so each deck's
+    # classification cascade evaluates once — a union of two side
+    # projections would re-run it per branch
+    return valid.select(
+        "battle_time",
+        "player_tag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("my").alias("role"),
+                    F.col("_my_type").alias("deck_type"),
+                    F.col("result").alias("result"),
+                ),
+                F.struct(
+                    F.lit("opp").alias("role"),
+                    F.col("_opp_type").alias("deck_type"),
+                    flip_result(F.col("result")).alias("result"),
+                ),
+            )
+        ).alias("s"),
+        "mode_name",
+    ).select(
+        "battle_time",
+        "player_tag",
+        F.col("s.role").alias("role"),
+        F.col("s.deck_type").alias("deck_type"),
+        F.col("s.result").alias("result"),
+        (F.col("s.result") == "win").alias("is_win"),
+        "mode_name",
+    )
 
 
 def compute_symmetric_matchups(battles: DataFrame) -> DataFrame:
@@ -68,27 +85,34 @@ def compute_symmetric_matchups(battles: DataFrame) -> DataFrame:
     guard. Long format; 36-key hash-agg after row doubling — the union is
     map-side only (no extra shuffle beyond the final groupBy).
     """
-    typed = battles.withColumns(
-        {
-            "_my_type": classify_deck_col(F.col("my_cards")),
-            "_opp_type": classify_deck_col(F.col("opp_cards")),
-        }
+    typed = battles.select(
+        classify_deck_col(F.col("my_cards")).alias("_my_type"),
+        classify_deck_col(F.col("opp_cards")).alias("_opp_type"),
+        "result",
     )
-    forward = typed.select(
-        F.col("_my_type").alias("deck_type"),
-        F.col("_opp_type").alias("opp_type"),
-        F.col("result"),
-    )
-    backward = typed.select(
-        F.col("_opp_type").alias("deck_type"),
-        F.col("_my_type").alias("opp_type"),
-        flip_result(F.col("result")).alias("result"),
-    )
-    return (
-        forward.unionByName(backward)
-        .groupBy("deck_type", "opp_type")
-        .agg(*counter_aggs())
-    )
+    # POV doubling via explode, NOT a union: union branches are separate
+    # codegen stages, so each would re-evaluate the classification cascade
+    # (and a mirror filter pushed through the union duplicates it again
+    # into each branch's FilterExec — measured 3.5x on cr_p8). With one
+    # projection + Generate, the cascade runs once per row per side, and
+    # pushed filters land on the cheap generated struct fields instead.
+    doubled = typed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_my_type").alias("deck_type"),
+                    F.col("_opp_type").alias("opp_type"),
+                    F.col("result").alias("result"),
+                ),
+                F.struct(
+                    F.col("_opp_type").alias("deck_type"),
+                    F.col("_my_type").alias("opp_type"),
+                    flip_result(F.col("result")).alias("result"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.deck_type", "s.opp_type", "s.result")
+    return doubled.groupBy("deck_type", "opp_type").agg(*counter_aggs())
 
 
 def exclude_mirror_matchups(
