@@ -226,14 +226,23 @@ def cosine_all_pairs(
     full corpus is :func:`cosine_near_dup_pairs` (LSH candidates + exact
     verify — same output columns, recall-tested against this).
     """
+    # norms are per-ROW, so compute them before the pair join — inside the
+    # join each norm would be folded O(n) times per vector. The arithmetic
+    # (dot / (norm_a * norm_b), 0-guarded) is identical to cosine_col, so
+    # results are bit-equal; only the evaluation count changes.
     e = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm_col(F.col(vec_col).cast("array<double>")).alias("n"),
     )
     a, b = e.alias("a"), e.alias("b")
+    denom = F.col("a.n") * F.col("b.n")
     return a.join(b, F.col("a.id") < F.col("b.id")).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        F.when(denom > 0, dot_col(F.col("a.v"), F.col("b.v")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
     )
 
 
@@ -265,6 +274,7 @@ def cosine_near_dup_pairs(
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        norm_col(F.col(vec_col).cast("array<double>")).alias("n"),
         lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes).alias("_b0"),
     )
     if multi_probe:
@@ -275,21 +285,25 @@ def cosine_near_dup_pairs(
                 for i in range(n_planes)
             ],
         )
-        a = e.select("id", "v", F.explode(probes).alias("_bucket"))
+        a = e.select("id", "v", "n", F.explode(probes).alias("_bucket"))
     else:
-        a = e.select("id", "v", F.col("_b0").alias("_bucket"))
+        a = e.select("id", "v", "n", F.col("_b0").alias("_bucket"))
     b = e.select(
         F.col("id").alias("id_b"),
         F.col("v").alias("v_b"),
+        F.col("n").alias("n_b"),
         F.col("_b0").alias("_bucket"),
     )
+    denom = F.col("n") * F.col("n_b")
     return (
         a.join(b, "_bucket")
         .filter(F.col("id") < F.col("id_b"))
         .select(
             F.col("id").alias("id_a"),
             "id_b",
-            cosine_col(F.col("v"), F.col("v_b")).alias("cosine"),
+            F.when(denom > 0, dot_col(F.col("v"), F.col("v_b")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -312,12 +326,25 @@ def pairwise_topk_join(
     """
     from pyspark.sql import Window
 
-    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+    # per-row norms precomputed on each side: inside the cross join a
+    # corpus norm would otherwise be folded once per query (and vice versa)
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        norm_col(F.col(vec_col).cast("array<double>")).alias("_cn"),
+    )
+    qs = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).cast("array<double>").alias("_qv"),
+        norm_col(F.col(qvec_col).cast("array<double>")).alias("_qn"),
+    )
+    denom = F.col("_cn") * F.col("_qn")
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
         F.col(qid_col),
         F.col(id_col),
-        cosine_col(
-            F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")
-        ).alias("cosine"),
+        F.when(denom > 0, dot_col(F.col("_cv"), F.col("_qv")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -360,11 +387,19 @@ def bucketed_pairwise_topk(
     dim = len(queries.select(qvec_col).head()[0])
     planes = _hyperplanes(dim, n_planes, seed)
 
-    corpus = embeddings.withColumn(
-        "_bucket", lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes)
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        norm_col(F.col(vec_col).cast("array<double>")).alias("_cn"),
+        lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes).alias("_bucket"),
     )
-    probed = queries.withColumn(
-        "_qbucket", lsh_bucket_col(F.col(qvec_col).cast("array<double>"), planes)
+    probed = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).cast("array<double>").alias("_qv"),
+        norm_col(F.col(qvec_col).cast("array<double>")).alias("_qn"),
+        lsh_bucket_col(F.col(qvec_col).cast("array<double>"), planes).alias(
+            "_qbucket"
+        ),
     )
     if multi_probe:
         flips = F.array(
@@ -378,12 +413,13 @@ def bucketed_pairwise_topk(
     else:
         probed = probed.withColumn("_bucket", F.col("_qbucket"))
 
+    denom = F.col("_cn") * F.col("_qn")
     scored = corpus.join(probed.drop("_qbucket"), "_bucket").select(
         F.col(qid_col),
         F.col(id_col),
-        cosine_col(
-            F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")
-        ).alias("cosine"),
+        F.when(denom > 0, dot_col(F.col("_cv"), F.col("_qv")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
