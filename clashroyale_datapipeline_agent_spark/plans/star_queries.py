@@ -425,17 +425,26 @@ def a7_symmetric_pair_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("result"),
         )
     )
-    forward = pairs.select(
-        F.col("cust_nation").alias("deck_type"),
-        F.col("supp_nation").alias("opp_type"),
-        "result",
-    )
-    backward = pairs.select(
-        F.col("supp_nation").alias("deck_type"),
-        F.col("cust_nation").alias("opp_type"),
-        flip_result(F.col("result")).alias("result"),
-    )
-    doubled = forward.unionByName(backward)
+    # POV doubling via explode, not union: a union of two projections of
+    # `pairs` would execute the whole 5-way join once PER BRANCH (union
+    # subtrees are independent physical plans); one Generate doubles rows
+    # in the same pass
+    doubled = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cust_nation").alias("deck_type"),
+                    F.col("supp_nation").alias("opp_type"),
+                    F.col("result").alias("result"),
+                ),
+                F.struct(
+                    F.col("supp_nation").alias("deck_type"),
+                    F.col("cust_nation").alias("opp_type"),
+                    flip_result(F.col("result")).alias("result"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.deck_type", "s.opp_type", "s.result")
     r = F.col("result")
     games = F.count(F.lit(1))
     wins = F.sum(F.when(r == "win", 1).otherwise(0))
