@@ -105,3 +105,47 @@ def sample_deterministic_mod(key: Column, modulus: int, keep_below: int) -> Colu
     the DuckDB oracle can verify bit-for-bit.
     """
     return F.pmod(key, F.lit(modulus)) < keep_below
+
+
+def hash_split_col(key: Column, boundaries: list[tuple[str, str]], last: str) -> Column:
+    """Deterministic train/val/test assignment from a content hash.
+
+    ``boundaries`` is a list of (label, exclusive upper hex bound) over the
+    first two md5 hex chars of the stringified key (256 buckets); rows at or
+    past the last bound get ``last``. E.g. ``[("train", "cc"), ("val", "e6")],
+    "test"`` ≈ 80/10/10. Pure per-row expression: no shuffle, no RNG, stable
+    across engines, runs, and cluster sizes — re-ingesting the same document
+    always lands it in the same split (the property RNG splits lack).
+    """
+    h = F.substring(F.md5(key.cast("string")), 1, 2)
+    expr = F.lit(last)
+    for label, upper in reversed(boundaries):
+        expr = F.when(h < upper, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def stratified_mod_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: Column,
+    rates: dict[str, tuple[int, int]],
+    *,
+    default: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep predicates
+    ``key % modulus < keep_below`` (``rates[stratum] = (modulus,
+    keep_below)``), composing :func:`sample_deterministic_mod` per class.
+
+    The dataset-balancing operator (e.g. downsample dominant languages):
+    a pure scan predicate — no shuffle, no per-stratum pass, no RNG; strata
+    absent from ``rates`` keep everything unless ``default`` is given.
+    """
+    keep = F.lit(True) if default is None else sample_deterministic_mod(
+        key, default[0], default[1]
+    )
+    for stratum, (modulus, keep_below) in sorted(rates.items()):
+        keep = F.when(
+            F.col(strata_col) == stratum,
+            sample_deterministic_mod(key, modulus, keep_below),
+        ).otherwise(keep)
+    return df.filter(keep)

@@ -826,6 +826,38 @@ def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)         AS n,
+           ROUND(SUM(o_totalprice), 2)      AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets (all four groupings of status × priority in one
+    scan) — completes the rollup/cube pair of §2.4's grouping headroom.
+    Column values are non-null in the fixture, so 'ALL' unambiguously marks
+    the subtotal rows, as in ``a_rollup_hierarchy``."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r2(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
 @register("a_approx_count_distinct", None)  # rows-only: HLL sketches differ per engine
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-aggregate headroom: HLL++ distinct counts per segment.

@@ -435,6 +435,66 @@ def dedup_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_hash_split_counts",
+    """
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def docs_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10 via md5-bucket
+    thresholds) — the split is a pure per-row expression, so the same
+    document lands in the same split on every engine, run, and cluster
+    size. Verified cross-engine by per-(lang, split) counts."""
+    from clashroyale_datapipeline_agent_spark.operators.sampling import (
+        hash_split_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "split",
+            hash_split_col(F.col("doc_id"), [("train", "cc"), ("val", "e6")], "test"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "docs_stratified_sample_counts",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE CASE WHEN lang = 'en' THEN doc_id % 5 < 1
+               WHEN lang = 'de' THEN doc_id % 2 < 1
+               ELSE TRUE END
+    GROUP BY lang
+    """,
+)
+def docs_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (dataset balancing): keep 1/5
+    of 'en' and 1/2 of 'de', everything else intact — a pure scan predicate
+    per stratum, no shuffle, no RNG."""
+    from clashroyale_datapipeline_agent_spark.operators.sampling import (
+        stratified_mod_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_mod_sample(
+        d, "lang", F.col("doc_id"), {"en": (5, 1), "de": (2, 1)}
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+@register(
     "events_value_percentiles",
     """
     SELECT event_type,

@@ -128,3 +128,36 @@ def test_session_aggregator_gap_split(spark, tmp_path):
     assert r["user_id"] == 1 and r["n_events"] == 2 and r["closed"]
     assert str(r["session_start"]).startswith("2024-01-01 00:00:00")
     assert str(r["session_end"]).startswith("2024-01-01 00:10:00")
+
+
+def test_hash_split_col_partitions_and_proportions(spark):
+    from clashroyale_datapipeline_agent_spark.operators.sampling import hash_split_col
+
+    df = spark.range(0, 20_000).withColumn(
+        "split", hash_split_col(F.col("id"), [("train", "cc"), ("val", "e6")], "test")
+    )
+    counts = {r["split"]: r["count"] for r in df.groupBy("split").count().collect()}
+    # exhaustive and disjoint by construction; proportions near 204/26/26 of 256
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20_000
+    assert abs(counts["train"] / 20_000 - 204 / 256) < 0.02
+    assert abs(counts["val"] / 20_000 - 26 / 256) < 0.02
+    # deterministic: same assignment on recompute
+    again = {r["split"]: r["count"] for r in df.groupBy("split").count().collect()}
+    assert counts == again
+
+
+def test_stratified_mod_sample_rates(spark):
+    from clashroyale_datapipeline_agent_spark.operators.sampling import (
+        stratified_mod_sample,
+    )
+
+    df = spark.range(0, 9_000).withColumn(
+        "lang",
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de").otherwise("fr"),
+    )
+    out = stratified_mod_sample(df, "lang", F.col("id"), {"en": (5, 1), "de": (2, 1)})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["fr"] == 3_000            # untouched stratum keeps everything
+    assert counts["en"] == 600              # exactly 1/5 of 3000 (id % 5 < 1)
+    assert counts["de"] == 1_500            # exactly 1/2 of 3000
