@@ -144,6 +144,41 @@ def tf_idf(
     )
 
 
+def top_ngram_stats(
+    docs: DataFrame,
+    *,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc repetition signal à la Gopher's "fraction of characters in
+    the most common n-gram": (doc, n_ngrams, top_ngram_frac) where
+    top_ngram_frac = occurrences of the doc's most frequent word n-gram /
+    total n-grams. High values mark boilerplate/spam.
+
+    Relational shape: explode all (non-distinct) n-grams, count per
+    (doc, gram), then a per-doc max/sum re-agg — two word-count-shaped
+    shuffles keyed by (doc, gram) and doc.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    per_gram = (
+        docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_ngrams"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_ngram_frac"
+        ),
+    )
+
+
 def fingerprint_col(text: Column, *, normalize: bool = True) -> Column:
     """Deterministic 64-bit content fingerprint (xxhash64 of normalized
     text). For cross-engine oracles use ``md5`` (hex string) instead —

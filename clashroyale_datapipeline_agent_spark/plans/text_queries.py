@@ -435,6 +435,55 @@ def dedup_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_quality_filter_summary",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(t) - 1, 0)),
+            i -> concat_ws(' ', t[i], t[i+1]))) AS g
+        FROM toks
+    ), pg AS (
+        SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2
+    ), st AS (
+        SELECT doc_id,
+               CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac
+        FROM pg GROUP BY 1
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN st.top_frac < 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(AVG(st.top_frac), 4) AS avg_top_frac
+    FROM documents d JOIN st ON d.doc_id = st.doc_id
+    GROUP BY d.lang
+    """,
+)
+def docs_quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher-style "most common
+    n-gram fraction" rule): per-language doc counts, how many survive the
+    top-bigram-frac < 0.08 filter, and the average signal. The signal is
+    ``operators.text.top_ngram_stats`` — two word-count-shaped shuffles."""
+    from clashroyale_datapipeline_agent_spark.operators.text import top_ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    st = top_ngram_stats(d, n=2)
+    return (
+        d.join(st, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("top_ngram_frac") < 0.08, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(F.avg("top_ngram_frac"), 4).alias("avg_top_frac"),
+        )
+    )
+
+
+@register(
     "docs_hash_split_counts",
     """
     SELECT lang,
