@@ -594,6 +594,46 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_rank_distribution_quartiles",
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_totalprice,
+               PERCENT_RANK() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS pr,
+               NTILE(4)       OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+        FROM orders
+    )
+    SELECT CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(pr), 4) AS min_pr,
+           ROUND(MAX(pr), 4) AS max_pr,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM ranked
+    GROUP BY quartile
+    """,
+)
+def w_rank_distribution_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution windows (percent_rank + ntile) summarized per
+    quartile — completes the window family beyond row_number/share. The
+    unique (price, orderkey) ordering makes both functions deterministic.
+    Note the global window: fine for driver-scale summaries; at 100 TB
+    rank against per-partition quantile boundaries instead."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return ranked.groupBy(F.col("quartile").cast("bigint").alias("quartile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.min("pr"), 4).alias("min_pr"),
+        F.round(F.max("pr"), 4).alias("max_pr"),
+        _r2(F.avg("o_totalprice")).alias("avg_price"),
+    )
+
+
+@register(
     "o1_global_topk",
     """
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice

@@ -544,6 +544,49 @@ def docs_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_asof_attribution",
+    """
+    WITH v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, v.view_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (``operators/asof.py``) checked against DuckDB's
+    NATIVE ``ASOF JOIN``: each purchase attributes to the user's most
+    recent view at-or-before it. Views are pre-deduped to one row per
+    (user, ts) so the match is unique in both engines."""
+    from clashroyale_datapipeline_agent_spark.operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = as_of_join(
+        purchases, views, key="user_id", right_cols=["view_id", "view_ts"]
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "view_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+
+
+@register(
     "events_value_percentiles",
     """
     SELECT event_type,
