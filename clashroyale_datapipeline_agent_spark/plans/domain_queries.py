@@ -56,20 +56,14 @@ def _deck_col(key, mult: int, offset: int):
 
 
 def _spread(df):
-    """Classification is compute-heavy per row; a single small parquet file
-    arrives as ONE input split locally (a file with one row group is
-    unsplittable regardless of ``maxPartitionBytes``), serializing the whole
-    query on one core. GUARDED repartition: only when the scan yields fewer
-    than half the session's cores do we pay one round-robin exchange of the
-    (narrow, pre-projection) fact rows to unlock full-core classify
-    throughput. At cluster scale a fact scan arrives with thousands of
-    splits, the guard is false, and NO exchange is inserted — the round-1
-    version repartitioned unconditionally, a gratuitous full-table shuffle
-    at 100 TB (VERDICT.md round-1 finding)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 >= target:
-        return df
-    return df.repartition(target)
+    """Guarded repartition before the compute-heavy classification — see
+    ``sources.readers.spread_if_narrow`` (shared with the heavy text/dedup
+    queries)."""
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    return spread_if_narrow(df)
 
 def _result_col():
     return (

@@ -338,8 +338,9 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term) pairs. Exact, fully relational — word-count-shaped shuffles
     plus a broadcast 1-row corpus size; no driver collect."""
     from clashroyale_datapipeline_agent_spark.operators.text import tf_idf
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     return (
         tf_idf(d)
         .select(
@@ -390,8 +391,9 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clashroyale_datapipeline_agent_spark.operators.dedup import (
         ngram_jaccard_all_pairs,
     )
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = spread_if_narrow(_t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0))
     pairs = ngram_jaccard_all_pairs(d, shingle_n=3)
     return pairs.select(
         F.col("id_a").cast("bigint"),
@@ -467,8 +469,9 @@ def docs_quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-bigram-frac < 0.08 filter, and the average signal. The signal is
     ``operators.text.top_ngram_stats`` — two word-count-shaped shuffles."""
     from clashroyale_datapipeline_agent_spark.operators.text import top_ngram_stats
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     st = top_ngram_stats(d, n=2)
     return (
         d.join(st, "doc_id")
