@@ -487,6 +487,64 @@ def docs_quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_length_buckets",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(CAST(floor(n_tokens / 16.0) AS BIGINT) * 16 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CAST(n_tokens AS DOUBLE)), 2) AS avg_tokens
+    FROM t
+    GROUP BY 1
+    """,
+)
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing (the batching prerequisite: group docs of
+    similar token count so padded batches waste little compute): histogram
+    of 16-token buckets with per-bucket token volume."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(_toks(F.col("text")))
+    return (
+        d.select((F.floor(ntok / 16.0).cast("bigint") * 16).alias("bucket_lo"), ntok.alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            _r2(F.avg(F.col("n_tokens").cast("double"))).alias("avg_tokens"),
+        )
+    )
+
+
+@register("docs_pack_stats", None)  # rows-only: pack layout depends on partitioning
+def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (``operators/packing.py``) summarized: pack count,
+    doc count, token volume, and mean pack fill at a 256-token budget. No
+    oracle — greedy packing is partition-layout-dependent by design; the
+    invariants (every doc exactly once, fills ≤ budget, fill sums correct)
+    are pinned in ``tests/test_packing.py``."""
+    from clashroyale_datapipeline_agent_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d.select("doc_id", F.size(_toks(F.col("text"))).alias("n_tokens")),
+        budget=256,
+    )
+    per_pack = packed.groupBy("pack_id").agg(
+        F.first("pack_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        _r2(F.avg(F.col("fill").cast("double"))).alias("avg_fill"),
+    )
+
+
+@register(
     "docs_hash_split_counts",
     """
     SELECT lang,
