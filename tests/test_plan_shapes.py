@@ -82,3 +82,35 @@ def test_sessionization_single_shuffle(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_pov_doubling_is_explode_not_union(spark, sf_dir):
+    """The symmetric matrix (and its mirror-filtered view) must double rows
+    through ONE Generate, never a Union of two projections: union branches
+    re-execute the parent subtree and let pushed key-filters duplicate the
+    classification cascade into each branch (the round-2 cr_p8 3.5x
+    regression)."""
+    from clashroyale_datapipeline_agent_spark.plans import domain_queries as DQ
+
+    for q in (DQ.cr_symmetric_matchup_matrix, DQ.cr_p8_mirror_exclusion):
+        plan = _plan(spark, q(spark, sf_dir))
+        assert plan.count("Generate") >= 1, plan
+        assert "Union" not in plan, plan
+
+
+def test_asof_join_single_shuffle_no_udf(spark, sf_dir):
+    """as_of_join plans as one Exchange on the key (the union + running
+    window shape) with no Python evaluation node."""
+    import re
+
+    from clashroyale_datapipeline_agent_spark.plans import text_queries as TQ
+
+    plan = _plan(spark, TQ.events_asof_attribution(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly two shuffles: the views (user_id, ts) pre-dedup aggregation
+    # and the single-key window shuffle the as-of carry runs on; a naive
+    # per-key merge implementation would add more (or a sort-merge join)
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L, ts", plan)) == 1, plan
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L, \d+\)", plan)) == 1, plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
