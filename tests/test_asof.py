@@ -45,3 +45,52 @@ def test_as_of_join_left_keeps_unmatched(spark):
         for r in as_of_join(left, right, key="user_id", inner=False).collect()
     }
     assert got == {100: 900, 101: None, 102: 902, 103: None}
+
+
+def test_as_of_join_matches_pandas_merge_asof(spark):
+    """Differential check vs pandas.merge_asof (backward,
+    allow_exact_matches=True — the same >= convention) on a seeded random
+    fixture with ties, sparse keys, and unmatched rows."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    lrows = [
+        (rng.randrange(6), rng.randrange(0, 10_000) * 1_000_000, i)
+        for i in range(300)
+    ]
+    rrows_raw = {
+        (u := rng.randrange(6), rng.randrange(0, 10_000) * 1_000_000): 1
+        for _ in range(200)
+    }
+    rrows = [(u, ts, 1000 + j) for j, (u, ts) in enumerate(sorted(rrows_raw))]
+
+    left = spark.createDataFrame(
+        [(u, ts, i) for u, ts, i in lrows], "user_id int, ts_us long, lid int"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    right = spark.createDataFrame(
+        [(u, ts, v) for u, ts, v in rrows], "user_id int, ts_us long, rid int"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in as_of_join(left, right, key="user_id", inner=False).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(u, pd.Timestamp(ts, unit="us"), i) for u, ts, i in lrows],
+        columns=["user_id", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(u, pd.Timestamp(ts, unit="us"), v) for u, ts, v in rrows],
+        columns=["user_id", "ts", "rid"],
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward", allow_exact_matches=True
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want and len(got) == 300
