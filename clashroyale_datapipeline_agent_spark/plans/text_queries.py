@@ -519,6 +519,40 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_feature_stats", None)  # rows-only: mapInPandas boundary
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the driver gate: documents' text bytes
+    stand in for opaque media payloads (every 7th doc gets a NULL payload
+    to exercise the per-row error path), decoded/featurized through the
+    ``mapInPandas`` pipeline. No oracle — the decode is the honest stub
+    (container ships no codec libs); per-status counts and byte totals are
+    stable, and the real invariants live in ``test_sinks_plots_llm``."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 7 != 0, F.col("text").cast("binary")).alias(
+            "payload"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/png"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("media_type"),
+    )
+    feats = extract_features(assets)
+    return (
+        feats.groupBy("media_type", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 2).alias("avg_f0"),
+        )
+        .orderBy("media_type", "status")
+    )
+
+
 @register("docs_pack_stats", None)  # rows-only: pack layout depends on partitioning
 def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (``operators/packing.py``) summarized: pack count,

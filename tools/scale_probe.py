@@ -1,9 +1,11 @@
-"""Scaling probe: time the flagship aggregation at 1x/4x/16x the sf0.1
-lineitem volume (duplicated with perturbed keys into /tmp parquet) and
-report rows/sec. Linear wall-clock growth (flat rows/sec) demonstrates the
-plan has no super-linear term — the local proxy for the 100 TB claim.
+"""Scaling probe: time the flagship aggregation AND the MinHash-LSH dedup
+pipeline at 1x/4x/16x the sf0.1 volume (duplicated with perturbed keys into
+/tmp parquet) and report rows/sec. Linear wall-clock growth (flat rows/sec)
+demonstrates the plans have no super-linear term — the local proxy for the
+100 TB claim. The dedup probe matters separately: its candidate self-join
+is the one plan whose cost COULD go quadratic if banding were wrong.
 
-    python tools/scale_probe.py
+    python tools/scale_probe.py [flagship|dedup]
 """
 
 from __future__ import annotations
@@ -69,5 +71,56 @@ def _agg(df):
     )
 
 
+def main_dedup() -> None:
+    from pyspark.sql import functions as F
+
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+    from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+    spark = get_spark("scale-probe-dedup")
+    base = load_star_table(spark, "/root/testdata/sf0.1", "documents")
+
+    tmp = Path(tempfile.mkdtemp(prefix="scale_probe_dedup_"))
+    results = []
+    for mult in (1, 4, 16):
+        path = tmp / f"x{mult}"
+        (
+            base.crossJoin(spark.range(mult).select(F.col("id").alias("_rep")))
+            .withColumn("doc_id", F.col("doc_id") * mult + F.col("_rep"))
+            # perturb text per replica so replicas are NEAR-dups, not exact:
+            # keeps the candidate count realistic instead of exploding every
+            # band bucket by mult x
+            .withColumn("text", F.concat_ws(" ", "text", F.col("_rep").cast("string")))
+            .drop("_rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(str(path))
+        )
+        df = spark.read.parquet(str(path))
+        n = df.count()
+        minhash_lsh_dedup(df, threshold=0.8).count()  # warm
+        t0 = time.perf_counter()
+        kept = minhash_lsh_dedup(df, threshold=0.8).count()
+        dt = time.perf_counter() - t0
+        results.append((mult, n, dt, int(n / dt)))
+        print(
+            f"x{mult:<3d} docs={n:>8,d} kept={kept:>8,d}  wall={dt:6.2f}s"
+            f"  docs/sec={int(n/dt):,}"
+        )
+
+    r1, r16 = results[0][3], results[-1][3]
+    print(
+        f"\nthroughput ratio x16/x1 = {r16 / r1:.2f} "
+        "(>= ~0.7 means the banded candidate join stayed near-linear)"
+    )
+
+
 if __name__ == "__main__":
-    main()
+    which = sys.argv[1] if len(sys.argv) > 1 else "flagship"
+    if which == "dedup":
+        main_dedup()
+    else:
+        main()
