@@ -1,0 +1,77 @@
+"""Connected components — transitive closure of near-dup pairs.
+
+The dedup pipelines emit PAIRS (id_a, id_b); real-world dedup keeps one
+document per *cluster*, and clusters are the connected components of the
+pair graph (A~B, B~C ⇒ {A,B,C} even if A,C never met in a bucket). The
+greedy drop-larger-id rule in ``minhash_lsh_dedup`` under-merges exactly
+when chains exceed one hop; this operator closes them.
+
+Spark-first design: iterative min-label propagation as a driver loop of
+DataFrame joins — each vertex repeatedly adopts the smallest label among
+itself and its neighbors; fixpoint = components labeled by their minimum
+vertex id. Converges in O(graph diameter) rounds (near-dup clusters are
+shallow — a handful of rounds in practice). Each round is one shuffle on
+vertex id; ``localCheckpoint`` cuts the lineage so plan size stays O(1)
+in rounds (same discipline as the Phase-0 accumulate loop). The driver
+sees only the per-round changed-count scalar — the data never leaves the
+cluster. Cross-engine: the oracle twin is a recursive CTE
+(``graph_connected_components`` in plans/text_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every vertex of the undirected pair graph with the minimum
+    vertex id of its component. Returns (id, component).
+
+    ``max_iter`` bounds the rounds (diameter guard); raises if the
+    fixpoint is not reached so truncated clusterings never slip through.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

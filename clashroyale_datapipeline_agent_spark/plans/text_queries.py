@@ -519,6 +519,60 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_connected_components",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 3 = 0
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+        WHERE a.doc_id % 9 = 0
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ), reach(v, r) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.v = s.v
+    )
+    SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY v
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (transitive dedup clustering,
+    ``operators/graph.py``) against a DuckDB recursive-CTE twin. The edge
+    set is deterministic arithmetic over real doc ids (chains at multiples
+    of 3, 3-cliques at multiples of 9) so both engines cluster the exact
+    same graph; the real LSH-pair edges are engine-hashed and covered by
+    pytest instead."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    e1 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.doc_id") % 3 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    e2 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 2)
+        & (F.col("a.doc_id") % 9 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comps = connected_components(e1.unionByName(e2))
+    return comps.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 @register("multimodal_feature_stats", None)  # rows-only: mapInPandas boundary
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the driver gate: documents' text bytes
