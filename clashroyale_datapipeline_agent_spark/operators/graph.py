@@ -75,3 +75,40 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    boundaries: list[tuple[str, str]] | None = None,
+    last: str = "test",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train/val/test assignment that keeps near-duplicates together.
+
+    Splitting documents independently leaks evaluation data: a test doc
+    whose near-dup sits in train is effectively memorized. Here the split
+    key is the document's near-dup CLUSTER (connected component of the
+    pair graph; unpaired docs are their own cluster), hashed through
+    :func:`~clashroyale_datapipeline_agent_spark.operators.sampling.hash_split_col`
+    — so every member of a cluster lands in the same split, and the
+    assignment stays deterministic across engines, runs, and cluster
+    sizes. Adds ``cluster`` (the split unit: the component's minimum doc
+    id, or the doc's own id when unpaired) and ``split`` columns.
+    """
+    from clashroyale_datapipeline_agent_spark.operators.sampling import (
+        hash_split_col,
+    )
+
+    bounds = boundaries or [("train", "cc"), ("val", "e6")]
+    comps = connected_components(edges, max_iter=max_iter).withColumnRenamed(
+        "id", id_col
+    )
+    return (
+        docs.join(comps, id_col, "left")
+        .withColumn("cluster", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("split", hash_split_col(F.col("cluster"), bounds, last))
+        .drop("component")
+    )

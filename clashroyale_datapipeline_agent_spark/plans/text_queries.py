@@ -573,6 +573,69 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_leakage_safe_split_counts",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 3 = 0
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+        WHERE a.doc_id % 9 = 0
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ), reach(v, r) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.v = s.v
+    ), comp AS (
+        SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+    ), assigned AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def docs_leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting (``operators/graph.leakage_safe_split``):
+    near-dup clusters — not individual docs — are the split unit, so no
+    test document has a near-duplicate in train. Composed from connected
+    components + the md5 hash split, against a recursive-CTE + CASE twin."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import (
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    e1 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.doc_id") % 3 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    e2 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 2)
+        & (F.col("a.doc_id") % 9 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    assigned = leakage_safe_split(d, e1.unionByName(e2))
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+    )
+
+
 @register("multimodal_feature_stats", None)  # rows-only: mapInPandas boundary
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the driver gate: documents' text bytes
