@@ -56,17 +56,21 @@ def main() -> None:
         except ValueError:
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "full query-registry wall-clock at sf, local mode",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "full query-registry wall-clock at sf, local mode",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(line)
+    # BENCH_r02's stored tail truncated the first entries of the stdout
+    # scrape — persist the full line to a file as well so the complete
+    # per-query map always survives the round.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

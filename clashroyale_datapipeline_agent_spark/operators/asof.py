@@ -47,7 +47,16 @@ def as_of_join(
     """
     rcols = right_cols or [c for c in right.columns if c not in (key, ts_col)]
     l = left.withColumn("_side", F.lit(1))
-    r = right.select(key, ts_col, *rcols).withColumn("_side", F.lit(0))
+    # The carried payload is ONE struct, built on the right side BEFORE the
+    # union: left rows then hold a genuinely NULL struct (a struct OF nulls
+    # built post-union would be non-null and break both properties below).
+    # Carrying the struct — not each column independently — guarantees all
+    # carried values come from the SAME right row even when some value
+    # columns are NULL, and makes struct-nullness the correct "matched"
+    # marker for inner semantics (DuckDB ASOF JOIN / pandas merge_asof).
+    r = right.select(
+        F.col(key), F.col(ts_col), F.struct(*rcols).alias("_rstruct")
+    ).withColumn("_side", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
@@ -55,10 +64,13 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        *[c for c in u.columns if c not in rcols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        *[c for c in u.columns if c != "_rstruct"],
+        F.last("_rstruct", ignorenulls=True).over(w).alias("_rstruct"),
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if inner:
-        out = out.filter(F.col(rcols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("_rstruct").isNotNull())
+    return out.select(
+        *[c for c in out.columns if c != "_rstruct"],
+        *[F.col(f"_rstruct.{c}").alias(c) for c in rcols],
+    )

@@ -47,7 +47,14 @@ def sample_exact_k(df: DataFrame, k: int, seed: int | None = None, *, strict: bo
     if strict and n < k:
         raise ValueError(f"population smaller than sample size {k}")
     if n > EXACT_K_SORT_CEILING:
-        return sample_exact_k_reservoir(df, k, seed=seed if seed is not None else 42)
+        if seed is None:
+            # Preserve the unseeded contract (fresh sample per call) across
+            # the delegation — a fixed fallback seed would make every
+            # unseeded large-input run return the identical sample.
+            import random as _random
+
+            seed = _random.randrange(1 << 31)
+        return sample_exact_k_reservoir(df, k, seed=seed)
     r = F.rand(seed) if seed is not None else F.rand()
     return df.orderBy(r.asc()).limit(k)
 

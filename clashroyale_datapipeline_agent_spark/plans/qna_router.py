@@ -176,7 +176,12 @@ def render_context_lines(
         lines.extend(r["line"] for r in rendered.collect())
     if route == "user" and "USER_DECK_SUMMARY" in needs:
         deck = (
+            # The reference sorts by games desc before taking the top rows
+            # (user_llm_tables.py:84 — deck_table[:5]); build_user_deck_summary
+            # returns unordered, so sort here (deck_type asc tiebreak for
+            # determinism) or the rendered "top" decks are arbitrary.
             user_tables["user_deck_summary"]
+            .orderBy(F.desc("games"), F.asc("deck_type"))
             .limit(deck_rows_limit)
             .select(
                 F.format_string(

@@ -407,7 +407,7 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id % 4 = 0
+        FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 2048
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
@@ -419,15 +419,20 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup in its exact form: top-50 highest-cosine
     pairs on a keyed slice (all-pairs is O(n²) by definition — the slice is
-    the point). The full-corpus scale path is
-    ``similarity.cosine_near_dup_pairs`` (LSH-bucketed candidates + exact
-    verify), recall-pinned against this exact operator in
-    ``tests/test_similarity_recall.py``."""
+    the point). The slice is ABSOLUTE-size-bounded (``vec_id < 2048`` →
+    ≤512 vectors, ≤131k pairs regardless of corpus size), so the
+    nested-loop pair join cannot grow with the data — a proportional slice
+    would make the pair count grow quadratically with scale. The
+    full-corpus scale path is ``similarity.cosine_near_dup_pairs``
+    (LSH-bucketed candidates + exact verify), recall-pinned against this
+    exact operator in ``tests/test_similarity_recall.py``."""
     from clashroyale_datapipeline_agent_spark.operators.similarity import (
         cosine_all_pairs,
     )
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    e = _t(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 2048)
+    )
     pairs = cosine_all_pairs(e)
     return pairs.select(
         F.col("id_a").cast("bigint"),

@@ -94,3 +94,25 @@ def test_as_of_join_matches_pandas_merge_asof(spark):
         for r in merged.itertuples()
     }
     assert got == want and len(got) == 300
+
+
+def test_as_of_join_null_values_come_from_one_right_row(spark):
+    """A matching right row whose value columns are NULL must be carried
+    AS-IS — not 'looked through' to an older row (DuckDB/pandas ASOF
+    semantics: the match is on time, values come from the matched row)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100)],
+        "user_id int, ts string, purchase_id int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 7, "old"),
+            (1, "2024-01-01 09:50:00", None, None),  # latest row, all-null values
+        ],
+        "user_id int, ts string, view_id int, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = as_of_join(left, right, key="user_id").collect()
+    # inner: the left row DID match (the 09:50 row) and must survive,
+    # carrying that row's NULL values — not 7/"old" from 09:00.
+    assert len(rows) == 1
+    assert rows[0]["view_id"] is None and rows[0]["tag"] is None
