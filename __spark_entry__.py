@@ -48,6 +48,12 @@ _FIRST = [
     "events_cumulative_per_user",
     "f6_json_props_extract",
     "j_range_join_ship_window",
+    # round-3 additions (no driver row exists yet by definition)
+    "f7_context_lines",
+    "floor_monitor_batch_twin",
+    "events_dedup_first_per_key",
+    "docs_pack_stats_det",
+    "multimodal_feature_stats",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

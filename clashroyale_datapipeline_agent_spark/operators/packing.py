@@ -81,3 +81,49 @@ def pack_sequences(
     return prepared.mapInPandas(
         pack, f"{id_col} long, {tokens_col} long, pack_id string, pack_tokens long"
     )
+
+
+def pack_sequences_grouped(
+    docs: DataFrame,
+    *,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    group_col: str = "grp",
+) -> DataFrame:
+    """Deterministic packing variant: pack WITHIN explicit groups.
+
+    Same greedy first-fit as :func:`pack_sequences`, but the packing unit
+    is a user-supplied group key (e.g. ``doc_id % G``) instead of the
+    physical partition, and docs are sorted by ``id_col`` within the
+    group — so the layout is a pure function of the DATA, independent of
+    partition count or engine. Pack ids are ``"{group}-{idx}"``. This is
+    the oracle-checkable form (an engine-independent layout a SQL twin can
+    recompute); the partition-local form remains the 100 TB default since
+    it avoids the groupBy shuffle when input partitioning already suits.
+    Groups must fit in executor memory (``applyInPandas`` materializes one
+    group per call) — pick G so corpus/G is batch-sized.
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        g = pdf[group_col].iloc[0]
+        ids: list = []
+        toks: list[int] = []
+        pids: list[str] = []
+        pack_idx, fill = 0, 0
+        for doc, t in zip(pdf[id_col], pdf[tokens_col]):
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                pack_idx, fill = pack_idx + 1, 0
+            ids.append(doc)
+            toks.append(t)
+            pids.append(f"{g}-{pack_idx}")
+            fill += t
+        out = pd.DataFrame({id_col: ids, tokens_col: toks, "pack_id": pids})
+        out["pack_tokens"] = out.groupby("pack_id")[tokens_col].transform("sum")
+        return out
+
+    return docs.groupBy(group_col).applyInPandas(
+        pack, f"{id_col} long, {tokens_col} long, pack_id string, pack_tokens long"
+    )

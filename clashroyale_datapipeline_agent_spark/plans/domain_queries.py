@@ -971,3 +971,112 @@ def j2_elixir_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("elixir").cast("bigint").alias("elixir"),
         "backfill_status",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: oracle rows for F7 (engine-side context rendering) and
+# the stateful floor monitor's terminal state (VERDICT r2 "Next round" #3/#7).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f7_context_lines",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_cards_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_cards_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_cards_rel')}),
+    opp_types AS ({_classify_sql('opp_cards_rel')}),
+    matchups AS (
+        SELECT m.deck_type AS my_deck_type, p.deck_type AS opp_deck_type,
+               {_RESULT_SQL} AS result
+        FROM orders o
+        JOIN my_types m  ON m.o_orderkey = o.o_orderkey
+        JOIN opp_types p ON p.o_orderkey = o.o_orderkey
+    ),
+    reagg AS (
+        SELECT my_deck_type AS deck_type,
+               COUNT(*) AS games,
+               SUM(CASE WHEN result = 'win' THEN 1 ELSE 0 END) AS wins
+        FROM matchups GROUP BY my_deck_type
+    )
+    SELECT printf('- %s: %d/%d wins (%.2f)',
+                  deck_type, CAST(wins AS BIGINT), CAST(games AS BIGINT),
+                  ROUND(wins * 1.0 / games, 2)) AS line
+    FROM reagg
+    ORDER BY games DESC, deck_type ASC
+    LIMIT 5
+    """,
+)
+def f7_context_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 cross-engine: the production engine-side context rendering
+    (``qna_router.render_deck_lines`` — ``format_string`` over the top-5
+    user deck summary, reference ``phase2_qna_workflow.py:80-83``) vs a
+    DuckDB ``printf`` twin. The LIMIT makes the games-desc order part of
+    the check; win_rate is pre-rounded to 2dp in both engines so ``%.2f``
+    formats an engine-stable value."""
+    from clashroyale_datapipeline_agent_spark.operators.battle_aggs import (
+        compute_deck_type_matchups,
+        with_deck_types,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.meta import (
+        build_user_deck_summary,
+    )
+    from clashroyale_datapipeline_agent_spark.plans.qna_router import (
+        render_deck_lines,
+    )
+
+    battles = _battles(spark, sf_dir)
+    mm = compute_deck_type_matchups(with_deck_types(battles), min_games=1)
+    uds = build_user_deck_summary(mm, min_games_per_deck=20)
+    return render_deck_lines(uds, limit=5)
+
+
+@register(
+    "floor_monitor_batch_twin",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_rel')}),
+    opp_types AS ({_classify_sql('opp_rel')}),
+    labeled AS (
+        SELECT m.deck_type AS my_type, p.deck_type AS opp_type
+        FROM orders o
+        JOIN my_types m  ON m.o_orderkey = o.o_orderkey
+        JOIN opp_types p ON p.o_orderkey = o.o_orderkey
+    ),
+    participants AS (
+        SELECT my_type AS deck_type FROM labeled
+        UNION ALL
+        SELECT opp_type AS deck_type FROM labeled
+    )
+    SELECT deck_type,
+           CAST(COUNT(*) AS BIGINT) AS games,
+           COUNT(*) >= 200 AS crossed
+    FROM participants
+    GROUP BY deck_type
+    """,
+)
+def floor_monitor_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 cross-engine: the TERMINAL state of the streaming archetype
+    floor monitor (``streaming/stateful.py:archetype_floor_monitor`` —
+    per-key running count, crossed flag at the 200-game floor) equals a
+    batch count over the same participant stream. The incremental
+    emit-once-on-crossing behavior is pytest-covered (``test_streaming``);
+    this row pins the state arithmetic cross-engine."""
+    from clashroyale_datapipeline_agent_spark.operators.meta import (
+        build_participant_table,
+    )
+
+    parts = build_participant_table(_battles_full(spark, sf_dir))
+    return parts.groupBy("deck_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("games"),
+        (F.count(F.lit(1)) >= 200).alias("crossed"),
+    )

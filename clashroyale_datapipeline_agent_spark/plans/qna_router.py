@@ -175,23 +175,8 @@ def render_context_lines(
         )
         lines.extend(r["line"] for r in rendered.collect())
     if route == "user" and "USER_DECK_SUMMARY" in needs:
-        deck = (
-            # The reference sorts by games desc before taking the top rows
-            # (user_llm_tables.py:84 — deck_table[:5]); build_user_deck_summary
-            # returns unordered, so sort here (deck_type asc tiebreak for
-            # determinism) or the rendered "top" decks are arbitrary.
-            user_tables["user_deck_summary"]
-            .orderBy(F.desc("games"), F.asc("deck_type"))
-            .limit(deck_rows_limit)
-            .select(
-                F.format_string(
-                    "- %s: %d/%d wins (%.2f)",
-                    F.col("deck_type"),
-                    F.col("wins").cast("long"),
-                    F.col("games").cast("long"),
-                    F.col("win_rate").cast("double"),
-                ).alias("line")
-            )
+        deck = render_deck_lines(
+            user_tables["user_deck_summary"], limit=deck_rows_limit
         )
         rows = deck.collect()
         if rows:
@@ -200,6 +185,33 @@ def render_context_lines(
         else:
             lines.append("\nNo deck statistics found for this user.")
     return "\n".join(lines)
+
+
+def render_deck_lines(deck_summary: DataFrame, *, limit: int = 5) -> DataFrame:
+    """F7 — the deck-performance lines as a DataFrame of rendered strings.
+
+    The reference sorts by games desc before taking the top rows
+    (``user_llm_tables.py:84`` — ``deck_table[:5]``); ``deck_type`` asc is
+    the deterministic tiebreak. ``win_rate`` is pre-rounded to 2dp with
+    ``F.round`` before the ``%.2f`` format: JVM formatting of an
+    already-2dp value is engine-stable (raw ``%.2f`` rounds HALF_UP in
+    the JVM but half-even in C/Python on exact half-boundaries), which is
+    what lets the ``f7_context_lines`` oracle pair this against DuckDB's
+    ``printf``. The limit prunes BEFORE formatting — at scale only
+    ``limit`` rows ever render."""
+    return (
+        deck_summary.orderBy(F.desc("games"), F.asc("deck_type"))
+        .limit(limit)
+        .select(
+            F.format_string(
+                "- %s: %d/%d wins (%.2f)",
+                F.col("deck_type"),
+                F.col("wins").cast("long"),
+                F.col("games").cast("long"),
+                F.round(F.col("win_rate").cast("double"), 2),
+            ).alias("line")
+        )
+    )
 
 
 def serialize_context(tables: dict[str, DataFrame], char_cap: int = CONTEXT_CHAR_CAP) -> str:

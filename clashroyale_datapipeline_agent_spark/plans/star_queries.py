@@ -719,6 +719,50 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dedup_first_per_key",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC
+               ) AS rn
+        FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(ts AS TIMESTAMP) AS first_ts,
+           value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — batch twin of the streaming stateful dedup
+    (``streaming/events.py:88`` ``dropDuplicatesWithinWatermark``): keep
+    each (user_id, event_type) key's FIRST event in event time, with a
+    deterministic event_id tiebreak for equal timestamps. Pins the
+    semantics the streaming op guarantees within its watermark — one
+    survivor per key, the earliest — under the cross-engine gate (the
+    streaming form itself is pytest-covered in ``test_streaming``)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("ts").alias("first_ts"),
+            "value",
+        )
+    )
+
+
+@register(
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,

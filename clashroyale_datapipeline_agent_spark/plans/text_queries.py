@@ -641,14 +641,45 @@ def docs_leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("multimodal_feature_stats", None)  # rows-only: mapInPandas boundary
+@register(
+    "multimodal_feature_stats",
+    """
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 7 != 0 THEN octet_length(encode(text)) END
+                   AS raw_bytes,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                    ELSE 'audio/wav' END AS media_type
+        FROM documents
+    ),
+    feat AS (
+        SELECT media_type,
+               COALESCE(raw_bytes, 0) AS n_bytes,
+               CASE WHEN raw_bytes IS NULL THEN 'error:NotImplementedError'
+                    ELSE 'ok' END AS status,
+               CASE WHEN raw_bytes IS NULL THEN 0.0
+                    ELSE CAST(raw_bytes % 251 AS DOUBLE) END AS f0
+        FROM assets
+    )
+    SELECT media_type, status,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(f0), 2) AS avg_f0
+    FROM feat
+    GROUP BY 1, 2
+    """,
+)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the driver gate: documents' text bytes
     stand in for opaque media payloads (every 7th doc gets a NULL payload
     to exercise the per-row error path), decoded/featurized through the
-    ``mapInPandas`` pipeline. No oracle — the decode is the honest stub
-    (container ships no codec libs); per-status counts and byte totals are
-    stable, and the real invariants live in ``test_sinks_plots_llm``."""
+    ``mapInPandas`` pipeline. The stub decoder's features are
+    deterministic BYTE arithmetic (``operators/multimodal.py:44-53``), so
+    the byte-length-derived ones (f0 = n_bytes % 251) plus the per-status
+    counts/volumes ARE cross-engine checkable: the oracle recomputes them
+    over ``octet_length(encode(text))`` in DuckDB — converting what was a
+    rows-only row into a hash-checked one. The Arrow/mapInPandas plumbing
+    invariants stay pinned in ``test_sinks_plots_llm``."""
     from clashroyale_datapipeline_agent_spark.operators.multimodal import (
         extract_features,
     )
@@ -697,6 +728,66 @@ def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("fill").cast("bigint").alias("total_tokens"),
         _r2(F.avg(F.col("fill").cast("double"))).alias("avg_fill"),
+    )
+
+
+@register(
+    "docs_pack_stats_det",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+               doc_id % 8 AS grp
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, n_tokens, grp,
+               row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+        FROM toks
+    ),
+    packed AS (
+        SELECT grp, rn, doc_id, n_tokens,
+               n_tokens AS fill, 0 AS pack_idx
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.grp, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 256
+                    THEN o.n_tokens ELSE p.fill + o.n_tokens END,
+               CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 256
+                    THEN p.pack_idx + 1 ELSE p.pack_idx END
+        FROM packed p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
+    )
+    SELECT CAST(grp AS VARCHAR) || '-' || CAST(pack_idx AS VARCHAR) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY 1
+    """,
+)
+def docs_pack_stats_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing under the full hash gate: greedy
+    first-fit WITHIN explicit groups (``doc_id % 8``), docs ordered by
+    doc_id — a layout that is a pure function of the data, so a DuckDB
+    recursive-CTE twin replays the identical first-fit recurrence and
+    every pack's membership and fill must match bit-for-bit. Complements
+    ``docs_pack_stats`` (the partition-local 100 TB form, rows-only by
+    design) by hash-checking the packing ARITHMETIC itself."""
+    from clashroyale_datapipeline_agent_spark.operators.packing import (
+        pack_sequences_grouped,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences_grouped(
+        d.select(
+            "doc_id",
+            F.size(_toks(F.col("text"))).alias("n_tokens"),
+            (F.col("doc_id") % 8).alias("grp"),
+        ),
+        budget=256,
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.first("pack_tokens").cast("bigint").alias("pack_tokens"),
     )
 
 

@@ -52,3 +52,30 @@ def test_pack_oversized_doc_gets_singleton(spark):
     assert packs[2] not in {packs[1], packs[3]}
     big = [r for r in rows if r["doc_id"] == 2][0]
     assert big["pack_tokens"] == 999
+
+
+def test_pack_grouped_deterministic_and_partition_independent(spark):
+    from clashroyale_datapipeline_agent_spark.operators.packing import (
+        pack_sequences_grouped,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 50 + 1).alias("n_tokens"),
+        (F.col("id") % 4).alias("grp"),
+    )
+    base = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_tokens"])
+        for r in pack_sequences_grouped(docs, budget=64).collect()
+    )
+    # every doc exactly once
+    assert len(base) == 200 and len({d for d, _, _ in base}) == 200
+    # layout is a pure function of the data: unchanged under repartition
+    again = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_tokens"])
+        for r in pack_sequences_grouped(docs.repartition(13), budget=64).collect()
+    )
+    assert again == base
+    # fills respect the budget (token counts here never exceed it)
+    assert all(t <= 64 for _, _, t in base)
