@@ -187,6 +187,10 @@ def build_meta_deck_summary(
             F.sum(F.when(F.col("result") == "draw", 1).otherwise(0)).alias("draws"),
         )
     )
+    # Global (partition-less) window => single-partition WindowExec and a
+    # startup warning — INTENTIONAL and bounded: it runs over the
+    # post-aggregation output, whose cardinality is the archetype count
+    # (<= 7 rows incl. "Unknown") at ANY input scale. Not a scale risk.
     total = Window.partitionBy()
     return agg.select(
         "deck_type",
@@ -244,6 +248,8 @@ def build_user_deck_summary(
         F.sum("losses").alias("losses"),
         F.sum("draws").alias("draws"),
     )
+    # Bounded global window — post-aggregation, <= 6 archetype rows at any
+    # scale (see build_meta_deck_summary). The WindowExec warning is noise.
     total = Window.partitionBy()
     return agg.select(
         "deck_type",

@@ -146,12 +146,22 @@ class MetaDatasetBuilder:
         initial_sample: int = 250,
         increment_sample: int = 5,
         seed: int | None = None,
-        bucket_table: str | None = None,
+        bucket_table: str | None = "auto",
         num_buckets: int = 32,
     ) -> None:
         self.spark = spark
         self.fetch = fetch_battlelog
         self.staging = Path(staging_dir)
+        if bucket_table == "auto":
+            # Default Phase-0 path IS the bucketed store (SCALE.md): every
+            # downstream per-player window/join then reads pre-clustered
+            # data with no Exchange. Name derived from the staging dir so
+            # concurrent builders in one warehouse stay isolated.
+            # ``bucket_table=None`` opts out to a plain parquet dir.
+            import hashlib
+
+            suffix = hashlib.md5(str(staging_dir).encode()).hexdigest()[:10]
+            bucket_table = f"battles_store_{suffix}"
         self.bucket_table = bucket_table
         self.num_buckets = num_buckets
         self.min_total = min_total_battles

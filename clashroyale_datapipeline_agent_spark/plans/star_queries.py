@@ -318,6 +318,8 @@ def j5_share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     few aggregated rows — constant cost at any input scale."""
     c = _t(spark, sf_dir, "customer")
     seg = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("games"))
+    # Bounded global window: runs AFTER the groupBy, over one row per
+    # market segment (5) — single-partition WindowExec is fine at any SF.
     total = Window.partitionBy()
     return seg.select(
         "c_mktsegment",

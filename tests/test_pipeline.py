@@ -344,10 +344,10 @@ def test_answer_question_includes_rendered_text(catalog):
 # ---------------------------------------------------------------------------
 
 def test_meta_loop_bucketed_store_no_exchange(spark, tmp_path):
-    """With the staging store bucketed by player_tag, the per-player
-    most-recent-k window (W1) over the staged table plans WITHOUT any
-    Exchange — the bucketed scan already satisfies the window's required
-    hash distribution."""
+    """The DEFAULT Phase-0 staging path is the bucketed store: without any
+    opt-in, the per-player most-recent-k window (W1) over the staged table
+    plans WITHOUT any Exchange — the bucketed scan already satisfies the
+    window's required hash distribution."""
     import re
 
     from clashroyale_datapipeline_agent_spark.operators import meta as M
@@ -361,10 +361,10 @@ def test_meta_loop_bucketed_store_no_exchange(spark, tmp_path):
         initial_sample=10,
         increment_sample=3,
         seed=1,
-        bucket_table="battles_bucketed_test",
         num_buckets=8,
     )
     try:
+        assert b.bucket_table, "bucketed store must be the default"
         tables = b.run(generate_leaderboard(40))
         assert tables["battles"].count() >= 50
 
@@ -377,4 +377,4 @@ def test_meta_loop_bucketed_store_no_exchange(spark, tmp_path):
         counts = ranked.groupBy("player_tag").count().collect()
         assert counts and all(r["count"] <= 3 for r in counts)
     finally:
-        spark.sql("DROP TABLE IF EXISTS battles_bucketed_test")
+        spark.sql(f"DROP TABLE IF EXISTS {b.bucket_table}")
