@@ -54,6 +54,9 @@ _FIRST = [
     "events_dedup_first_per_key",
     "docs_pack_stats_det",
     "multimodal_feature_stats",
+    "decontaminate_ngram_overlap",
+    "docs_lang_cap_counts",
+    "docs_unigram_logprob_topk",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

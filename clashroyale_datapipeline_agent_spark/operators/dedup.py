@@ -330,3 +330,66 @@ def simhash_candidate_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_train_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: which eval docs share word n-grams with
+    the training corpus (the GPT-3/PaLM-style 13-gram overlap check,
+    shrunk to ``n`` for short fixtures)?
+
+    One row per eval doc: how many distinct train docs collide and on how
+    many distinct n-grams (0s included — a clean benchmark needs rows for
+    the clean docs too).
+
+    Scale shape: distinct shingles explode on both sides and meet through
+    a shingle-keyed equi-join — the same banded-join discipline as the
+    LSH dedup, never eval x train pairs. ``max_train_df`` drops shingles
+    appearing in more than that many train docs BEFORE the join: the
+    standard guard against stopword-gram skew (a hot gram otherwise
+    fans out to |train| rows); decontamination cares about rare grams.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
+    )
+    if max_train_df is not None:
+        df_ok = (
+            t.groupBy("gram")
+            .agg(F.countDistinct("train_id").alias("train_df"))
+            .filter(F.col("train_df") <= max_train_df)
+            .select("gram")
+        )
+        t = t.join(df_ok, "gram")
+    e = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
+    )
+    hits = (
+        e.join(t, "gram")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("train_id").alias("n_contaminated_train_docs"),
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+        )
+    )
+    return (
+        eval_docs.select(F.col(id_col).alias("eval_id"))
+        .join(hits, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_contaminated_train_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_train_docs"),
+            F.coalesce("n_shared_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_ngrams"),
+        )
+    )

@@ -20,7 +20,7 @@ sampled *set* via injected tag lists, never by RNG replay.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -156,3 +156,29 @@ def stratified_mod_sample(
             sample_deterministic_mod(key, modulus, keep_below),
         ).otherwise(keep)
     return df.filter(keep)
+
+
+def cap_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    cap: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic per-group downsampling to at most ``cap`` rows — the
+    language/source-rebalancing step of a training mix (cap the
+    over-represented groups, keep small groups whole).
+
+    Survivors are the first ``cap`` rows per group in md5(id) order (id
+    tiebreak): a uniform-but-reproducible choice with no RNG, so two
+    engines and two runs agree row-for-row. One shuffle on the group key;
+    same W1 top-k shape, so a group-bucketed store makes it exchange-free.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

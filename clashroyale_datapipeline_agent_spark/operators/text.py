@@ -192,3 +192,51 @@ def md5_fingerprint_col(text: Column, *, normalize: bool = True) -> Column:
     oracle-checked dedup queries."""
     t = F.regexp_replace(F.lower(text), r"\s+", " ") if normalize else text
     return F.md5(t)
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-style quality score from a corpus unigram LM
+    (CCNet/Gopher-family filtering: drop documents whose tokens are
+    improbable under the corpus distribution — gibberish scores high,
+    boilerplate scores low).
+
+    score(doc) = -(1/|doc|) * sum_t count_t(doc) * ln p(t),
+    p(t) = corpus count of t / corpus token total.
+
+    Shapes (same floor as exact TF-IDF): (doc, term) counts shuffle once
+    on the pair; the corpus term table is a re-agg of that same table (no
+    second scan); the 1-row corpus total joins in as a broadcast — no
+    driver collect. Every expression is codegen; at 100 TB the (doc,
+    term) shuffle is the cost.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
+    )
+    term_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    corpus_counts = term_counts.groupBy("term").agg(
+        F.sum("cnt").alias("corpus_cnt")
+    )
+    total = corpus_counts.agg(F.sum("corpus_cnt").alias("corpus_total"))
+    return (
+        term_counts.join(corpus_counts, "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            (
+                -F.sum(
+                    F.col("cnt").cast("double")
+                    * F.log(
+                        F.col("corpus_cnt").cast("double")
+                        / F.col("corpus_total").cast("double")
+                    )
+                )
+                / F.sum("cnt").cast("double")
+            ).alias("mean_neg_logprob"),
+        )
+    )

@@ -1142,3 +1142,138 @@ def j_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.sum("l_extendedprice")).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: decontamination, mix rebalancing, LM-quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
+        FROM toks
+    ),
+    tr AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id % 50 != 0),
+    ev AS (SELECT doc_id AS eval_id,  gram FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+        SELECT ev.eval_id,
+               COUNT(DISTINCT tr.train_id) AS n_contaminated_train_docs,
+               COUNT(DISTINCT ev.gram)     AS n_shared_ngrams
+        FROM ev JOIN tr ON ev.gram = tr.gram
+        GROUP BY ev.eval_id
+    )
+    SELECT d.doc_id AS eval_id,
+           CAST(COALESCE(h.n_contaminated_train_docs, 0) AS BIGINT)
+               AS n_contaminated_train_docs,
+           CAST(COALESCE(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+    LEFT JOIN hits h ON h.eval_id = d.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
+    every 50th doc plays the held-out benchmark, the rest are the training
+    corpus; report per eval doc how many train docs share a word 3-gram
+    and on how many distinct grams (zeros kept — clean docs need rows
+    too). Shingle-keyed equi-join, never eval x train pairs
+    (``operators/dedup.py:ngram_contamination``)."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        ngram_contamination,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(train, ev, n=3)
+
+
+@register(
+    "docs_lang_cap_counts",
+    """
+    WITH ranked AS (
+        SELECT lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def docs_lang_cap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: cap every language at 60 docs with the
+    deterministic md5-ordered per-group cap
+    (``operators/sampling.py:cap_per_group``) — over-represented languages
+    shrink to the cap, small ones keep everything; no RNG, identical
+    survivor SET in both engines (checked here via per-lang counts; the
+    survivor identity is implied by the shared md5 order)."""
+    from clashroyale_datapipeline_agent_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    kept = cap_per_group(d, group_col="lang", cap=60, id_col="doc_id")
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    kept_counts = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return totals.join(kept_counts, "lang").select("lang", "n_docs", "n_kept")
+
+
+@register(
+    "docs_unigram_logprob_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+                   AS term
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    corpus AS (SELECT term, SUM(cnt) AS corpus_cnt FROM tc GROUP BY term),
+    total AS (SELECT SUM(corpus_cnt) AS corpus_total FROM corpus)
+    SELECT tc.doc_id,
+           CAST(SUM(tc.cnt) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(tc.cnt * ln(c.corpus_cnt / t.corpus_total))
+                     / SUM(tc.cnt), 4) AS mean_neg_logprob
+    FROM tc
+    JOIN corpus c ON c.term = tc.term, total t
+    GROUP BY tc.doc_id
+    ORDER BY mean_neg_logprob DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def docs_unigram_logprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality filtering (CCNet/Gopher family): score each doc by mean
+    negative log-probability under the corpus unigram distribution and
+    surface the 20 most improbable (gibberish-est) docs. The corpus LM is
+    a re-agg of the (doc, term) counts and the corpus total joins as a
+    broadcast 1-row aggregate — exact-TF-IDF shapes
+    (``operators/text.py:unigram_logprob_scores``)."""
+    from clashroyale_datapipeline_agent_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    scored = unigram_logprob_scores(d)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_neg_logprob", 4).alias("mean_neg_logprob"),
+    ).orderBy(F.desc("mean_neg_logprob"), F.asc("doc_id")).limit(20)

@@ -195,3 +195,49 @@ def test_frame_sample_plan(assets):
     # frameless assets (no n_frames meta) contribute no rows — a fabricated
     # frame_idx 0 here was an ADVICE.md round-1 finding
     assert set(by_asset) == {3}
+
+
+def test_ngram_contamination_includes_clean_docs(spark):
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma nine"), (11, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    rows = {r["eval_id"]: r for r in ngram_contamination(train, ev, n=3).collect()}
+    assert rows[10]["n_contaminated_train_docs"] == 1  # shares 'alpha beta gamma'
+    assert rows[10]["n_shared_ngrams"] == 1
+    assert rows[11]["n_contaminated_train_docs"] == 0  # clean doc still gets a row
+    # df cap drops the hot gram entirely
+    capped = {
+        r["eval_id"]: r
+        for r in ngram_contamination(train, ev, n=3, max_train_df=0).collect()
+    }
+    assert capped[10]["n_shared_ngrams"] == 0
+
+
+def test_cap_per_group_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from clashroyale_datapipeline_agent_spark.operators.sampling import cap_per_group
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    kept = cap_per_group(df, group_col="lang", cap=40, id_col="doc_id")
+    counts = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert all(c == 40 for c in counts.values())
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    again = sorted(
+        r["doc_id"]
+        for r in cap_per_group(
+            df.repartition(7), group_col="lang", cap=40, id_col="doc_id"
+        ).collect()
+    )
+    assert again == ids  # survivor SET is partitioning-independent
