@@ -57,6 +57,8 @@ _FIRST = [
     "decontaminate_ngram_overlap",
     "docs_lang_cap_counts",
     "docs_unigram_logprob_topk",
+    "docs_bm25_topk",
+    "embeddings_kmeans_iter_stats",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

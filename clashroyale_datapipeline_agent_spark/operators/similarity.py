@@ -427,3 +427,65 @@ def bucketed_pairwise_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def kmeans_lloyd_iter(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd iteration as a fully relational plan (no MLlib, no UDF).
+
+    Assignment is :func:`nearest_centroid_col` — an argmin expression
+    over the centroid literals (first/lowest id wins exact ties), so the
+    scan stays in codegen. The update step is ``posexplode`` to (cluster,
+    dim, value) and ONE hash aggregation to per-dimension means — the
+    word-count shape again; no per-cluster collect, no driver loop inside
+    the iteration. Returns (assigned, new_centroid_dims) where
+    ``new_centroid_dims`` is the (cluster, dim, m) mean table — callers
+    iterating collect it as the next round's literal constants (k x dim
+    scalars, the same driver boundary as ``ivf_index``).
+    """
+    assigned = vectors.withColumn(
+        "_cluster", nearest_centroid_col(F.col(vec_col), centroids)
+    )
+    dims = assigned.select(
+        "_cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+    ).toDF("_cluster", "dim", "v")
+    means = dims.groupBy("_cluster", "dim").agg(F.avg("v").alias("m"))
+    return assigned, means
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    *,
+    k: int = 4,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd k-means: init = the vectors with the k lowest
+    ids (no RNG), then ``n_iter`` relational iterations. Per round only
+    the k x dim mean table crosses the driver boundary (constants for the
+    next assignment expression) — the same per-round-scalar discipline as
+    the connected-components loop."""
+    init_rows = (
+        vectors.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("c"))
+        .collect()
+    )
+    cents = [list(r["c"]) for r in init_rows]
+    assigned = None
+    for _ in range(n_iter):
+        assigned, means = kmeans_lloyd_iter(vectors, cents, vec_col=vec_col)
+        rows = means.collect()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(r["_cluster"], {})[r["dim"]] = r["m"]
+        cents = [
+            [by_c[ci][d] for d in sorted(by_c[ci])] if ci in by_c else cents[ci]
+            for ci in range(k)
+        ]
+    return assigned, cents

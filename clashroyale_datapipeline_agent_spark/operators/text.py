@@ -240,3 +240,51 @@ def unigram_logprob_scores(
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval scoring against a fixed term list (the retrieval
+    step of a RAG data pipeline, as a relational plan).
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl)),
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)   (Robertson/Lucene form).
+
+    Shapes: (doc, term) counts once (word-count shuffle), document
+    frequency re-aggregated from that table, N and avgdl broadcast as a
+    1-row aggregate; the query term list is a literal filter BEFORE the
+    scoring join, so only |query| terms' postings ever move. Docs
+    matching no query term score 0 and are omitted (retrieval
+    convention).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
+    )
+    term_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = term_counts.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    q = [t.lower() for t in query_terms]
+    postings = term_counts.filter(F.col("term").isin(*q))
+    df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    return (
+        postings.join(doc_len, id_col)
+        .join(F.broadcast(df_counts), "term")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf * (k1 + 1.0) / denom).alias("bm25"))
+    )

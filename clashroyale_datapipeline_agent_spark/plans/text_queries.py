@@ -1277,3 +1277,121 @@ def docs_unigram_logprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round("mean_neg_logprob", 4).alias("mean_neg_logprob"),
     ).orderBy(F.desc("mean_neg_logprob"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "docs_bm25_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+                   AS term
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tc GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+        FROM dl
+    ),
+    postings AS (
+        SELECT doc_id, term, tf FROM tc
+        WHERE term IN ('spark', 'join', 'window')
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term)
+    SELECT p.doc_id,
+           ROUND(SUM(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+           ), 4) AS bm25
+    FROM postings p
+    JOIN dl l USING (doc_id)
+    JOIN dfreq d USING (term), stats s
+    GROUP BY p.doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (RAG pipeline building block): top-20 docs for the
+    fixed query terms [spark, join, window], Robertson/Lucene idf,
+    k1=1.2 b=0.75 — ``operators/text.py:bm25_scores``. Postings filter to
+    the query terms BEFORE any join, N/avgdl broadcast as a 1-row
+    aggregate; the LIMIT makes the score order part of the hash."""
+    from clashroyale_datapipeline_agent_spark.operators.text import bm25_scores
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    scored = bm25_scores(d, ["spark", "join", "window"])
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "embeddings_kmeans_iter_stats",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    init AS (SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < 4),
+    dist AS (
+        SELECT v.vec_id, i.cluster, list_distance(v.e, i.c) AS d
+        FROM v CROSS JOIN init i
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d ASC, cluster ASC
+                   ) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    dims AS (
+        SELECT a.cluster, gs.i AS dim, v.e[gs.i] AS val
+        FROM assign a
+        JOIN v USING (vec_id)
+        JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs ON TRUE
+    ),
+    means AS (SELECT cluster, dim, AVG(val) AS m FROM dims GROUP BY 1, 2),
+    norms AS (SELECT cluster, sqrt(SUM(m * m)) AS nrm FROM means GROUP BY cluster),
+    counts AS (SELECT cluster, COUNT(*) AS n FROM assign GROUP BY cluster)
+    SELECT CAST(n.cluster AS BIGINT) AS cluster,
+           CAST(c.n AS BIGINT) AS n_assigned,
+           ROUND(n.nrm, 4) AS centroid_norm
+    FROM norms n JOIN counts c ON c.cluster = n.cluster
+    """,
+)
+def embeddings_kmeans_iter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd k-means iteration (init = vec_id < 4) as a
+    fully relational plan — assignment is a codegen argmin over centroid
+    literals, the update is posexplode + ONE hash agg to per-dim means
+    (``operators/similarity.py:kmeans_lloyd_iter``). Output: members and
+    updated-centroid norm per cluster, vs a DuckDB twin that replays the
+    same iteration with list_distance + generate_series."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        kmeans_lloyd_iter,
+    )
+
+    v = _t(spark, sf_dir, "embeddings")
+    init = [
+        list(r["c"])
+        for r in v.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    ]
+    assigned, means = kmeans_lloyd_iter(v, init)
+    norms = means.groupBy("_cluster").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm")
+    )
+    counts = assigned.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n"))
+    return norms.join(counts, "_cluster").select(
+        F.col("_cluster").cast("bigint").alias("cluster"),
+        F.col("n").cast("bigint").alias("n_assigned"),
+        F.round("nrm", 4).alias("centroid_norm"),
+    )

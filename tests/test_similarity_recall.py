@@ -175,3 +175,45 @@ def test_ngram_jaccard_all_pairs_consistent_with_candidate_verify(spark, sf_dir)
     for pair, j in via_verify.items():
         if j > 0:
             assert all_pairs.get(pair) == j, pair
+
+
+def test_kmeans_lloyd_inertia_decreases(spark):
+    import pyspark.sql.functions as F
+
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        kmeans_lloyd,
+        nearest_centroid_col,
+    )
+
+    v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def inertia(cents):
+        assigned = v.withColumn(
+            "_c", nearest_centroid_col(F.col("embedding"), cents)
+        )
+        # squared distance to the assigned centroid, summed
+        total = 0.0
+        for ci, c in enumerate(cents):
+            arr = F.array(*[F.lit(x) for x in c])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    arr,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            row = assigned.filter(F.col("_c") == ci).agg(F.sum(d)).collect()[0]
+            total += row[0] or 0.0
+        return total
+
+    init = [
+        list(r["c"])
+        for r in v.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    ]
+    _, cents3 = kmeans_lloyd(v, k=4, n_iter=3)
+    assert inertia(cents3) < inertia(init)  # Lloyd monotonicity held
