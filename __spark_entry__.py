@@ -59,6 +59,8 @@ _FIRST = [
     "docs_unigram_logprob_topk",
     "docs_bm25_topk",
     "embeddings_kmeans_iter_stats",
+    "docs_redaction_stats",
+    "docs_chunk_stats",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

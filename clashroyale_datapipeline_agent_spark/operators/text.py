@@ -288,3 +288,79 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum(idf * tf * (k1 + 1.0) / denom).alias("bm25"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG document chunking: fixed token windows with overlap, as a pure
+    relational plan (sequence + explode + slice — no UDF).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk starts at the final
+    stride position < max(n - overlap, 1), so every token lands in at
+    least one chunk and trailing fragments shorter than the overlap don't
+    spawn a redundant chunk. Output grain: one row per (doc, chunk) with
+    the chunk text rebuilt from the token slice.
+
+    Scale: explode fans out ~n/stride rows per doc with NO shuffle (the
+    aggregate-free pipeline stays map-side); downstream embedding/indexing
+    sees chunk-grain rows immediately.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    base = docs.select(
+        F.col(id_col),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col), "_toks", F.size("_toks").alias("n_tokens")
+    )
+    n = F.col("n_tokens")
+    n_chunks = (
+        F.greatest(n - overlap - 1, F.lit(0)) / stride
+    ).cast("int") + 1
+    return base.select(
+        F.col(id_col),
+        "n_tokens",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("start_tok"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens),
+        ).alias("chunk_text"),
+    )
+
+
+#: Default scrub patterns (PII-shaped): long digit runs (phone/account/ID
+#: numbers) and email-like tokens. Kept to RE2-and-Java-compatible syntax
+#: (no lookaround, no backrefs) so the same pattern means the same thing
+#: in Spark, DuckDB, and any downstream engine.
+SCRUB_PATTERNS: list[tuple[str, str]] = [
+    (r"[0-9]{4,}", "<NUM>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+]
+
+
+def scrub_col(text: Column, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """PII scrubbing as chained ``regexp_replace`` — pure codegen, no UDF.
+
+    Applies each (pattern, replacement) in order; order matters when
+    patterns overlap (emails contain digit runs, so the digit rule runs
+    first here and the email rule sees ``<NUM>``-mangled addresses —
+    callers wanting email-first reorder the list).
+    """
+    out = text
+    for pat, rep in patterns or SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out

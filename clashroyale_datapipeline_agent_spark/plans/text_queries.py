@@ -1395,3 +1395,113 @@ def embeddings_kmeans_iter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_assigned"),
         F.round("nrm", 4).alias("centroid_norm"),
     )
+
+
+@register(
+    "docs_redaction_stats",
+    """
+    WITH salted AS (
+        SELECT doc_id, lang,
+               text || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) || ' end'
+                   AS raw
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, lang, raw,
+               regexp_replace(raw, '[0-9]{4,}', '<NUM>', 'g') AS clean
+        FROM salted
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN clean != raw THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_redacted,
+           CAST(SUM(len(raw)) AS BIGINT)   AS chars_before,
+           CAST(SUM(len(clean)) AS BIGINT) AS chars_after
+    FROM scrubbed
+    GROUP BY lang
+    """,
+)
+def docs_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (``operators/text.py:scrub_col``): digit runs >= 4
+    replaced engine-side with chained ``regexp_replace`` (pure codegen, no
+    UDF; RE2-and-Java-compatible pattern syntax). The fixture text has no
+    digits, so a deterministic doc_id-derived reference number is appended
+    first — the scrub then provably fires on every row and both engines
+    must agree on the redacted character counts."""
+    from clashroyale_datapipeline_agent_spark.operators.text import scrub_col
+
+    d = _t(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" ref "),
+            (F.col("doc_id") * 7919).cast("string"),
+            F.lit(" end"),
+        ).alias("raw"),
+    )
+    scrubbed = salted.select(
+        "lang",
+        "raw",
+        scrub_col(F.col("raw"), [(r"[0-9]{4,}", "<NUM>")]).alias("clean"),
+    )
+    return scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("clean") != F.col("raw"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.sum(F.length("raw")).cast("bigint").alias("chars_before"),
+        F.sum(F.length("clean")).cast("bigint").alias("chars_after"),
+    )
+
+
+@register(
+    "docs_chunk_stats",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, toks, len(toks) AS n_tokens,
+               CAST(floor(greatest(len(toks) - 16 - 1, 0) / 48.0) AS INTEGER) + 1
+                   AS n_chunks
+        FROM t
+    ),
+    chunks AS (
+        SELECT doc_id, n_tokens,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+               toks
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+           md5(array_to_string(
+               list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+               AS chunk_md5
+    FROM chunks
+    """,
+)
+def docs_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG document chunking (``operators/text.py:chunk_documents``):
+    64-token windows, 16-token overlap, one row per (doc, chunk), chunk
+    CONTENT pinned via md5 of the rebuilt chunk text — the oracle replays
+    the same stride arithmetic and slices with list_slice, so chunk
+    boundaries and content must match token-for-token. The explode is
+    map-side only (no shuffle): chunk-grain rows feed embedding/indexing
+    directly."""
+    from clashroyale_datapipeline_agent_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_tokens=64, overlap=16)
+    return chunks.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_tokens").cast("bigint"),
+        F.col("chunk_idx").cast("bigint"),
+        F.col("start_tok").cast("bigint"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

@@ -241,3 +241,48 @@ def test_cap_per_group_deterministic(spark):
         ).collect()
     )
     assert again == ids  # survivor SET is partitioning-independent
+
+
+def test_chunk_documents_covers_every_token(spark):
+    import pyspark.sql.functions as F
+
+    from clashroyale_datapipeline_agent_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # 100 toks -> 2 chunks
+            (2, " ".join(f"t{i}" for i in range(10))),   # short -> 1 chunk
+            (3, ""),                                      # empty -> 1 empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    # chunk 1 of doc 1 starts at stride 48 => its first token is t48 (16
+    # tokens of overlap with chunk 0, which ends at t63)
+    c1 = next(r for r in by_doc[1] if r["chunk_idx"] == 1)
+    toks = c1["chunk_text"].split(" ")
+    assert toks[0] == "t48" and toks[-1] == "t99" and len(toks) == 52
+    c0 = next(r for r in by_doc[1] if r["chunk_idx"] == 0)
+    assert c0["chunk_text"].split(" ")[-1] == "t63"
+    # union of chunk tokens covers every token
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"t{i}" for i in range(100)}
+
+
+def test_scrub_col_order_and_patterns(spark):
+    import pyspark.sql.functions as F
+
+    from clashroyale_datapipeline_agent_spark.operators.text import scrub_col
+
+    df = spark.createDataFrame(
+        [("call 12345678 or mail bob@example.com now",)], "t string"
+    )
+    out = df.select(scrub_col(F.col("t")).alias("c")).collect()[0]["c"]
+    assert "<NUM>" in out and "<EMAIL>" in out
+    assert "12345678" not in out and "bob@example.com" not in out
