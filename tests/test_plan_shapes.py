@@ -114,3 +114,39 @@ def test_asof_join_single_shuffle_no_udf(spark, sf_dir):
     assert len(re.findall(r"hashpartitioning\(user_id#\d+L, \d+\)", plan)) == 1, plan
     assert "Exchange rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_map_side_only(spark, sf_dir):
+    """RAG chunking must not shuffle: sequence+explode+slice is a pure
+    map-side fan-out."""
+    from clashroyale_datapipeline_agent_spark.operators.text import chunk_documents
+    from clashroyale_datapipeline_agent_spark.plans.star_queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    plan = _plan(spark, chunk_documents(d))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark, sf_dir):
+    """BM25's corpus stats (1 row) and query-term DF table (|query| rows)
+    must broadcast — a shuffle join there would dominate the plan."""
+    from clashroyale_datapipeline_agent_spark.operators.text import bm25_scores
+    from clashroyale_datapipeline_agent_spark.plans.star_queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    plan = _plan(spark, bm25_scores(d, ["spark", "join"]))
+    assert "SortMergeJoin" not in plan  # all joins broadcast-shaped
+
+
+def test_cap_per_group_single_shuffle(spark, sf_dir):
+    """Per-group capping is one Exchange on the group key (the W1 window
+    shape) — nothing else."""
+    import re
+
+    from clashroyale_datapipeline_agent_spark.operators.sampling import cap_per_group
+    from clashroyale_datapipeline_agent_spark.plans.star_queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    plan = _plan(spark, cap_per_group(d, group_col="lang", cap=10, id_col="doc_id"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
