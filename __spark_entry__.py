@@ -61,6 +61,7 @@ _FIRST = [
     "embeddings_kmeans_iter_stats",
     "docs_redaction_stats",
     "docs_chunk_stats",
+    "q6_forecast_revenue",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -849,6 +849,38 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure-pushdown scan-aggregate — every predicate
+    (range on date, between on discount, < on quantity) must reach the
+    parquet scan as a PushedFilter; the whole query is one scan + one
+    1-row partial/final aggregate with no shuffle beyond the final merge.
+    Date/discount bounds adapted to the synthetic fixture's ranges."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+@register(
     "u_set_ops_except_intersect",
     """
     SELECT 'active_only' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (

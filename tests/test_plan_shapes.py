@@ -150,3 +150,14 @@ def test_cap_per_group_single_shuffle(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     plan = _plan(spark, cap_per_group(d, group_col="lang", cap=10, id_col="doc_id"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown acid test: every predicate reaches the scan and
+    only the 4 consumed columns are read."""
+    plan = _plan(spark, SQ.q6_forecast_revenue(spark, sf_dir))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    read = plan.split("ReadSchema")[1]
+    assert "l_orderkey" not in read and "l_suppkey" not in read
