@@ -62,6 +62,14 @@ _FIRST = [
     "docs_redaction_stats",
     "docs_chunk_stats",
     "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q22_dormant_high_balance",
+    "dedup_cluster_size_histogram",
+    "embeddings_int8_quant_stats",
+    "docs_word_repetition_stats",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -881,6 +881,218 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers-by-order-count distribution, including
+    the zero-order bucket the inner join would lose. Scale shape: orders
+    is pre-aggregated to one row per customer BEFORE the join (the
+    shuffle moves (custkey, count) pairs, never order rows), then a
+    left join + coalesce(0) restores orderless customers — equivalent to
+    the oracle's LEFT JOIN + COUNT(o_orderkey) but with the big side
+    reduced map-side first."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust_orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    per_cust = c.join(
+        per_cust_orders, c.c_custkey == per_cust_orders.o_custkey, "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH brand_parts AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+    ), li_b AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN brand_parts p ON p.p_partkey = l.l_partkey
+    ), avgq AS (
+        SELECT l_partkey, AVG(l_quantity) AS aq FROM li_b GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM li_b l JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * a.aq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated-average subquery (revenue from
+    lineitems below half their part's average order quantity) decorrelated
+    into a per-partkey aggregate + equi-join. Scale shape: the brand
+    filter broadcast-prunes lineitem FIRST, so the per-part average and
+    the re-join both run over the ~1/25 brand slice, not the full fact
+    table; quantities are integer-valued doubles so the half-average
+    comparison is exact in both engines."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).drop(
+        "p_partkey"
+    )
+    avgq = li_b.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    joined = li_b.alias("l").join(
+        avgq.alias("a"), F.col("l.l_partkey") == F.col("a.l_partkey")
+    )
+    return joined.filter(F.col("l.l_quantity") < 0.5 * F.col("a.aq")).agg(
+        _r2(F.sum("l.l_extendedprice") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered fact aggregate (orders whose
+    total quantity exceeds a threshold) joined back through orders to the
+    customer dimension, global top-k by price. Scale shape: the lineitem
+    aggregate reduces to one row per qualifying order before any join;
+    the surviving row count is tiny, so AQE broadcasts it into orders
+    and the final sort is TakeOrderedAndProject, never a full sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _r2(F.col("o_totalprice")).alias("o_totalprice"),
+            _r2(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q22_dormant_high_balance",
+    """
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — a scalar aggregate subquery (broadcast as a 1-row cross
+    join, the same pattern TF-IDF uses for N) plus a date-bounded
+    LEFT ANTI join, grouped by market segment. Scale shape: the anti
+    join's right side is orders pre-filtered by the pushed date predicate
+    and pruned to the single o_custkey column."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        _r2(F.sum("c_acctbal")).alias("totacctbal"),
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_share,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
+    for one ship month). Scale shape: the month predicate pushes into the
+    lineitem scan (one month ≈ 1/84 of the fact table survives), part is
+    pruned to (partkey, type) before the join, and the ratio is a single
+    partial/final aggregate — no second pass over the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        _r2(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_share"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+@register(
     "u_set_ops_except_intersect",
     """
     SELECT 'active_only' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (

@@ -1505,3 +1505,185 @@ def docs_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_tok").cast("bigint"),
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 3 = 0
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+        WHERE a.doc_id % 9 = 0
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ), reach(v, r) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.v = s.v
+    ), comp AS (
+        SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+    ), assigned AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), sizes AS (
+        SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM assigned GROUP BY rep
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup-audit readout that
+    sits on top of connected components (how much of the corpus is
+    singleton vs clustered, and how big the worst clusters get; the
+    reference has no equivalent, this is the training-corpus audit
+    shape). Same deterministic arithmetic edge set as
+    ``graph_connected_components`` so both engines cluster the same
+    graph; singletons enter as their own one-doc clusters via the
+    left-join + coalesce. Scale shape: after CC (O(diameter) rounds,
+    checkpointed), both histogram aggregations shuffle only
+    (rep)/(size) pairs — corpus rows never move twice."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    e1 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.doc_id") % 3 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    e2 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 2)
+        & (F.col("a.doc_id") % 9 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comps = connected_components(e1.unionByName(e2))
+    assigned = d.join(comps, d.doc_id == comps.id, "left").select(
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("rep")
+    )
+    sizes = assigned.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "embeddings_int8_quant_stats",
+    """
+    WITH emb AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, label, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM emb
+    ), dq AS (
+        SELECT vec_id, label, e,
+               list_transform(e, x -> floor(x / scale + 0.5) * scale) AS d
+        FROM scaled
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(list_dot_product(e, d)
+                     / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(d, d)))), 6) AS avg_cos_fidelity,
+           ROUND(AVG(list_max(list_transform(list_zip(e, d), p -> abs(p[1] - p[2])))), 4) AS avg_max_abs_err
+    FROM dq GROUP BY label
+    """,
+)
+def embeddings_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4x-memory-compression step an ANN index takes before sharding at
+    100 TB — with its fidelity audit: per-label mean cosine between the
+    original and dequantized vector, and mean max-abs reconstruction
+    error. scale = max|x|/127, q = floor(x/scale + 0.5) (explicit
+    half-up rounding — both engines floor identically, no banker's-
+    rounding divergence), dequant = q*scale. All pure codegen fold
+    expressions; the only shuffle is the final per-label aggregate."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        cosine_col,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
+    staged = e.select(
+        "label",
+        emb.alias("e"),
+        F.transform(emb, lambda x: F.floor(x / scale + 0.5) * scale).alias("d"),
+    )
+    err = F.array_max(
+        F.zip_with(F.col("e"), F.col("d"), lambda a, b: F.abs(a - b))
+    )
+    return staged.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg(cosine_col(F.col("e"), F.col("d"))), 6).alias(
+            "avg_cos_fidelity"
+        ),
+        F.round(F.avg(err), 4).alias("avg_max_abs_err"),
+    )
+
+
+@register(
+    "docs_word_repetition_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3
+    ), per_doc AS (
+        SELECT doc_id, lang,
+               MAX(c) * 1.0 / SUM(c) AS top_frac,
+               COUNT(*) * 1.0 / SUM(c) AS distinct_ratio
+        FROM wc GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(top_frac), 4) AS avg_top_word_frac,
+           ROUND(AVG(distinct_ratio), 4) AS avg_distinct_ratio,
+           CAST(COUNT(*) FILTER (top_frac > 0.1) AS BIGINT) AS n_repetitive
+    FROM per_doc GROUP BY lang
+    """,
+)
+def docs_word_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-level repetition signals (top-word fraction and
+    distinct-word ratio per document, rolled up per language with a
+    flagged-count at top_frac > 0.1) — complements the top-bigram filter
+    in ``docs_quality_filter_summary`` at the unigram grain. Scale
+    shape: explode -> (doc, word) partial count -> per-doc rollup keeps
+    every shuffle at word-count width; the per-language final agg is a
+    bounded-cardinality reduce. Both ratios divide exact integer counts,
+    so the only cross-engine noise is the final AVG rounding."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("w")
+    )
+    wc = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("doc_id", "lang").agg(
+        (F.max("c") * 1.0 / F.sum("c")).alias("top_frac"),
+        (F.count(F.lit(1)) * 1.0 / F.sum("c")).alias("distinct_ratio"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("top_frac"), 4).alias("avg_top_word_frac"),
+        F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+        F.sum(F.when(F.col("top_frac") > 0.1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repetitive"),
+    )

@@ -161,3 +161,22 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
         assert col in pushed, (col, pushed)
     read = plan.split("ReadSchema")[1]
     assert "l_orderkey" not in read and "l_suppkey" not in read
+
+
+def test_q18_having_join_take_ordered(spark, sf_dir):
+    """Q18: the top-25 must be TakeOrderedAndProject (never a full sort)
+    and the HAVING aggregate must sit below the joins."""
+    plan = _plan(spark, SQ.q18_large_volume_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q13_preaggregates_orders_before_join(spark, sf_dir):
+    """Q13: orders must reduce to one (custkey, count) row per customer
+    BEFORE the outer join — the join's right side is an aggregate, so the
+    plan carries a HashAggregate on o_custkey beneath the join node."""
+    import re
+
+    plan = _plan(spark, SQ.q13_order_count_distribution(spark, sf_dir))
+    assert "Join" in plan
+    assert re.search(r"Keys \[1\]: \[o_custkey", plan)
