@@ -70,6 +70,8 @@ _FIRST = [
     "dedup_cluster_size_histogram",
     "embeddings_int8_quant_stats",
     "docs_word_repetition_stats",
+    "docs_temperature_resample_counts",
+    "source_duplication_matrix",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

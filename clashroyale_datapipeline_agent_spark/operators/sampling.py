@@ -182,3 +182,49 @@ def cap_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def resample_by_temperature(
+    df: DataFrame,
+    *,
+    group_col: str,
+    alpha: float,
+    total: int,
+    id_col: str,
+) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual-corpus
+    rebalancing step (sample group g with probability proportional to
+    ``n_g ** alpha``; alpha<1 flattens the mix toward low-resource
+    groups, alpha=1 keeps natural proportions).
+
+    Per-group targets are ``floor(total * n^alpha / sum(n^alpha))``;
+    survivors are the first ``target`` rows per group in md5(id) order —
+    the same deterministic no-RNG discipline as :func:`cap_per_group`, so
+    the survivor SET is engine- and run-stable. alpha=0.5 goes through
+    ``sqrt`` (correctly-rounded IEEE in every engine) rather than
+    ``pow`` so the target boundary cannot wobble cross-engine.
+
+    Scale shape: group counts + the sum-of-weights scalar are one
+    bounded aggregate broadcast back as a 1-row/row-per-group literal
+    join; the only corpus-width shuffle is the per-group rank window
+    (W1 shape — exchange-free over a group-bucketed store).
+    """
+    ng = F.col("_n").cast("double")
+    weight = F.sqrt(ng) if alpha == 0.5 else F.pow(ng, F.lit(float(alpha)))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum(weight).alias("_s"))
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.floor(F.lit(float(total)) * weight / F.col("_s"))
+        .cast("bigint")
+        .alias("_target"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(targets), group_col)
+        .filter(F.col("_rn") <= F.col("_target"))
+        .drop("_rn", "_target")
+    )

@@ -1687,3 +1687,151 @@ def docs_word_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_repetitive"),
     )
+
+
+@register(
+    "docs_temperature_resample_counts",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS s FROM counts
+    ), targets AS (
+        SELECT lang, n,
+               CAST(FLOOR(300.0 * sqrt(CAST(n AS DOUBLE)) / s) AS BIGINT) AS target
+        FROM counts, tot
+    ), ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT t.lang,
+           CAST(t.n AS BIGINT) AS n_docs,
+           t.target,
+           CAST(SUM(CASE WHEN r.rn <= t.target THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked r JOIN targets t ON r.lang = t.lang
+    GROUP BY 1, 2, 3
+    """,
+)
+def docs_temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mix resampling
+    (``operators/sampling.py:resample_by_temperature``, alpha=0.5,
+    total=300): languages are sampled proportional to sqrt(n), flattening
+    the mix toward low-resource languages the way multilingual LM
+    pretraining mixes do. The oracle replays target arithmetic + the
+    md5-rank survivor rule; per-language kept-counts must agree exactly."""
+    from clashroyale_datapipeline_agent_spark.operators.sampling import (
+        resample_by_temperature,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = resample_by_temperature(
+        d, group_col="lang", alpha=0.5, total=300, id_col="doc_id"
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = counts.agg(F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("_s"))
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.lit(300.0) * F.sqrt(F.col("n_docs").cast("double")) / F.col("_s")
+        )
+        .cast("bigint")
+        .alias("target"),
+    )
+    kept_counts = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return targets.join(kept_counts, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "target",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
+    "source_duplication_matrix",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT source, s FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 2, 0)),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+            FROM toks
+        )
+    ), sizes AS (
+        SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+    ), shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(n_shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_shared AS DOUBLE), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY jaccard DESC, src_a ASC, src_b ASC
+    LIMIT 20
+    """,
+)
+def source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication audit: word-3-gram shingle Jaccard
+    between every pair of corpus sources, top-20 most-overlapping pairs —
+    the "is source B just a re-crawl of source A?" readout that decides
+    whether a whole source gets dropped before training. Scale shape:
+    shingles are deduplicated to (source, shingle) grain FIRST (corpus
+    text never self-joins), pairs meet through a shingle-keyed equi-join
+    whose fan-out is bounded by sources-per-shingle squared, and the
+    matrix itself is at most sources^2/2 rows."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    sh = (
+        d.select(
+            "source", F.explode(shingles_col(F.col("text"), 3)).alias("s")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("src_a"), F.asc("src_b"))
+        .limit(20)
+    )

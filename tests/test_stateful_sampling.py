@@ -161,3 +161,60 @@ def test_stratified_mod_sample_rates(spark):
     assert counts["fr"] == 3_000            # untouched stratum keeps everything
     assert counts["en"] == 600              # exactly 1/5 of 3000 (id % 5 < 1)
     assert counts["de"] == 1_500            # exactly 1/2 of 3000
+
+
+def test_resample_by_temperature_invariants(spark, sf_dir):
+    """alpha=0.5 flattening: every group lands at most at its floor'd
+    target, totals never exceed the budget, and the survivor set is
+    stable across runs (no RNG)."""
+    from clashroyale_datapipeline_agent_spark.operators.sampling import (
+        resample_by_temperature,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+    d = load_star_table(spark, sf_dir, "documents")
+    kept = resample_by_temperature(
+        d, group_col="lang", alpha=0.5, total=300, id_col="doc_id"
+    )
+    per_group = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # budget respected (floor per group can undershoot, never overshoot)
+    assert sum(per_group.values()) <= 300
+    # flattening: the dominant group's share shrinks vs its natural share
+    nat = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    top = max(nat, key=nat.get)
+    assert per_group[top] / sum(per_group.values()) < nat[top] / sum(nat.values())
+    # determinism: identical survivor ids across two runs
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in resample_by_temperature(
+            d, group_col="lang", alpha=0.5, total=300, id_col="doc_id"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_int8_quant_error_bound(spark, sf_dir):
+    """Symmetric int8 quantization: per-element reconstruction error is
+    bounded by scale/2 = max|x|/254 for every vector (the half-step
+    bound floor(x/scale + 0.5) guarantees)."""
+    from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+    e = load_star_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
+    dq = F.transform(emb, lambda x: F.floor(x / scale + 0.5) * scale)
+    max_err = F.array_max(F.zip_with(emb, dq, lambda a, b: F.abs(a - b)))
+    # allow 1 ulp of slack on the strict half-step bound
+    n_bad = e.select(
+        (max_err > scale / 2.0 * 1.0000001).cast("int").alias("bad")
+    ).agg(F.sum("bad").alias("n")).collect()[0]["n"]
+    assert n_bad == 0
