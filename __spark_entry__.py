@@ -72,6 +72,8 @@ _FIRST = [
     "docs_word_repetition_stats",
     "docs_temperature_resample_counts",
     "source_duplication_matrix",
+    "events_funnel_3step",
+    "events_retention_cohorts",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -1835,3 +1835,160 @@ def source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("src_a"), F.asc("src_b"))
         .limit(20)
     )
+
+
+@register(
+    "events_funnel_3step",
+    """
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), s2 AS (
+        SELECT user_id, event_type, ts, t1,
+               MIN(CASE WHEN event_type = 'click' AND ts > t1
+                         AND ts <= t1 + INTERVAL 3 DAY THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                         AND ts <= t2 + INTERVAL 3 DAY THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n_step1,
+           CAST(COUNT(t2) AS BIGINT) AS n_step2,
+           CAST(COUNT(t3) AS BIGINT) AS n_step3,
+           ROUND(COUNT(t2) * 1.0 / COUNT(t1), 4) AS conv_1_2,
+           ROUND(COUNT(t3) * 1.0 / NULLIF(COUNT(t2), 0), 4) AS conv_2_3,
+           ROUND(AVG((epoch_us(t2) - epoch_us(t1)) / 1e6), 2) AS avg_sec_1_2,
+           ROUND(AVG((epoch_us(t3) - epoch_us(t2)) / 1e6), 2) AS avg_sec_2_3
+    FROM per_user
+    """,
+)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup -> click -> purchase, each step
+    within 3 days of the previous) — the product-analytics shape a
+    training-events pipeline reports before sequence modeling. Expressed
+    as three chained conditional window-mins over ONE user_id partition:
+    a single shuffle, three WindowExec passes, then a per-user collapse
+    and a 1-row conversion rollup. No joins, no UDFs; step timestamps
+    compare in native event time."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id")
+    d3 = F.expr("INTERVAL 3 DAY")
+    s1 = e.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + d3),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + d3),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    sec = lambda a, b: (F.unix_micros(F.col(a)) - F.unix_micros(F.col(b))) / 1e6  # noqa: E731
+    return per_user.agg(
+        F.count("t1").cast("bigint").alias("n_step1"),
+        F.count("t2").cast("bigint").alias("n_step2"),
+        F.count("t3").cast("bigint").alias("n_step3"),
+        F.round(F.count("t2") * 1.0 / F.count("t1"), 4).alias("conv_1_2"),
+        F.round(
+            F.count("t3") * 1.0 / F.nullif(F.count("t2"), F.lit(0)), 4
+        ).alias("conv_2_3"),
+        _r2(F.avg(sec("t2", "t1"))).alias("avg_sec_1_2"),
+        _r2(F.avg(sec("t3", "t2"))).alias("avg_sec_2_3"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+               CAST(floor(date_diff('day', CAST(f.first_ts AS DATE),
+                                    CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ), sizes AS (
+        SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+        FROM act WHERE week_offset = 0 GROUP BY 1
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(COUNT(*) * 1.0 / s.cohort_size, 4) AS retention
+    FROM act a JOIN sizes s ON s.cohort_week = a.cohort_week
+    GROUP BY 1, 2, s.cohort_size
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    active per week-offset, with retention = active/cohort_size. Scale
+    shape: first_ts comes from a window-min over the same user_id
+    partition the activity rows already shuffle on (no self-join of the
+    event log); the (cohort, offset) activity grid is DISTINCT-collapsed
+    at user grain before counting, and cohort sizes (bounded by #weeks)
+    broadcast back onto the grid."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    wu = Window.partitionBy("user_id")
+    act = (
+        e.withColumn("first_ts", F.min("ts").over(wu))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts"))
+            .cast("timestamp")
+            .alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7.0
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = (
+        act.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.countDistinct("user_id").alias("cohort_size"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+    )

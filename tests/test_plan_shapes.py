@@ -180,3 +180,16 @@ def test_q13_preaggregates_orders_before_join(spark, sf_dir):
     plan = _plan(spark, SQ.q13_order_count_distribution(spark, sf_dir))
     assert "Join" in plan
     assert re.search(r"Keys \[1\]: \[o_custkey", plan)
+
+
+def test_funnel_single_user_shuffle_no_join(spark, sf_dir):
+    """The 3-step funnel must stay join-free: three conditional window
+    passes over ONE user_id exchange, then the 1-row rollup."""
+    import re
+
+    from clashroyale_datapipeline_agent_spark.plans import text_queries as TQ
+
+    plan = _plan(spark, TQ.events_funnel_3step(spark, sf_dir))
+    assert "Join" not in plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, exchanges  # user_id hash + final single-partition
