@@ -74,6 +74,7 @@ _FIRST = [
     "source_duplication_matrix",
     "events_funnel_3step",
     "events_retention_cohorts",
+    "embeddings_pq_assign_stats",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

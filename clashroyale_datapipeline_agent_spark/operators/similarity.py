@@ -489,3 +489,63 @@ def kmeans_lloyd(
             for ci in range(k)
         ]
     return assigned, cents
+
+
+def pq_assign(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization code assignment: split each vector into
+    ``len(codebooks)`` contiguous subvectors and snap each to its nearest
+    codeword — the memory layout (dim/num_subspaces bytes per vector per
+    subspace) that makes billion-scale ANN indexes fit in RAM.
+
+    ``codebooks[g][c]`` is codeword ``c`` of subspace ``g``. The
+    codebooks enter the plan as LITERALS (k*dim scalars — the same
+    driver boundary as ``kmeans_lloyd``/``ivf_index``), so assignment is
+    a pure map-side argmin expression: per row, one array-of-structs
+    ``(d2, code)`` per subspace, ``array_min`` for the lexicographic
+    argmin (exact ties break to the lowest code), then one ``posexplode``
+    to (id, subspace, code, d2) grain. NO shuffle anywhere — downstream
+    aggregations shuffle 32-key stats, never vectors.
+    """
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    per_sub = []
+    for g, book in enumerate(codebooks):
+        sv = F.slice(v, g * sub_dim + 1, sub_dim)
+        cands = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(float(x)) for x in codeword]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(c).alias("code"),
+            )
+            for c, codeword in enumerate(book)
+        ]
+        best = F.array_min(F.array(*cands))
+        per_sub.append(
+            F.struct(
+                F.lit(g).alias("subspace"),
+                best["code"].alias("code"),
+                best["d2"].alias("d2"),
+            )
+        )
+    return vectors.select(
+        F.col(id_col), F.explode(F.array(*per_sub)).alias("a")
+    ).select(
+        id_col,
+        F.col("a.subspace").alias("subspace"),
+        F.col("a.code").alias("code"),
+        F.col("a.d2").alias("d2"),
+    )

@@ -1992,3 +1992,65 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embeddings_pq_assign_stats",
+    """
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), sub AS (
+        SELECT vec_id, s.g AS subspace,
+               list_slice(e, s.g * 8 + 1, s.g * 8 + 8) AS v
+        FROM emb, (SELECT unnest(generate_series(0, 7)) AS g) s
+    ), cent AS (
+        SELECT vec_id AS code, subspace, v AS c FROM sub WHERE vec_id < 4
+    ), scored AS (
+        SELECT s.vec_id, s.subspace, c.code,
+               list_sum(list_transform(list_zip(s.v, c.c),
+                                       p -> (p[1]-p[2]) * (p[1]-p[2]))) AS d2,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.subspace
+                   ORDER BY list_sum(list_transform(list_zip(s.v, c.c),
+                                     p -> (p[1]-p[2]) * (p[1]-p[2]))) ASC,
+                            c.code ASC) AS rn
+        FROM sub s JOIN cent c ON c.subspace = s.subspace
+    )
+    SELECT CAST(subspace AS INT) AS subspace,
+           CAST(code AS INT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           ROUND(AVG(sqrt(d2)), 4) AS avg_dist
+    FROM scored WHERE rn = 1
+    GROUP BY subspace, code
+    """,
+)
+def embeddings_pq_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (``operators/similarity.py:pq_assign``):
+    8 subspaces x 4 codewords over the 64-dim embeddings, codebooks
+    deterministically seeded from the 4 lowest vec_ids (no RNG, so both
+    engines quantize against identical codewords). The Spark side is a
+    map-side literal-argmin (zero shuffle before the 32-key stats
+    aggregate); the oracle replays assignment with an explicit
+    distance-then-code window rank. Exact distance ties break to the
+    lowest code in both."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import pq_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    seed = (
+        e.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    codebooks = [
+        [list(row[0][g * 8 : g * 8 + 8]) for row in seed] for g in range(8)
+    ]
+    assigned = pq_assign(e, codebooks)
+    return assigned.groupBy(
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
+    )

@@ -193,3 +193,23 @@ def test_funnel_single_user_shuffle_no_join(spark, sf_dir):
     assert "Join" not in plan
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 2, exchanges  # user_id hash + final single-partition
+
+
+def test_pq_assign_is_map_side(spark, sf_dir):
+    """PQ assignment must be a pure map-side literal-argmin: zero
+    exchanges, no joins, no Python nodes."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import pq_assign
+    from clashroyale_datapipeline_agent_spark.plans.star_queries import _t
+
+    e = _t(spark, sf_dir, "embeddings")
+    seed = (
+        e.filter(e.vec_id < 4)
+        .orderBy("vec_id")
+        .select(e.embedding.cast("array<double>"))
+        .collect()
+    )
+    books = [[list(r[0][g * 8 : g * 8 + 8]) for r in seed] for g in range(8)]
+    plan = _plan(spark, pq_assign(e, books))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
