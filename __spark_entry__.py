@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from clashroyale_datapipeline_agent_spark.plans import star_queries
 from clashroyale_datapipeline_agent_spark.plans import text_queries  # noqa: F401  (registers)
 from clashroyale_datapipeline_agent_spark.plans import domain_queries  # noqa: F401  (registers)
+from clashroyale_datapipeline_agent_spark.plans import tpch_extra  # noqa: F401  (registers)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -75,6 +76,17 @@ _FIRST = [
     "events_funnel_3step",
     "events_retention_cohorts",
     "embeddings_pq_assign_stats",
+    "q4_priority_late_exists",
+    "q7_bi_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_revenue_topk",
+    "q12_late_priority_by_flag",
+    "q15_top_revenue_supplier",
+    "q16_supplier_counts_by_class",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q2_best_supplier_per_part",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -1,0 +1,731 @@
+"""Relational-breadth queries II: the remaining adaptable TPC-H shapes.
+
+Round 3 already anchored Q1/Q3/Q5/Q6/Q13/Q14/Q17/Q18/Q22 in
+``plans/star_queries.py``; this module completes the sweep with the shapes
+that exercise join/subquery machinery not yet covered by a named query:
+
+- Q4  — EXISTS rewritten as a LEFT SEMI join with a *mixed* equi + range
+        condition (late lineitems per order);
+- Q7  — bi-directional nation-pair volume (two broadcast dim joins against
+        the same dimension, disjunctive pair predicate, year rollup);
+- Q8  — market-share ratio (conditional-sum / sum over an 8-way snowflake);
+- Q9  — profit by supplier-nation × order-year over a LIKE-filtered part
+        slice;
+- Q10 — returned-item revenue ranking (fact→orders→customer→nation, top-k);
+- Q12 — late-shipment priority classification (CASE-sum conditional agg);
+- Q15 — top-revenue supplier via a broadcast 1-row MAX join (scalar
+        subquery decorrelated, the TF-IDF ``N`` pattern);
+- Q16 — supplier counts per part class with a NOT-IN anti join, over a
+        DISTINCT (partkey, suppkey) surrogate for the absent partsupp
+        table;
+- Q19 — disjunctive OR-of-ANDs join predicate (Catalyst must still extract
+        the partkey equi-join key);
+- Q21 — waiting-supplier double-correlated subquery: one EXISTS (another
+        supplier in the order) + one NOT EXISTS (no *other* late supplier),
+        as semi + anti joins with inequality residuals;
+- Q2  — min-cost-supplier argmax per part (window row_number over a
+        dim-broadcast candidate set).
+
+The fixture's ``lineitem`` has no commitdate/receiptdate and there is no
+partsupp table (TESTDATA.md), so lateness is adapted to
+``l_shipdate > o_orderdate + K days`` and partsupp to
+``SELECT DISTINCT l_partkey, l_suppkey FROM lineitem`` — the *plan shapes*
+(semi/anti with residuals, scalar-max broadcast, disjunctive pushdown)
+are the point, not the official spec numbers.
+
+Cross-engine determinism follows the star_queries rules: ROUND(…, 2) on
+double aggregates in both engines, BIGINT casts on counts, a unique total
+order before every LIMIT, ``CAST(year(…) AS INTEGER)`` on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _r2, _t, register
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking: EXISTS → LEFT SEMI with range residual
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_priority_late_exists",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: the correlated EXISTS becomes one LEFT SEMI join
+    whose condition mixes the orderkey equi-key with the per-row range
+    residual (shipdate > orderdate + 60d) — no distinct/aggregate
+    pre-pass, and each qualifying order is counted once no matter how
+    many late lineitems it has. Scale shape: the date window pushes into
+    the orders scan; lineitem is pruned to (orderkey, shipdate)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between a nation pair, both directions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_bi_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_bi_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same 25-row nation dimension joins twice under
+    different roles (supplier side / customer side) with a disjunctive
+    pair predicate across the two aliases. Scale shape: both nation
+    joins broadcast; the pair filter cannot be pushed below the joins
+    (it spans both) but the 2-year shipdate range prunes the fact scan,
+    and the final rollup groups on 3 low-cardinality keys."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_r2(F.sum("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region
+# ---------------------------------------------------------------------------
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                          ELSE 0.0 END) / SUM(volume), 4) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional promo volume per
+    order year — a conditional-sum / total-sum ratio over an 8-way
+    snowflake (the largest join tree in the catalog). Scale shape: the
+    region filter prunes the customer-side nation broadcast BEFORE the
+    fact join; part is filtered to one type and broadcast; the ratio is
+    a single partial/final aggregate per year (Q14's pattern)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n1_key"))
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    national = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(F.sum(national) / F.sum("volume"), 4).alias("mkt_share"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by supplier nation and order year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(18, 4))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit rollup over a LIKE-filtered part slice
+    (the fixture has no ps_supplycost, so cost is adapted to
+    0.1 × p_retailprice × quantity — same expression shape: a
+    two-table arithmetic inside the aggregate). Scale shape: the LIKE
+    filter keeps only ~13% of parts and broadcasts them, pruning
+    lineitem at the first join; orders contributes only (orderkey,
+    orderdate); the group keys are (25 nations × years). The profit term
+    subtracts two same-magnitude sums (revenue − cost), which amplifies
+    double summation-order noise past ROUND(…, 2) — so each row's profit
+    is cast to DECIMAL(18,4) and summed exactly in BOTH engines (order-
+    independent), with one final round/cast back to double."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("nation", F.year("o_orderdate").alias("o_year"), profit.alias("pf"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("pf"), 2).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item revenue ranking
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_revenue_topk",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers who returned
+    items in a quarter window. Scale shape: both predicates (returnflag
+    on the fact scan, date range on orders) push down; nation broadcasts;
+    the ranking is top-20 with a unique custkey tiebreak, planned as
+    TakeOrderedAndProject — never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r2(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — late-shipment priority classification
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_late_priority_by_flag",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_late_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class conditional counts over late
+    shipments (the fixture has no l_shipmode/commitdate, so the group
+    key is the returnflag and lateness is shipdate vs orderdate + 90d —
+    the CASE-sum pivot and the join-residual range predicate are the
+    shape). Scale shape: the one-year shipdate window pushes into the
+    fact scan; the lateness residual is evaluated on the join output;
+    the aggregate is 3 groups × 2 conditional sums, partial+final."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top-revenue supplier via broadcast scalar MAX
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_top_revenue_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-supplier view + scalar MAX subquery,
+    decorrelated into a broadcast 1-row max cross-joined back onto the
+    per-supplier revenue aggregate (the same pattern ``text_tfidf_topk``
+    uses for corpus N — no collect, no second scan of lineitem).
+    Equality is on ROUND(…, 2) values in BOTH engines, which pins the
+    float comparison cross-engine. Ties (several suppliers at the max)
+    are all returned, per the spec."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts per part class, NOT-IN anti join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_supplier_counts_by_class",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 40
+    """,
+)
+def q16_supplier_counts_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    class, excluding a blocklisted supplier set via NOT IN → LEFT ANTI.
+    The fixture has no partsupp, so the part–supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) projection of lineitem — one
+    map-side-combinable distinct over exactly the two join columns.
+    Scale shape: part's class filter broadcast-prunes the pair set; the
+    blocklist (LIKE-filtered supplier keys) is tiny and anti-joins
+    broadcast; COUNT(DISTINCT) runs over the pruned pairs only."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blocked = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(blocked), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive OR-of-ANDs join predicate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR-ed conjunct groups that each mix
+    part-side and lineitem-side predicates. The plan test to care about:
+    Catalyst must still extract the common partkey equi-key (a
+    BroadcastHashJoin with the disjunction as residual — not a nested
+    loop), and the single-side implications of the OR (brand ∈ {12,23,34},
+    size ≤ 15, quantity ∈ [1,30]) are derivable pushdowns. The part side
+    is pre-filtered to the brand/size union before broadcasting."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    # single-side implication of the disjunction — prunes the broadcast
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") <= smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = (
+        arm("Brand#12", 5, 1, 11)
+        | arm("Brand#23", 10, 10, 20)
+        | arm("Brand#34", 15, 20, 30)
+    )
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).filter(cond)
+    return j.agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — waiting suppliers: EXISTS + NOT EXISTS with inequality residuals
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late t
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    finished multi-supplier order — the double-correlated subquery pair
+    becomes one LEFT SEMI (another supplier exists in the order) and one
+    LEFT ANTI (no OTHER supplier was late) join, each with an orderkey
+    equi-key plus a suppkey-inequality residual. Scale shape: ``late``
+    is derived once from the date-residual join and reused for both the
+    probe side and the anti side; supplier broadcasts; final top-k is
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    t = late.join(
+        others,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("y_orderkey") == F.col("l_orderkey"))
+        & (F.col("y_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        t.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — best supplier per part (argmax via window over a candidate set)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_best_supplier_per_part",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+        SELECT p.p_partkey, s.s_suppkey, s.s_name,
+               ROUND(s.s_acctbal, 2) AS s_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.p_partkey
+                   ORDER BY s.s_acctbal DESC, s.s_suppkey ASC
+               ) AS rn
+        FROM ps
+        JOIN part p     ON p.p_partkey = ps.l_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND p.p_type = 'SMALL'
+          AND p.p_size BETWEEN 10 AND 20
+    )
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal
+    FROM cand WHERE rn = 1
+    ORDER BY s_acctbal DESC, p_partkey ASC
+    LIMIT 50
+    """,
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated MIN-cost subquery, re-expressed as
+    an argmax-per-part window (the fixture has no ps_supplycost, so
+    "best" is highest account balance with a unique suppkey tiebreak —
+    same decorrelation: candidates → rank within part → rank 1). Scale
+    shape: region→nation→supplier prunes the supplier side BEFORE the
+    pair join; part's class filter broadcasts; the window partitions by
+    partkey with bounded (≤ suppliers-per-part) groups, and raw (not
+    rounded) balances order the window so ranking is exact."""
+    ps = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & F.col("p_size").between(10, 20)
+    ).select("p_partkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    cand = (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        cand.filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            _r2(F.col("s_acctbal")).alias("s_acctbal"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
+        .limit(50)
+    )
