@@ -87,6 +87,10 @@ _FIRST = [
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
     "q2_best_supplier_per_part",
+    "dedup_simhash_md5",
+    "text_bigram_lift_topk",
+    "events_zscore_anomalies",
+    "events_rolling_1h_window",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -393,3 +393,46 @@ def ngram_contamination(
             .alias("n_shared_ngrams"),
         )
     )
+
+
+def simhash_md5_col(text: Column, bits: int = 32) -> Column:
+    """Cross-engine SimHash: per-token **md5** bit voting (reference parity
+    for the xxhash64 fast path in :func:`simhash_col`, but oracle-able —
+    md5 hex digests are identical in Spark and DuckDB, while xxhash64
+    seeds are engine-specific).
+
+    Bit ``i`` of a token's hash is bit ``i % 4`` of hex digit ``i // 4``
+    of its md5 digest; each token votes +1/-1 per bit and the fingerprint
+    sets bit ``i`` iff the vote sum is positive. All static shift amounts
+    (``F.shiftright`` takes Python ints), fully codegen'd — same O(tokens
+    · bits) cost profile as the xxhash64 variant.
+
+    Empty-token-list rows fold to fingerprint 0; callers that mirror a
+    SQL oracle should filter those out on BOTH sides (an SQL unnest drops
+    empty lists, a Spark fold does not).
+    """
+    toks = F.filter(F.split(F.lower(F.trim(text)), " "), lambda t: t != "")
+    zero = F.array_repeat(F.lit(0), bits)
+
+    def _votes(tok: Column) -> Column:
+        h = F.md5(tok)
+        cols = []
+        for i in range(bits):
+            digit_val = F.conv(F.substring(h, 1 + i // 4, 1), 16, 10).cast("int")
+            bit = F.shiftright(digit_val, i % 4).bitwiseAND(F.lit(1))
+            cols.append(F.when(bit == 1, 1).otherwise(-1))
+        return F.array(*cols)
+
+    counts = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, _votes(t), lambda a, b: a + b)
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -2054,3 +2054,249 @@ def embeddings_pq_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-2: md5-SimHash fingerprints, collocations, event anomalies
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_simhash_md5",
+    """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                  x -> x != '')) AS tok
+        FROM docs
+    ), th AS (
+        SELECT doc_id, md5(tok) AS h FROM toks
+    ), bits AS (
+        SELECT doc_id, i.i AS bit,
+               CASE WHEN ((CAST(strpos('0123456789abcdef',
+                                       substr(h, 1 + i.i // 4, 1))
+                                AS INTEGER) - 1) >> (i.i % 4)) & 1 = 1
+                    THEN 1 ELSE -1 END AS vote
+        FROM th, (SELECT unnest(generate_series(0, 31)) AS i) i
+    ), votes AS (
+        SELECT doc_id, bit, SUM(vote) AS v FROM bits GROUP BY doc_id, bit
+    ), packed AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+    SELECT simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM packed
+    GROUP BY simhash
+    ORDER BY n_docs DESC, simhash ASC
+    LIMIT 50
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with cross-engine md5 bit voting (operators/dedup.py:
+    simhash_md5_col) — converts the SimHash family from pytest-only
+    (xxhash64 is engine-specific) to a hash-checked oracle row. 32-bit
+    fingerprints over a keyed 20% slice, grouped into a fingerprint
+    histogram. Scale shape: one projection computes the fingerprint
+    inside codegen (no shuffle of document bodies), then a (simhash)
+    groupBy of 8-byte keys; the slice is key-mod deterministic.
+
+    The oracle's unnest drops token-less docs, so both sides filter to
+    docs with at least one token."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import simhash_md5_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), " "), lambda t: t != "")
+    fp = d.filter(F.size(toks) > 0).select(
+        "doc_id", simhash_md5_col(F.col("text")).alias("simhash")
+    )
+    return (
+        fp.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("simhash"))
+        .limit(50)
+    )
+
+
+@register(
+    "text_bigram_lift_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
+        FROM documents
+    ), uni AS (
+        SELECT unnest(ts) AS w FROM toks
+    ), uni_counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), n_uni AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM uni
+    ), bi AS (
+        SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS pair
+        FROM toks WHERE len(ts) >= 2
+    ), bi_counts AS (
+        SELECT pair[1] AS w1, pair[2] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM bi GROUP BY 1, 2
+    ), n_bi AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi
+    )
+    SELECT b.w1, b.w2, b.c_xy,
+           ROUND(((CAST(b.c_xy AS DOUBLE) * nu / u1.c) * (nu / u2.c)) / nb,
+                 4) AS lift
+    FROM bi_counts b
+    JOIN uni_counts u1 ON u1.w = b.w1
+    JOIN uni_counts u2 ON u2.w = b.w2
+    CROSS JOIN n_uni CROSS JOIN n_bi
+    WHERE b.c_xy >= 10
+    ORDER BY lift DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 30
+    """,
+)
+def text_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by lift (the log-free monotone twin of
+    PMI: P(xy) / (P(x)·P(y)) — pure IEEE multiply/divide chains are
+    bit-identical cross-engine, while ln() is libm-dependent). The shape
+    a phrase-mining / tokenizer-vocab pipeline runs before merges.
+
+    Scale shape: one (w1,w2) shuffle for bigram counts and one (w)
+    shuffle for unigram counts; the corpus totals join as broadcast
+    1-row aggregates (TF-IDF's N pattern); unigram counts join the
+    bigram table twice — both sides shrink to distinct-term cardinality
+    before the join. The division sequence is parenthesized identically
+    in both engines so the doubles round identically."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(_toks(F.lower(F.trim(F.col("text")))).alias("ts"))
+    uni = toks.select(F.explode("ts").alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    n = F.size("ts")
+    bi = toks.filter(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, n - 1).alias("w1"),
+                F.slice("ts", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi_counts = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    n_bi = bi.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    u1 = uni_counts.select(F.col("w").alias("u1_w"), F.col("c").alias("u1_c"))
+    u2 = uni_counts.select(F.col("w").alias("u2_w"), F.col("c").alias("u2_c"))
+    lift = (
+        (F.col("c_xy").cast("double") * F.col("nu") / F.col("u1_c"))
+        * (F.col("nu") / F.col("u2_c"))
+    ) / F.col("nb")
+    return (
+        bi_counts.filter(F.col("c_xy") >= 10)
+        .join(u1, F.col("u1_w") == F.col("w1"))
+        .join(u2, F.col("u2_w") == F.col("w2"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("w1", "w2", "c_xy", F.round(lift, 4).alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )
+
+
+@register(
+    "events_zscore_anomalies",
+    """
+    WITH stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(value) AS s,
+               SUM(value * value) AS ss
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 20
+    )
+    SELECT e.event_id, e.user_id,
+           ROUND(e.value, 2) AS value,
+           ROUND((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 2) AS z
+    FROM events e JOIN stats st ON st.user_id = e.user_id
+    WHERE abs((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 3.0
+    """,
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection — the outlier-filtering pass a
+    metrics/training-events pipeline runs before aggregation. The
+    standard deviation is written as the explicit two-pass moment
+    formula sqrt((Σx² − (Σx)²/n) / (n−1)) in BOTH engines rather than
+    stddev_samp(), because engines disagree on the internal update
+    algorithm (Welford vs naive) in the last ulp; with identical
+    expression trees only the Σ accumulation order differs.
+
+    Scale shape: the per-user moments reduce map-side (one shuffle of
+    3-number states), the join back is user_id-co-partitioned with the
+    groupBy (AQE reuses the exchange), and users below the n≥20 support
+    floor drop before the join."""
+    e = _t(spark, sf_dir, "events")
+    stats = (
+        e.groupBy(F.col("user_id").alias("st_user"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        e.join(stats, F.col("st_user") == F.col("user_id"))
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "user_id",
+            _r2(F.col("value")).alias("value"),
+            _r2(z).alias("z"),
+        )
+    )
+
+
+@register(
+    "events_rolling_1h_window",
+    """
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(SUM(value) OVER w, 2)    AS sum_1h
+    FROM events
+    WHERE user_id % 50 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour aggregates via a RANGE window over
+    microsecond event time — the batch twin of the sliding-window
+    streaming aggregation, but aligned per event rather than per window
+    boundary (rate limiting / velocity features). DuckDB's epoch_us(ts)
+    equals Spark's unix_micros(ts), so both engines frame on the same
+    integer axis; RANGE includes timestamp-tie peers identically.
+
+    Scale shape: one user_id shuffle, one sort per partition, a single
+    WindowExec computing both frames; the key-mod slice bounds output
+    volume deterministically (no RNG)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        _r2(F.sum("value").over(w)).alias("sum_1h"),
+    )
