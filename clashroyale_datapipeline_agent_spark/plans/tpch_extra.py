@@ -438,9 +438,13 @@ def q12_late_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the top-supplier view + scalar MAX subquery,
-    decorrelated into a broadcast 1-row max cross-joined back onto the
-    per-supplier revenue aggregate (the same pattern ``text_tfidf_topk``
-    uses for corpus N — no collect, no second scan of lineitem).
+    decorrelated into a global window MAX over the per-supplier revenue
+    aggregate. A broadcast 1-row max join would be cleaner on paper, but
+    Spark does not CSE the aggregate across the two branches — it would
+    scan and shuffle lineitem TWICE. The empty-partitionBy window runs
+    single-partition, which is safe here because its input is the
+    post-aggregation supplier-cardinality table (dimension-bounded, the
+    same justification as j5_share_of_total_window), not the fact table.
     Equality is on ROUND(…, 2) values in BOTH engines, which pins the
     float comparison cross-engine. Ties (several suppliers at the max)
     are all returned, per the spec."""
@@ -456,10 +460,12 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn(
+            "max_rev",
+            F.max("total_rev").over(Window.partitionBy()),
+        )
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
