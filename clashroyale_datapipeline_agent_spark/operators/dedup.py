@@ -436,3 +436,50 @@ def simhash_md5_col(text: Column, bits: int = 32) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def ngram_containment_all_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Directed shingle containment for every pair sharing ≥ 1 shingle.
+
+    Containment C(a→b) = |S(a) ∩ S(b)| / |S(a)| detects *partial*
+    duplication — a short document embedded inside a longer one scores
+    ~1.0 here while its symmetric Jaccard stays low (the union is
+    dominated by the long side). This is the quote/boilerplate/subset
+    detector a training-corpus pipeline runs alongside Jaccard dedup.
+
+    Same word-count join shape as :func:`ngram_jaccard_all_pairs` (pairs
+    meet through the shingle equi-join, never a cross product); emits the
+    pair once (id_a < id_b) with both directed containments plus
+    ``containment`` = the max of the two (small-side containment).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    sh_d = F.col("n_shared").cast("double")
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (sh_d / F.col("n_a")).alias("containment_a"),
+            (sh_d / F.col("n_b")).alias("containment_b"),
+            (sh_d / F.least("n_a", "n_b")).alias("containment"),
+        )
+    )

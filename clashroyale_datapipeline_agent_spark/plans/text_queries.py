@@ -2300,3 +2300,216 @@ def events_rolling_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
         _r2(F.sum("value").over(w)).alias("sum_1h"),
     )
+
+
+@register(
+    "dedup_containment_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+        FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 0)),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_shared AS DOUBLE) / sa.n, 4) AS containment_a,
+           ROUND(CAST(n_shared AS DOUBLE) / sb.n, 4) AS containment_b,
+           ROUND(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY containment DESC, id_a ASC, id_b ASC
+    LIMIT 50
+    """,
+)
+def dedup_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment near-dup (operators/dedup.py:
+    ngram_containment_all_pairs) — the partial-duplication detector:
+    a short doc embedded in a long one scores ~1.0 containment while
+    symmetric Jaccard stays low. Same shingle-equi-join scale shape as
+    the Jaccard query; keyed 10% slice, top-50 by small-side
+    containment."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        ngram_containment_all_pairs,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    )
+    pairs = ngram_containment_all_pairs(d, shingle_n=3)
+    return (
+        pairs.select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round("containment_a", 4).alias("containment_a"),
+            F.round("containment_b", 4).alias("containment_b"),
+            F.round("containment", 4).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+    )
+
+
+@register(
+    "events_winsorized_stats",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(e.value), 4) AS mean_raw,
+           ROUND(AVG(CASE WHEN e.value < q.lo THEN q.lo
+                          WHEN e.value > q.hi THEN q.hi
+                          ELSE e.value END), 4) AS mean_winsorized,
+           CAST(SUM(CASE WHEN e.value < q.lo OR e.value > q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) — the outlier-clamp pass a
+    feature/metrics pipeline applies before training stats. Two-phase:
+    exact p05/p95 per event_type (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, both linear interpolation), then the bounded
+    per-type clip table broadcast-joins back and a CASE clamp feeds the
+    final aggregate. Scale shape: one shuffle for the percentile agg
+    (bounded groups), broadcast join back (no second shuffle of events),
+    partial/final for the report."""
+    e = _t(spark, sf_dir, "events")
+    q = e.groupBy(F.col("event_type").alias("q_type")).agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    clipped = F.when(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        e.join(F.broadcast(q), F.col("q_type") == F.col("event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+            F.sum(clipped).cast("bigint").alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "docs_source_gini_balance",
+    """
+    WITH cl AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY source
+    )
+    SELECT t.source,
+           t.n AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(1.0 - SUM((CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n)),
+                 4) AS gini_impurity
+    FROM cl JOIN tot t ON t.source = cl.source
+    GROUP BY t.source, t.n
+    ORDER BY t.source
+    """,
+)
+def docs_source_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit per source: language-distribution Gini
+    impurity 1 − Σ pᵢ² (the log-free diversity measure — entropy's ln()
+    is libm-dependent cross-engine, Gini is pure multiply/add). The mix
+    report a training-data pipeline checks before weighting sources.
+    Scale shape: one (source, lang) count shuffle (map-side combined),
+    then a bounded re-agg; totals join as a broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cl.groupBy(F.col("source").alias("t_source")).agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cl.join(F.broadcast(tot), F.col("t_source") == F.col("source"))
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(F.lit(1.0) - F.sum(p * p), 4).alias("gini_impurity"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            "gini_impurity",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    """
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id))) / 1e6 AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+           ROUND(quantile_cont(gap_s, 0.9), 2) AS p90_s,
+           ROUND(AVG(gap_s), 2) AS mean_s
+    FROM g
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type (per-user LAG gaps
+    in seconds on the microsecond axis — ``unix_micros`` ≡ DuckDB
+    ``epoch_us``, integer subtraction then one exact /1e6). The cadence /
+    burstiness profile an event pipeline reports before rate modeling.
+    Scale shape: one (user_id, event_type) shuffle for the lag window,
+    then a bounded per-type percentile agg; first events per key drop
+    via the NULL-gap filter identically in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ) / F.lit(1e6)
+    g = e.select("event_type", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 2).alias("p50_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 2).alias("p90_s"),
+            F.round(F.avg("gap_s"), 2).alias("mean_s"),
+        )
+        .orderBy("event_type")
+    )
