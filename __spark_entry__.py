@@ -91,6 +91,12 @@ _FIRST = [
     "text_bigram_lift_topk",
     "events_zscore_anomalies",
     "events_rolling_1h_window",
+    "dedup_containment_topk",
+    "events_winsorized_stats",
+    "docs_source_gini_balance",
+    "events_interarrival_stats",
+    "q11_important_part_value",
+    "q20_promotion_suppliers",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -24,7 +24,11 @@ that exercise join/subquery machinery not yet covered by a named query:
         supplier in the order) + one NOT EXISTS (no *other* late supplier),
         as semi + anti joins with inequality residuals;
 - Q2  — min-cost-supplier argmax per part (window row_number over a
-        dim-broadcast candidate set).
+        dim-broadcast candidate set);
+- Q11 — important part value: per-part aggregate kept only above a
+        fraction of the slice total (HAVING vs broadcast 1-row scalar);
+- Q20 — potential part promotion: two stacked IN-subqueries as nested
+        semi joins over a per-(part, supplier) aggregate gate.
 
 The fixture's ``lineitem`` has no commitdate/receiptdate and there is no
 partsupp table (TESTDATA.md), so lateness is adapted to
@@ -734,4 +738,153 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock value: group agg + HAVING vs broadcast scalar fraction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH sl AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
+    ), pv AS (
+        SELECT l_partkey,
+               SUM(l_quantity) AS q,
+               SUM(l_extendedprice * (1 - l_discount)) AS v
+        FROM lineitem JOIN sl ON s_suppkey = l_suppkey
+        GROUP BY l_partkey
+    ), tot AS (
+        SELECT SUM(q) AS tq FROM pv
+    )
+    SELECT l_partkey,
+           CAST(q AS BIGINT) AS part_qty,
+           ROUND(v, 2) AS part_value
+    FROM pv, tot
+    WHERE q > 0.001 * tq
+    ORDER BY part_qty DESC, l_partkey ASC
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value over a nation-sliced supplier set,
+    kept only where it exceeds a FRACTION of the slice total — the
+    HAVING-against-scalar-subquery pattern. The fixture has no partsupp,
+    so value is the lineitem quantity/revenue supplied by those
+    suppliers; the *threshold compares exact integer-valued quantity
+    sums* (not FP revenue) so the boundary can never flip between
+    engines. Scale shape: supplier slice broadcasts into the fact scan,
+    one (partkey) shuffle builds the per-part table, the grand total is
+    a 1-row aggregate joined back as a broadcast (the TF-IDF ``N``
+    pattern — no window-over-everything), and the relative threshold is
+    scale-invariant: the same 0.1% cut works at any SF."""
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9"))
+        .select("n_nationkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pv = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        )
+    )
+    tot = pv.agg(F.sum("q").alias("tq"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("q") > F.lit(0.001) * F.col("tq"))
+        .select(
+            "l_partkey",
+            F.col("q").cast("bigint").alias("part_qty"),
+            _r2(F.col("v")).alias("part_value"),
+        )
+        .orderBy(F.desc("part_qty"), F.asc("l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion: nested semi joins over a pair-level gate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_promotion_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_4')
+      AND s.s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'
+          )
+          GROUP BY l_partkey, l_suppkey
+          HAVING SUM(l_quantity) >= 40
+             AND SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                           AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+                          THEN l_quantity ELSE 0 END)
+                 > 0.5 * SUM(l_quantity)
+      )
+    ORDER BY s.s_name ASC, s.s_suppkey ASC
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two nested IN-subqueries become two stacked
+    semi joins — part LIKE-slice gates the fact scan, a per-(part,
+    supplier) aggregate gate (the availqty-vs-half-of-shipped
+    comparison, adapted to window-share-of-total since the fixture has
+    no partsupp) produces the qualifying supplier set, which semi-joins
+    up to the nation-filtered supplier dimension. All quantity sums are
+    integer-valued doubles, so the 0.5× comparison is exact in both
+    engines. Scale shape: the part slice broadcasts (LIKE pruned to one
+    column), the pair aggregate is one (partkey, suppkey) shuffle with
+    map-side combine, the distinct qualifying-supplier set is tiny and
+    broadcasts into the supplier semi join; nation broadcasts."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_window = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    ok = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("qt"),
+            F.sum(F.when(in_window, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("qw"),
+        )
+        .filter((F.col("qt") >= 40) & (F.col("qw") > F.lit(0.5) * F.col("qt")))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_4"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(ok, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy(F.asc("s_name"), F.asc("s_suppkey"))
     )
