@@ -97,6 +97,7 @@ _FIRST = [
     "events_interarrival_stats",
     "q11_important_part_value",
     "q20_promotion_suppliers",
+    "hll_partkey_estimate",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -1,0 +1,101 @@
+"""Deterministic cardinality sketches built from relational expressions.
+
+The engine already exposes Spark's native ``approx_count_distinct``
+(HLL++, engine-specific hash → honest rows-only check). This module adds
+a *cross-engine-deterministic* HyperLogLog built entirely from md5 +
+string/integer expressions, so a DuckDB oracle can replay the sketch
+bit-for-bit:
+
+- hash   = md5(value as string) — same lowercase hex in Spark and DuckDB;
+- bucket = value of the first 2 hex digits (m = 256 registers);
+- rho    = 1 + number of leading zero *bits* of the next 16 hex digits
+           (4·zero-digits + a CASE on the first non-zero digit), capped
+           at 40 so the per-register term 2^(40−M) is an exact BIGINT;
+- S      = Σ_registers 2^(40−M_j), empty registers contributing 2^40 —
+           an *integer* sum, so no FP-ordering hazard exists anywhere in
+           the sketch state;
+- E      = α·m² · 2^40 / S with α = 0.7213/(1+1.079/256), written as the
+           same literal division in both engines (IEEE ops are
+           bit-deterministic; only libm functions are not — which is why
+           the classic ln-based small-range correction is deliberately
+           omitted and the register-occupancy count is reported instead).
+
+Parity: reference `phase1_data_pipeline.py` has no sketching at all —
+this is beyond-parity scale tooling (exact distinct over 100 TB keys is
+a full shuffle of every key; the sketch state is 256 bytes per group).
+
+Scale shape: one (group, bucket) partial/final aggregate — map-side
+combine reduces every partition to ≤ 256·|groups| rows — then a bounded
+re-aggregate per group. No window, no collect, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+#: rho cap: keeps 2^(CAP - rho) an exact non-negative BIGINT power.
+RHO_CAP = 40
+#: α·m²·2^CAP for m=256, as the literal expression both engines evaluate.
+ALPHA_EXPR = "(0.7213 / 1.00421484375) * 65536.0 * 1099511627776.0"
+
+
+def hll_register_cols(value: Column) -> tuple[Column, Column]:
+    """(bucket, rho) HLL register coordinates for one value.
+
+    All string/arithmetic expressions — stays in whole-stage codegen and
+    is replayable verbatim in any engine with md5/substring/CASE.
+    """
+    h = F.md5(value.cast("string"))
+    d1 = F.substring(h, 1, 1)
+    d2 = F.substring(h, 2, 1)
+    bucket = (
+        (F.instr(F.lit(HEX), d1) - 1) * 16 + (F.instr(F.lit(HEX), d2) - 1)
+    ).alias("bucket")
+    rest = F.substring(h, 3, 16)
+    zeros = F.length(F.regexp_extract(rest, "^0*", 0))
+    first = F.substring(rest, zeros + 1, 1)
+    lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.least(zeros * 4 + lz + F.lit(1), F.lit(RHO_CAP)).alias("rho")
+    return bucket, rho
+
+
+def hll_estimate(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group deterministic HLL-256 distinct estimate.
+
+    Returns (group, n_buckets_used, reg_sum, hll_estimate) where
+    ``reg_sum`` is the exact BIGINT Σ 2^(40−M_j) sketch state (empty
+    registers included) and ``hll_estimate`` the harmonic estimate.
+    """
+    bucket, rho = hll_register_cols(F.col(value_col))
+    regs = (
+        df.select(F.col(group_col), bucket, rho)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.sum(F.pow(F.lit(2.0), F.lit(RHO_CAP) - F.col("m_j")).cast("long"))
+        .cast("bigint")
+        .alias("present_sum"),
+    )
+    reg_sum = (
+        F.col("present_sum")
+        + (F.lit(256) - F.col("n_buckets_used")) * F.lit(1099511627776)
+    ).cast("bigint")
+    return per_group.select(
+        F.col(group_col),
+        "n_buckets_used",
+        reg_sum.alias("reg_sum"),
+        F.round(F.expr(ALPHA_EXPR) / reg_sum.cast("double"), 2).alias(
+            "hll_estimate"
+        ),
+    )

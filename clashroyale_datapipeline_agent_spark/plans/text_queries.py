@@ -2513,3 +2513,91 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "hll_partkey_estimate",
+    """
+    WITH r AS (
+        SELECT l_returnflag AS grp, md5(CAST(l_partkey AS VARCHAR)) AS h
+        FROM lineitem
+    ), x AS (
+        SELECT grp,
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+               length(regexp_extract(substr(h, 3, 16), '^0*')) AS zeros,
+               substr(h, 3, 16) AS rest
+        FROM r
+    ), rr AS (
+        SELECT grp, bucket,
+               LEAST(4 * zeros
+                     + CASE WHEN substr(rest, zeros + 1, 1) = '1' THEN 3
+                            WHEN substr(rest, zeros + 1, 1) IN ('2','3') THEN 2
+                            WHEN substr(rest, zeros + 1, 1) IN ('4','5','6','7') THEN 1
+                            ELSE 0 END
+                     + 1, 40) AS rho
+        FROM x
+    ), regs AS (
+        SELECT grp, bucket, MAX(rho) AS m_j FROM rr GROUP BY grp, bucket
+    ), pg AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+               CAST(SUM(CAST(power(2, 40 - m_j) AS BIGINT)) AS BIGINT) AS present_sum
+        FROM regs GROUP BY grp
+    ), est AS (
+        SELECT grp, n_buckets_used,
+               CAST(present_sum + (256 - n_buckets_used) * 1099511627776
+                    AS BIGINT) AS reg_sum
+        FROM pg
+    ), exact AS (
+        SELECT l_returnflag AS grp,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT e.grp AS l_returnflag,
+           e.n_buckets_used,
+           e.reg_sum,
+           ROUND((0.7213 / 1.00421484375) * 65536.0 * 1099511627776.0
+                 / CAST(e.reg_sum AS DOUBLE), 2) AS hll_estimate,
+           x.exact_distinct,
+           ROUND((ROUND((0.7213 / 1.00421484375) * 65536.0 * 1099511627776.0
+                        / CAST(e.reg_sum AS DOUBLE), 2) - x.exact_distinct)
+                 / x.exact_distinct, 4) AS rel_err
+    FROM est e JOIN exact x ON x.grp = e.grp
+    ORDER BY l_returnflag
+    """,
+)
+def hll_partkey_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-deterministic HyperLogLog (operators/sketches.py):
+    md5-hashed 256-register sketch whose state is an exact BIGINT sum —
+    the DuckDB oracle replays bucket/rho/register arithmetic
+    bit-for-bit, unlike ``approx_count_distinct`` (engine-private hash,
+    rows-only check). Reports the estimate next to the exact distinct
+    count per return flag with relative error. Scale: sketch state is
+    256 bytes/group after map-side combine vs a full key shuffle for
+    the exact count."""
+    from clashroyale_datapipeline_agent_spark.operators.sketches import (
+        hll_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_estimate(li, "l_returnflag", "l_partkey")
+    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(F.broadcast(exact), F.col("grp") == F.col("l_returnflag"))
+        .select(
+            "l_returnflag",
+            "n_buckets_used",
+            "reg_sum",
+            "hll_estimate",
+            "exact_distinct",
+            F.round(
+                (F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
