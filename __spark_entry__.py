@@ -98,6 +98,7 @@ _FIRST = [
     "q11_important_part_value",
     "q20_promotion_suppliers",
     "hll_partkey_estimate",
+    "docs_bow_cosine_topk",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

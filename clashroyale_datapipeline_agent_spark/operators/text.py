@@ -364,3 +364,72 @@ def scrub_col(text: Column, patterns: list[tuple[str, str]] | None = None) -> Co
     for pat, rep in patterns or SCRUB_PATTERNS:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+def cosine_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 50,
+    min_df: int = 2,
+) -> DataFrame:
+    """Sparse cosine similarity for every doc pair sharing a rare term.
+
+    The posting-list self-join: (doc, term, tf) postings meet through the
+    term equi-join — pairs are generated only where vocabulary overlaps,
+    never as a cross product. The DF ceiling is the scale lever: a term
+    appearing in d documents contributes O(d²) pairs, so dropping terms
+    with ``df > max_df`` bounds the join fan-out (stopword-like terms
+    carry no similarity signal anyway); ``df >= min_df`` prunes
+    singleton terms that cannot pair at all. TF-IDF weighting plugs into
+    the same join shape (see :func:`tf_idf`); raw term-count weights are
+    used here because the dot product is then an exact BIGINT sum and
+    the norms single correctly-rounded sqrts — the whole measure is
+    bit-reproducible across engines, with no libm ``ln`` in the path.
+
+    Returns (id_a, id_b, n_shared_terms, dot, cosine), id_a < id_b,
+    cosine over the pruned vocabulary.
+    """
+    tc = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfc = (
+        tc.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("term")
+    )
+    kept = tc.join(dfc, "term")
+    norms = kept.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("norm")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("norm_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_terms",
+            "dot",
+            (F.col("dot").cast("double") / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cosine"
+            ),
+        )
+    )

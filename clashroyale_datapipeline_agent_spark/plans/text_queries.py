@@ -2601,3 +2601,62 @@ def hll_partkey_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "docs_bow_cosine_topk",
+    """
+    WITH tc AS (
+        SELECT doc_id AS id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents,
+             unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                x -> x != '')) AS t(term)
+        GROUP BY doc_id, t.term
+    ), dfc AS (
+        SELECT term FROM tc GROUP BY term
+        HAVING COUNT(*) >= 2 AND COUNT(*) <= 50
+    ), kept AS (
+        SELECT tc.* FROM tc JOIN dfc USING (term)
+    ), norms AS (
+        SELECT id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS norm
+        FROM kept GROUP BY id
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_shared_terms, dot,
+           ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 4) AS cosine
+    FROM pairs
+    JOIN norms na ON na.id = id_a
+    JOIN norms nb ON nb.id = id_b
+    ORDER BY cosine DESC, id_a ASC, id_b ASC
+    LIMIT 50
+    """,
+)
+def docs_bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side similarity search (operators/text.py:cosine_pairs):
+    sparse bag-of-words cosine via the posting-list self-join with a
+    document-frequency ceiling — pairs exist only where rare vocabulary
+    overlaps, so the fan-out is bounded by max_df² per term instead of
+    the corpus cross product. Integer dot products + single-sqrt norms
+    keep the measure bit-reproducible cross-engine (no ln in the
+    path). Top-50 most similar pairs."""
+    from clashroyale_datapipeline_agent_spark.operators.text import cosine_pairs
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    return (
+        cosine_pairs(d, max_df=50, min_df=2)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            "n_shared_terms",
+            "dot",
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+    )
