@@ -99,6 +99,7 @@ _FIRST = [
     "q20_promotion_suppliers",
     "hll_partkey_estimate",
     "docs_bow_cosine_topk",
+    "graph_pagerank_topk",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

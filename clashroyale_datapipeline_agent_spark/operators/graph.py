@@ -112,3 +112,56 @@ def leakage_safe_split(
         .withColumn("split", hash_split_col(F.col("cluster"), bounds, last))
         .drop("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Power iteration as pure DataFrame joins: each round every node sends
+    ``rank/outdeg`` along its out-edges and collects
+    ``(1−d) + d·Σ incoming`` (per-node constant form, rank init 1.0).
+    A FIXED iteration count — not convergence detection — keeps the
+    computation replayable by an engine without loops (the oracle twin
+    unrolls the same three rounds as stacked CTEs) and bounds cost:
+    each round is exactly one (dst) shuffle over the edge list.
+
+    Scale shape: out-degrees are computed once and live with the edges
+    (one join before the loop, reused every round); per-round
+    ``localCheckpoint`` cuts lineage so the plan stays O(1) in rounds —
+    same discipline as :func:`connected_components`. Nodes with no
+    in-edges keep the (1−d) floor via the left join + coalesce.
+
+    Callers model an undirected walk (e.g. a bipartite interaction
+    graph) by passing both orientations of each edge.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    base = F.lit(1.0 - damping)
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contribs, F.col("dst") == F.col("node"), "left")
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(deg, ranks.node == deg.src).select("node", "rank", "outdeg")

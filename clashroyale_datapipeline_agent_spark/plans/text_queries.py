@@ -2660,3 +2660,78 @@ def docs_bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(50)
     )
+
+
+@register(
+    "graph_pagerank_topk",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM pairs
+        UNION ALL
+        SELECT 's' || CAST(s AS VARCHAR) AS src, 'c' || CAST(c AS VARCHAR) AS dst FROM pairs
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT src AS node, 1.0 AS r FROM deg
+    ), r1 AS (
+        SELECT d2.src AS node,
+               0.15 + 0.85 * COALESCE(s.in_sum, 0.0) AS r
+        FROM deg d2 LEFT JOIN (
+            SELECT e.dst, SUM(r0.r / deg.outdeg) AS in_sum
+            FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.dst = d2.src
+    ), r2 AS (
+        SELECT d2.src AS node,
+               0.15 + 0.85 * COALESCE(s.in_sum, 0.0) AS r
+        FROM deg d2 LEFT JOIN (
+            SELECT e.dst, SUM(r1.r / deg.outdeg) AS in_sum
+            FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.dst = d2.src
+    ), r3 AS (
+        SELECT d2.src AS node,
+               0.15 + 0.85 * COALESCE(s.in_sum, 0.0) AS r
+        FROM deg d2 LEFT JOIN (
+            SELECT e.dst, SUM(r2.r / deg.outdeg) AS in_sum
+            FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.dst = d2.src
+    )
+    SELECT r3.node, ROUND(r3.r, 4) AS rank, deg.outdeg
+    FROM r3 JOIN deg ON deg.src = r3.node
+    ORDER BY rank DESC, node ASC
+    LIMIT 20
+    """,
+)
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py:pagerank) over the undirected
+    customer–supplier interaction graph (distinct trading pairs from
+    lineitem⋈orders, both orientations), 3 power iterations, d=0.85.
+    The oracle unrolls the identical three rounds as stacked CTEs —
+    fixed iteration count is what makes an iterative algorithm
+    cross-engine checkable. Top-20 nodes by rank."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionByName(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        pr.select("node", F.round("rank", 4).alias("rank"), "outdeg")
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
