@@ -100,6 +100,7 @@ _FIRST = [
     "hll_partkey_estimate",
     "docs_bow_cosine_topk",
     "graph_pagerank_topk",
+    "dedup_winnow_overlap_topk",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -483,3 +483,54 @@ def ngram_containment_all_pairs(
             (sh_d / F.least("n_a", "n_b")).alias("containment"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 6,
+) -> DataFrame:
+    """MOSS-style winnowing: rolling character k-gram fingerprints.
+
+    The classic local fingerprinting scheme (Schleimer, Wilkerson,
+    Aiken — "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every overlapping character k-gram, slide a
+    window of ``w`` consecutive hashes, and keep the minimum hash of
+    each window. Any shared substring of length >= k + w - 1 between
+    two documents is GUARANTEED to surface as a shared fingerprint —
+    position-robust partial-overlap detection that token-level shingles
+    miss (insertions shift token boundaries; character winnowing
+    re-synchronizes).
+
+    Engine-portable twist: the per-gram hash is the md5 HEX STRING and
+    the window minimum is the LEXICOGRAPHIC min — total order identical
+    in every engine, no integer-hash conversion needed.
+
+    All array expressions (sequence → transform → slice → array_min) —
+    per-document local, O(n_chars) work, no shuffle until the caller
+    aggregates. Returns distinct (id, fp) rows.
+    """
+    n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substring(F.col(text_col), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_windows = F.size(F.col("_gh")) - F.lit(w - 1)
+    fps = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("_gh"), j, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("id"), grams.alias("_gh"))
+        .select("id", F.explode(fps).alias("fp"))
+        .distinct()
+    )

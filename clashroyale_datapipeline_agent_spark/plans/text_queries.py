@@ -2735,3 +2735,88 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+@register(
+    "dedup_winnow_overlap_topk",
+    """
+    WITH g AS (
+        SELECT doc_id AS id,
+               list_transform(generate_series(1, greatest(len(text) - 7, 0)),
+                              i -> md5(substr(text, i, 8))) AS gh
+        FROM documents
+    ), fps AS (
+        SELECT DISTINCT id, fp FROM (
+            SELECT id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(gh) - 5, 0)),
+                       j -> list_min(gh[j:j+5]))) AS fp
+            FROM g
+        )
+    ), dfc AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(*) >= 2 AND COUNT(*) <= 20
+    ), kept AS (
+        SELECT fps.* FROM fps JOIN dfc USING (fp)
+    ), sizes AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY id
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_shared_fp,
+           ROUND(CAST(n_shared_fp AS DOUBLE) / least(sa.n, sb.n), 4) AS overlap
+    FROM shared
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    ORDER BY n_shared_fp DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_winnow_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level partial-overlap detection via winnowing
+    (operators/dedup.py:winnow_fingerprints — SIGMOD'03 scheme): any
+    shared substring of length >= k+w-1 = 13 chars surfaces as a shared
+    window-min fingerprint. The fingerprint-frequency ceiling
+    (df <= 20) is the scale lever: a fingerprint in d docs yields O(d²)
+    pairs, so boilerplate fingerprints are dropped before the
+    self-join, exactly like the posting-list cosine. Top-20 pairs by
+    shared-fingerprint count."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(d, k=8, w=6)
+    dfc = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("fp")
+    )
+    kept = fps.join(dfc, "fp")
+    sizes = kept.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_fp",
+            F.round(
+                F.col("n_shared_fp").cast("double") / F.least("n_a", "n_b"), 4
+            ).alias("overlap"),
+        )
+        .orderBy(F.desc("n_shared_fp"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
