@@ -101,6 +101,8 @@ _FIRST = [
     "docs_bow_cosine_topk",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",
+    "events_engagement_weekly",
+    "orders_profile",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

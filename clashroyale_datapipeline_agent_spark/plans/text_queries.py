@@ -2820,3 +2820,123 @@ def dedup_winnow_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared_fp"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
     )
+
+
+@register(
+    "events_engagement_weekly",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1, 2
+    ), weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT w.week, w.wau, w.n_events,
+           ROUND(AVG(CAST(d.dau AS DOUBLE)), 2) AS avg_dau,
+           ROUND(AVG(CAST(d.dau AS DOUBLE)) / w.wau, 4) AS stickiness
+    FROM weekly w JOIN daily d ON d.week = w.week
+    GROUP BY w.week, w.wau, w.n_events
+    ORDER BY w.week
+    """,
+)
+def events_engagement_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics engagement rollup: weekly active users, average
+    daily actives within the week, and stickiness (avg DAU / WAU) — the
+    DAU/WAU ratio every event pipeline reports. Two exact
+    distinct-count aggregates (day grain, week grain) re-joined on the
+    bounded week key; `date_trunc('week')` is ISO-Monday in both
+    engines. Scale shape: both distincts are single (key, user)
+    shuffles with partial combine; the join moves one row per week."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("dau"))
+    )
+    weekly = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wweek")
+    ).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        weekly.join(daily, F.col("wweek") == F.col("week"))
+        .groupBy("week", "wau", "n_events")
+        .agg(
+            F.round(F.avg(F.col("dau").cast("double")), 2).alias("avg_dau"),
+            F.round(
+                F.avg(F.col("dau").cast("double")) / F.col("wau"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "orders_profile",
+    """
+    SELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(epoch_us(o_orderdate)) AS DOUBLE),
+           CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    ORDER BY "column"
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (operators/profile.py:profile_table): every
+    column's null count, exact distinct count, and typed value range in
+    ONE table scan — a single wide aggregate row melted to per-column
+    records via an explode over literal structs. The DuckDB twin is the
+    naive per-column UNION ALL (6 scans), which is exactly the cost the
+    single-scan design avoids at 100 TB. Numbers stay numeric
+    (timestamps on the integer microsecond axis); only string columns
+    report string ranges — no engine-specific double formatting."""
+    from clashroyale_datapipeline_agent_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
