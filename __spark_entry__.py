@@ -26,6 +26,7 @@ from clashroyale_datapipeline_agent_spark.plans import star_queries
 from clashroyale_datapipeline_agent_spark.plans import text_queries  # noqa: F401  (registers)
 from clashroyale_datapipeline_agent_spark.plans import domain_queries  # noqa: F401  (registers)
 from clashroyale_datapipeline_agent_spark.plans import tpch_extra  # noqa: F401  (registers)
+from clashroyale_datapipeline_agent_spark.plans import scale_queries  # noqa: F401  (registers)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -103,6 +104,11 @@ _FIRST = [
     "dedup_winnow_overlap_topk",
     "events_engagement_weekly",
     "orders_profile",
+    "cms_user_topk_estimate",
+    "events_hll_merge_daily",
+    "orders_quality_checks",
+    "events_scd2_intervals",
+    "docs_equidepth_histogram",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

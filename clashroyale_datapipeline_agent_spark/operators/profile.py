@@ -75,3 +75,39 @@ def profile_table(df: DataFrame) -> DataFrame:
         .select("r.*")
         .orderBy("column")
     )
+
+
+def check_constraints(
+    df: DataFrame, checks: list[tuple[str, F.Column, F.Column]]
+) -> DataFrame:
+    """Deequ-style data-quality constraint suite in ONE scan.
+
+    ``checks`` is a list of (name, observed, passed) where ``observed``
+    is an aggregate expression (the measured value, as double) and
+    ``passed`` an aggregate boolean predicate over the same scan. All
+    constraints evaluate inside a single wide aggregate row — one table
+    read regardless of how many constraints are declared (the naive
+    form is one scan per constraint; at 100 TB that is |checks|
+    full-table reads) — then melt to (check, observed, passed) records
+    via the same literal-struct explode as :func:`profile_table`.
+    """
+    aggs = []
+    for name, observed, passed in checks:
+        aggs.append(observed.cast("double").alias(f"_o_{name}"))
+        aggs.append(passed.alias(f"_p_{name}"))
+    one = df.agg(*aggs)
+    records = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"_o_{name}").alias("observed"),
+                F.col(f"_p_{name}").alias("passed"),
+            )
+            for name, _, _ in checks
+        ]
+    )
+    return (
+        one.select(F.explode(records).alias("r"))
+        .select("r.*")
+        .orderBy("check")
+    )

@@ -66,21 +66,30 @@ def hll_register_cols(value: Column) -> tuple[Column, Column]:
     return bucket, rho
 
 
-def hll_estimate(
-    df: DataFrame, group_col: str, value_col: str
-) -> DataFrame:
-    """Per-group deterministic HLL-256 distinct estimate.
-
-    Returns (group, n_buckets_used, reg_sum, hll_estimate) where
-    ``reg_sum`` is the exact BIGINT Σ 2^(40−M_j) sketch state (empty
-    registers included) and ``hll_estimate`` the harmonic estimate.
+def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HLL register table (group, bucket, m_j) — the MERGEABLE
+    sketch state. Two register tables over disjoint (or overlapping)
+    slices of the same data merge by ``MAX(m_j)`` per (group, bucket);
+    merge-of-maxes equals the direct sketch by construction, which is
+    what lets a 100 TB pipeline keep one 256-row sketch per (group, day)
+    partition and answer any date-range distinct estimate without
+    rescanning the fact table. See :func:`hll_estimate_from_registers`.
     """
     bucket, rho = hll_register_cols(F.col(value_col))
-    regs = (
+    return (
         df.select(F.col(group_col), bucket, rho)
         .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_col: str) -> DataFrame:
+    """Finalize (group, bucket, m_j) registers into the harmonic estimate.
+
+    Same integer-state arithmetic as :func:`hll_estimate` — callers that
+    merged register tables (``MAX(m_j)`` over slices) get the identical
+    estimate a direct single-pass sketch would produce.
+    """
     per_group = regs.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
         F.sum(F.pow(F.lit(2.0), F.lit(RHO_CAP) - F.col("m_j")).cast("long"))
@@ -98,4 +107,99 @@ def hll_estimate(
         F.round(F.expr(ALPHA_EXPR) / reg_sum.cast("double"), 2).alias(
             "hll_estimate"
         ),
+    )
+
+
+def hll_estimate(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group deterministic HLL-256 distinct estimate.
+
+    Returns (group, n_buckets_used, reg_sum, hll_estimate) where
+    ``reg_sum`` is the exact BIGINT Σ 2^(40−M_j) sketch state (empty
+    registers included) and ``hll_estimate`` the harmonic estimate.
+    """
+    return hll_estimate_from_registers(
+        hll_registers(df, group_col, value_col), group_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — deterministic heavy-hitter frequency estimation
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: DEPTH independent md5-salted hash rows × WIDTH buckets
+#: (3 hex digits → 4096). State is DEPTH·WIDTH counters per sketch —
+#: 16 384 BIGINTs — regardless of input size or key cardinality.
+CMS_DEPTH = 4
+CMS_WIDTH = 4096
+
+
+def cms_bucket(value: Column, salt: int) -> Column:
+    """Bucket in [0, 4096) from the first 3 hex digits of the salted md5.
+
+    ``md5('<salt>:' || value)`` gives CMS_DEPTH independent hash rows
+    from one primitive; pure string/integer expressions, replayable
+    verbatim in DuckDB (strpos/substr) — same discipline as
+    :func:`hll_register_cols`.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), value.cast("string")))
+    d = lambda i: F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return d(1) * 256 + d(2) * 16 + d(3)
+
+
+def cms_counters(df: DataFrame, value_col: str, depth: int = CMS_DEPTH) -> DataFrame:
+    """Build the (row_id, bucket, cnt) counter matrix in one pass.
+
+    The explode is map-side (×depth rows, no shuffle); the groupBy's
+    partial aggregation collapses every partition to ≤ depth·WIDTH rows
+    before the exchange, so the shuffle moves sketch-sized state, not
+    data-sized state — the whole point of sketching a 100 TB stream.
+    """
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row_id"),
+                    cms_bucket(F.col(value_col), j).alias("bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(rb)
+        .groupBy("rb.row_id", "rb.bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, value_col: str, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Point-query the sketch: estimate = MIN over rows of the hit counter.
+
+    ``counters`` is ≤ depth·WIDTH rows — broadcast to the probe side, so
+    estimating any number of candidate keys is a map-side join. The CMS
+    guarantee is one-sided: estimate ≥ true count, always.
+    """
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_id"),
+                        cms_bucket(F.col(value_col), j).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", "rb.row_id", "rb.bucket").drop("rb")
+    others = [c for c in keys.columns if c != value_col]
+    return (
+        probes.join(F.broadcast(counters), ["row_id", "bucket"])
+        .groupBy(value_col, *others)
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
     )

@@ -1,0 +1,466 @@
+"""Scale-tooling queries: sketch composability, heavy hitters, data
+contracts, CDC intervals, and equi-depth histograms.
+
+Round-3 additions beyond the reference's own surface (reference
+`phase1_data_pipeline.py` audits data with ad-hoc pandas dumps and has
+no sketching/CDC at all). Everything here follows the house
+cross-engine rules: md5-only hashing, integer sketch state, ROUND on
+double outputs, BIGINT casts on counts, deterministic total orders
+before any LIMIT.
+
+- ``cms_user_topk_estimate`` — deterministic count-min sketch
+  (`operators/sketches.py`): DEPTH=4 md5-salted hash rows × 4096
+  buckets; the DuckDB twin replays the bucket arithmetic and the
+  one-sided (estimate ≥ truth) guarantee is part of the checked output.
+- ``events_hll_merge_daily`` — HLL register MERGE: per-(type, day)
+  sketches max-merged across days equal the direct whole-range sketch
+  bit-for-bit; the oracle replays both paths. This is the property that
+  lets a 100 TB store keep one 256-row sketch per partition and answer
+  any date-range distinct estimate without rescanning facts.
+- ``orders_quality_checks`` — Deequ-style constraint suite evaluated in
+  ONE scan (`operators/profile.py:check_constraints`); the DuckDB twin
+  is the naive one-scan-per-constraint UNION, exactly the cost the
+  single-scan form avoids.
+- ``events_scd2_intervals`` — SCD Type-2 validity intervals derived
+  from an event stream (collapse consecutive duplicate states via LAG,
+  close intervals via LEAD): the CDC primitive behind every
+  slowly-changing dimension build.
+- ``docs_equidepth_histogram`` — exact decile (equi-depth) histogram
+  via two distributed passes: exact interpolated percentiles
+  (`F.percentile` ≡ DuckDB ``quantile_cont``) broadcast as boundaries,
+  then a map-side bucket assignment + groupBy. No global-order window
+  anywhere — the naive NTILE form would funnel the table through one
+  partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
+
+HEXP = "'0123456789abcdef'"
+
+#: DuckDB replay of md5 first-3-hex-digit bucketing (0..4095) for {h}.
+_BUCKET3 = (
+    f"(strpos({HEXP}, substr({{h}}, 1, 1)) - 1) * 256"
+    f" + (strpos({HEXP}, substr({{h}}, 2, 1)) - 1) * 16"
+    f" + (strpos({HEXP}, substr({{h}}, 3, 1)) - 1)"
+)
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_SQL = f"""
+    WITH salts(j) AS (VALUES (0), (1), (2), (3)),
+    hashed AS (
+        SELECT s.j,
+               md5(CAST(s.j AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)) AS h
+        FROM events e CROSS JOIN salts s
+    ),
+    counters AS (
+        SELECT j AS row_id, {_BUCKET3.format(h="h")} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hashed GROUP BY row_id, bucket
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY user_id
+        ORDER BY exact_cnt DESC, user_id LIMIT 10
+    ),
+    probes0 AS (
+        SELECT x.user_id, x.exact_cnt, s.j AS row_id,
+               md5(CAST(s.j AS VARCHAR) || ':' || CAST(x.user_id AS VARCHAR)) AS h
+        FROM exact x CROSS JOIN salts s
+    ),
+    probes AS (
+        SELECT user_id, exact_cnt, row_id, {_BUCKET3.format(h="h")} AS bucket
+        FROM probes0
+    )
+    SELECT p.user_id, p.exact_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probes p
+    JOIN counters c ON p.row_id = c.row_id AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.exact_cnt
+    ORDER BY exact_cnt DESC, user_id
+"""
+
+
+@register("cms_user_topk_estimate", _CMS_SQL)
+def cms_user_topk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries for the exact top-10 event users
+    (`operators/sketches.py:cms_counters/cms_estimate`). The sketch is
+    4 md5-salted rows × 4096 buckets — ≤ 16 384 counters after map-side
+    combine regardless of input size — and the probe join broadcasts
+    those counters, so estimating any candidate set is map-side. The
+    checked ``overcount`` column carries the CMS one-sided guarantee
+    (estimate ≥ exact, always). Oracle replays the salted bucket
+    arithmetic verbatim."""
+    from clashroyale_datapipeline_agent_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(counters, top, "user_id")
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# HLL register merge — sketch composability
+# ---------------------------------------------------------------------------
+
+_HLL_RHO = """
+        SELECT event_type, day, bucket,
+               LEAST(4 * zeros
+                     + CASE WHEN substr(rest, zeros + 1, 1) = '1' THEN 3
+                            WHEN substr(rest, zeros + 1, 1) IN ('2','3') THEN 2
+                            WHEN substr(rest, zeros + 1, 1) IN ('4','5','6','7') THEN 1
+                            ELSE 0 END
+                     + 1, 40) AS rho
+        FROM x
+"""
+
+_HLL_MERGE_SQL = f"""
+    WITH r AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ), x AS (
+        SELECT event_type, day,
+               (strpos({HEXP}, substr(h, 1, 1)) - 1) * 16
+             + (strpos({HEXP}, substr(h, 2, 1)) - 1) AS bucket,
+               length(regexp_extract(substr(h, 3, 16), '^0*')) AS zeros,
+               substr(h, 3, 16) AS rest
+        FROM r
+    ), rr AS ({_HLL_RHO}
+    ), daily AS (
+        SELECT event_type, day, bucket, MAX(rho) AS m_j
+        FROM rr GROUP BY event_type, day, bucket
+    ), merged AS (
+        SELECT event_type, bucket, MAX(m_j) AS m_j
+        FROM daily GROUP BY event_type, bucket
+    ), direct AS (
+        SELECT event_type, bucket, MAX(rho) AS m_j
+        FROM rr GROUP BY event_type, bucket
+    ), mg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+               CAST(SUM(CAST(power(2, 40 - m_j) AS BIGINT)) AS BIGINT) AS present_sum
+        FROM merged GROUP BY event_type
+    ), dg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+               CAST(SUM(CAST(power(2, 40 - m_j) AS BIGINT)) AS BIGINT) AS present_sum
+        FROM direct GROUP BY event_type
+    ), days AS (
+        SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+        FROM r GROUP BY event_type
+    )
+    SELECT m.event_type, days.n_days,
+           CAST(m.present_sum + (256 - m.n_buckets_used) * 1099511627776
+                AS BIGINT) AS reg_sum,
+           ROUND((0.7213 / 1.00421484375) * 65536.0 * 1099511627776.0
+                 / CAST(m.present_sum + (256 - m.n_buckets_used) * 1099511627776
+                        AS DOUBLE), 2) AS hll_estimate,
+           (CAST(m.present_sum + (256 - m.n_buckets_used) * 1099511627776 AS BIGINT)
+            = CAST(d.present_sum + (256 - d.n_buckets_used) * 1099511627776 AS BIGINT)
+           ) AS merge_exact
+    FROM mg m
+    JOIN dg d ON m.event_type = d.event_type
+    JOIN days ON m.event_type = days.event_type
+    ORDER BY m.event_type
+"""
+
+
+@register("events_hll_merge_daily", _HLL_MERGE_SQL)
+def events_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE (`operators/sketches.py:hll_registers`):
+    per-(event_type, day) register tables max-merged across days, then
+    finalized — checked equal (``merge_exact``) to the direct
+    whole-range sketch. Merge-of-maxes ≡ direct-max is what makes the
+    256-row register table a *reusable* per-partition artifact at
+    100 TB: distinct-user estimates for any day range come from merging
+    stored sketches, never rescanning events. Oracle replays both the
+    merged and the direct path."""
+    from clashroyale_datapipeline_agent_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_register_cols,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    bucket, rho = hll_register_cols(F.col("user_id"))
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"), bucket, rho)
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("m_j").alias("m_j"))
+    m_est = hll_estimate_from_registers(merged, "event_type")
+    direct = (
+        ev.select("event_type", bucket, rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    d_est = hll_estimate_from_registers(direct, "event_type").select(
+        F.col("event_type").alias("d_event_type"),
+        F.col("reg_sum").alias("d_reg_sum"),
+    )
+    days = daily.groupBy("event_type").agg(
+        F.count_distinct("day").cast("bigint").alias("n_days")
+    )
+    return (
+        m_est.join(F.broadcast(d_est), m_est.event_type == d_est.d_event_type)
+        .join(F.broadcast(days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "reg_sum",
+            "hll_estimate",
+            (F.col("reg_sum") == F.col("d_reg_sum")).alias("merge_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-scan data-quality constraint suite
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+    SELECT 'completeness_custkey' AS "check",
+           CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS observed,
+           COUNT(o_custkey) = COUNT(*) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'nonneg_totalprice',
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           MIN(o_totalprice) >= 0.0
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_range',
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                           OR o_orderdate >= TIMESTAMP '2002-01-01'
+                         THEN 1 ELSE 0 END) AS DOUBLE),
+           SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                      OR o_orderdate >= TIMESTAMP '2002-01-01'
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'row_count_min',
+           CAST(COUNT(*) AS DOUBLE),
+           COUNT(*) >= 1000
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS DOUBLE),
+           SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique_orderkey',
+           CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE),
+           COUNT(DISTINCT o_orderkey) = COUNT(*)
+    FROM orders
+    ORDER BY "check"
+"""
+
+
+@register("orders_quality_checks", _QUALITY_SQL)
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract suite (`operators/profile.py:check_constraints`):
+    six constraints — completeness, key uniqueness, value bounds,
+    domain membership, date range, minimum volume — ALL evaluated in a
+    single wide aggregate over ONE scan, melted to (check, observed,
+    passed) rows. The DuckDB twin is the naive per-constraint UNION
+    (six scans): at 100 TB the single-scan form is the difference
+    between one table read and |checks| of them."""
+    from clashroyale_datapipeline_agent_spark.operators.profile import (
+        check_constraints,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    date_viol = F.sum(
+        F.when(
+            (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp")),
+            1,
+        ).otherwise(0)
+    )
+    status_viol = F.sum(
+        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+    )
+    checks = [
+        (
+            "completeness_custkey",
+            F.count("o_custkey").cast("double") / n,
+            F.count("o_custkey") == n,
+        ),
+        ("nonneg_totalprice", F.min("o_totalprice"), F.min("o_totalprice") >= 0.0),
+        ("orderdate_range", date_viol, date_viol == 0),
+        ("row_count_min", n, n >= 1000),
+        ("status_domain", status_viol, status_viol == 0),
+        (
+            "unique_orderkey",
+            F.count_distinct("o_orderkey"),
+            F.count_distinct("o_orderkey") == n,
+        ),
+    ]
+    return check_constraints(o, checks)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 intervals from a change stream
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    ), intervals AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM changes
+    )
+    SELECT event_type AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+           ROUND(AVG(CASE WHEN valid_to IS NOT NULL
+                          THEN (epoch_us(valid_to) - epoch_us(valid_from)) / 1000000.0
+                     END), 4) AS avg_duration_s
+    FROM intervals
+    GROUP BY event_type
+    ORDER BY state
+"""
+
+
+@register("events_scd2_intervals", _SCD2_SQL)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build from a change stream: collapse consecutive
+    duplicate states per user (LAG ≠ current), close each interval with
+    the next change's timestamp (LEAD), summarize per state. This is
+    the CDC primitive behind slowly-changing dimensions — at scale it
+    is two per-user windows over the SAME (user_id) partitioning (one
+    shuffle, the second window reuses it). Durations on the integer
+    microsecond axis; ties broken by event_id in both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    iv = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    dur = (
+        F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    ).cast("double") / F.lit(1000000.0)
+    return (
+        iv.groupBy(F.col("event_type").alias("state"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_open"),
+            F.round(
+                F.avg(F.when(F.col("valid_to").isNotNull(), dur)), 4
+            ).alias("avg_duration_s"),
+        )
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (decile) histogram without a global-order window
+# ---------------------------------------------------------------------------
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+_EQUIDEPTH_SQL = f"""
+    WITH b AS (
+        SELECT quantile_cont(n_chars, {_DECILES}) AS bs FROM documents
+    ), assigned AS (
+        SELECT d.n_chars,
+               ({" + ".join(f"CASE WHEN CAST(d.n_chars AS DOUBLE) > bs[{i}] THEN 1 ELSE 0 END" for i in range(1, 10))})
+                   AS bucket
+        FROM documents d CROSS JOIN b
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM assigned
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+@register("docs_equidepth_histogram", _EQUIDEPTH_SQL)
+def docs_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth decile histogram of document lengths WITHOUT the
+    global NTILE window (which would funnel every row through one
+    partition): pass 1 computes the nine interpolated decile boundaries
+    (``F.percentile`` ≡ DuckDB ``quantile_cont``), pass 2 broadcasts
+    that 1-row boundary array and assigns ``bucket = Σ 1[x > b_i]``
+    map-side, then aggregates per bucket. Both passes are fully
+    distributed; ties collapse into the lower bucket identically in
+    both engines because the boundary doubles are computed by the same
+    interpolation arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.percentile(F.col("n_chars"), F.array(*[F.lit(p) for p in _DECILES])).alias(
+            "bs"
+        )
+    )
+    bucket = sum(
+        F.when(
+            F.col("n_chars").cast("double") > F.element_at("bs", i), 1
+        ).otherwise(0)
+        for i in range(1, 10)
+    ).alias("bucket")
+    return (
+        d.join(F.broadcast(bounds))
+        .select(bucket, "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )

@@ -37,17 +37,23 @@ CARD_METADATA_PATH = _DATA_DIR / "card_metadata.json"
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table with its pinned schema.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read it as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and convert
-    with integer division (``div 1000``: a double division would lose
-    precision on 19-digit nano values and round instead of truncate,
-    diverging from DuckDB's ns->us truncation).
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects outright) and plain TIMESTAMP(MICROS). The footer is
+    sniffed per file (a driver-side metadata read, no data scan): the
+    nanos form is read as raw longs
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and
+    converted with integer division (``div 1000``: a double division
+    would lose precision on 19-digit nano values and round instead of
+    truncate, diverging from DuckDB's ns->us truncation); the micros
+    form reads straight into the pinned TimestampType schema. Assuming
+    one encoding corrupts the time axis 1000× when the other shows up —
+    exactly what a round-3 fixture regeneration did.
     """
     if name not in schemas.STAR_SCHEMA:
         raise KeyError(f"unknown table {name!r}")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         # session default lives in session.get_spark; this fallback only
         # fires under a vanilla SparkSession (e.g. the driver's smoke
         # harness), where the runtime-settable flag is still required to
@@ -70,6 +76,22 @@ def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
     return spark.read.schema(schemas.STAR_SCHEMA[name]).parquet(path)
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the parquet footer stores ``ts`` as TIMESTAMP(NANOS).
+
+    Footer-only pyarrow read (no row groups touched). Unreadable or
+    directory-shaped inputs fall back to the micros path — the pinned
+    TimestampType schema read fails loudly there, while the nanos path
+    would silently mis-scale.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+    except Exception:
+        return False
 
 
 def spread_if_narrow(df: DataFrame) -> DataFrame:
