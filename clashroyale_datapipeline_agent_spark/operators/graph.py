@@ -121,6 +121,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -133,10 +134,14 @@ def pagerank(
     each round is exactly one (dst) shuffle over the edge list.
 
     Scale shape: out-degrees are computed once and live with the edges
-    (one join before the loop, reused every round); per-round
-    ``localCheckpoint`` cuts lineage so the plan stays O(1) in rounds —
-    same discipline as :func:`connected_components`. Nodes with no
-    in-edges keep the (1−d) floor via the left join + coalesce.
+    (one join before the loop, reused every round); ``localCheckpoint``
+    every ``checkpoint_every`` rounds bounds plan depth for long runs —
+    same discipline as :func:`connected_components` — while short
+    fixed-iteration runs (the oracle-able 3-round form) fuse into ONE
+    plan with zero mid-loop materializations: each eager checkpoint is
+    a full job, and three of them dominated the query's wall-clock.
+    Nodes with no in-edges keep the (1−d) floor via the left join +
+    coalesce.
 
     Callers model an undirected walk (e.g. a bipartite interaction
     graph) by passing both orientations of each edge.
@@ -146,7 +151,7 @@ def pagerank(
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     base = F.lit(1.0 - damping)
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             ed.join(ranks, ed.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
@@ -162,6 +167,7 @@ def pagerank(
                     "rank"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.join(deg, ranks.node == deg.src).select("node", "rank", "outdeg")
