@@ -109,6 +109,9 @@ _FIRST = [
     "orders_quality_checks",
     "events_scd2_intervals",
     "docs_equidepth_histogram",
+    "orders_merge_upsert_stats",
+    "bloom_filter_semi_join_stats",
+    "orders_zorder_locality",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -18,6 +18,7 @@ table — no fact-table shuffle anywhere.
 from __future__ import annotations
 
 import json
+from collections.abc import Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,3 +103,57 @@ def run_elixir_backfill(
     ]
     updated = refreshed.filter(F.col("backfill_status") == "updated").count()
     return {"updated": updated, "missing": missing}
+
+
+def merge_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics as one full-outer join — upsert + delete.
+
+    ``changes`` carries ``op_col`` ∈ {'I','U','D'} plus the full row
+    payload for inserts/updates. Result rows:
+
+    - key only in snapshot               -> snapshot row (untouched);
+    - key in changes with op 'I' or 'U'  -> change row (insert/update);
+    - key in changes with op 'D'         -> dropped;
+    - 'U'/'D' for an absent key behaves like the SQL MERGE default:
+      'U' inserts (upsert), 'D' is a no-op.
+
+    Scale shape: ONE shuffle on the merge keys (the full-outer join);
+    every branch is a column-level CASE on join-hit markers, no second
+    pass, no driver state. This is the nightly-snapshot maintenance
+    primitive (Delta/Iceberg MERGE) expressed in pure DataFrame algebra
+    — works on plain parquet snapshots.
+    """
+    payload = [c for c in snapshot.columns if c not in keys]
+    s = snapshot.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_s_{c}") for c in payload],
+        F.lit(True).alias("_in_s"),
+    )
+    c = changes.select(
+        *[F.col(k) for k in keys],
+        *[F.col(x).alias(f"_c_{x}") for x in payload],
+        F.col(op_col).alias("_op"),
+        F.lit(True).alias("_in_c"),
+    )
+    j = s.join(c, list(keys), "full_outer")
+    take_change = F.col("_in_c").isNotNull() & (F.col("_op") != "D")
+    keep = (
+        # snapshot-only rows survive; change rows survive unless delete
+        (F.col("_in_c").isNull() & F.col("_in_s").isNotNull())
+        | take_change
+    )
+    return j.filter(keep).select(
+        *[F.col(k) for k in keys],
+        *[
+            F.when(take_change, F.col(f"_c_{x}"))
+            .otherwise(F.col(f"_s_{x}"))
+            .alias(x)
+            for x in payload
+        ],
+    )

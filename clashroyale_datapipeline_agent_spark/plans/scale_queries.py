@@ -464,3 +464,303 @@ def docs_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert + delete) snapshot maintenance
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+    WITH ch AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+               o_orderpriority, 'U' AS op
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 'D'
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '2'
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+               o_totalprice + 5.0, o_orderdate, o_orderpriority, 'I'
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '3'
+    ), merged AS (
+        SELECT COALESCE(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN c.o_orderkey IS NOT NULL AND c.op <> 'D'
+                    THEN c.o_totalprice ELSE s.o_totalprice END AS price,
+               CASE WHEN c.o_orderkey IS NOT NULL AND c.op <> 'D'
+                    THEN c.o_orderpriority ELSE s.o_orderpriority END AS prio
+        FROM orders s FULL OUTER JOIN ch c ON s.o_orderkey = c.o_orderkey
+        WHERE (c.o_orderkey IS NULL AND s.o_orderkey IS NOT NULL)
+           OR (c.o_orderkey IS NOT NULL AND c.op <> 'D')
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(price), 2) AS total_price
+    FROM merged
+    GROUP BY prio
+    ORDER BY o_orderpriority
+"""
+
+
+@register("orders_merge_upsert_stats", _MERGE_SQL)
+def orders_merge_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (`operators/dim_maintenance.py:merge_changes`):
+    a deterministic changeset (md5-keyed: ~2/16 of keys updated with
+    +10% price, ~1/16 deleted, ~1/16 re-inserted under new keys) applied
+    to the orders snapshot in ONE full-outer shuffle — the
+    Delta/Iceberg-style nightly maintenance primitive on plain parquet.
+    The oracle replays changeset construction AND merge as SQL. Output
+    is the per-priority row count + price mass of the merged snapshot,
+    which pins insert/update/delete handling all at once."""
+    from clashroyale_datapipeline_agent_spark.operators.dim_maintenance import (
+        merge_changes,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    d1 = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    upd = o.filter(d1.isin("0", "1")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+    )
+    dele = o.filter(d1 == "2").select(*o.columns, F.lit("D").alias("op"))
+    ins = o.filter(d1 == "3").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("I").alias("op"),
+    )
+    merged = merge_changes(o, upd.unionByName(dele).unionByName(ins), ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+_BPOS = (
+    f"((strpos({HEXP}, substr({{h}}, 1, 1)) - 1) * 4096"
+    f" + (strpos({HEXP}, substr({{h}}, 2, 1)) - 1) * 256"
+    f" + (strpos({HEXP}, substr({{h}}, 3, 1)) - 1) * 16"
+    f" + (strpos({HEXP}, substr({{h}}, 4, 1)) - 1)) % 16384"
+)
+
+_BLOOM_SQL = f"""
+    WITH dim AS (
+        SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), salts(j) AS (VALUES (0), (1), (2), (3)),
+    bh AS (
+        SELECT md5(CAST(s.j AS VARCHAR) || ':' || CAST(d.c_custkey AS VARCHAR)) AS h
+        FROM dim d CROSS JOIN salts s
+    ),
+    bits AS (SELECT DISTINCT {_BPOS.format(h="h")} AS pos FROM bh),
+    pp AS (
+        SELECT o.o_orderkey,
+               {_BPOS.format(h="md5(CAST(s.j AS VARCHAR) || ':' || CAST(o.o_custkey AS VARCHAR))")} AS pos
+        FROM orders o CROSS JOIN salts s
+    ),
+    passed AS (
+        SELECT o_orderkey FROM pp JOIN bits USING (pos)
+        GROUP BY o_orderkey HAVING COUNT(*) = 4
+    ),
+    exacts AS (
+        SELECT o.o_orderkey FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dim) AS n_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exacts) AS exact_matches,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS bloom_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM exacts) AS false_positives,
+           ROUND(CAST((SELECT COUNT(*) FROM passed) - (SELECT COUNT(*) FROM exacts)
+                      AS DOUBLE)
+                 / ((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM exacts)),
+                 6) AS fp_rate
+"""
+
+
+@register("bloom_filter_semi_join_stats", _BLOOM_SQL)
+def bloom_filter_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pruning (`operators/bloom.py`): a deterministic
+    md5 Bloom filter (K=4, M=16384) built over the BUILDING-segment
+    customer keys, probed by orders as K chained broadcast semi-joins —
+    the fact table is filtered MAP-SIDE, no fact shuffle, which is the
+    whole economics of runtime filters at 100 TB (kilobytes of bit
+    positions replace a dimension broadcast or a key shuffle). Output
+    pins the no-false-negative guarantee (bloom_pass ≥ exact_matches)
+    and the measured false-positive rate; the oracle replays bit
+    positions verbatim."""
+    from clashroyale_datapipeline_agent_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+    bits = bloom_build(dim, "c_custkey")
+    passed = bloom_probe(o, bits, "o_custkey")
+    exact = o.join(
+        dim, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    one = lambda df, name: F.broadcast(  # noqa: E731
+        df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+    )
+    return (
+        one(dim, "n_keys")
+        .crossJoin(one(bits, "n_bits"))
+        .crossJoin(one(exact, "exact_matches"))
+        .crossJoin(one(passed, "bloom_pass"))
+        .crossJoin(one(o, "_n_orders"))
+        .select(
+            "n_keys",
+            "n_bits",
+            "exact_matches",
+            "bloom_pass",
+            (F.col("bloom_pass") - F.col("exact_matches"))
+            .cast("bigint")
+            .alias("false_positives"),
+            F.round(
+                (F.col("bloom_pass") - F.col("exact_matches")).cast("double")
+                / (F.col("_n_orders") - F.col("exact_matches")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout locality vs natural insertion order
+# ---------------------------------------------------------------------------
+
+#: SQL replay of the 10-bit Morton interleave of {x} and {y}.
+_Z_EXPR = " + ".join(
+    f"(({{x}} >> {i}) & 1) * {1 << (2 * i)} + (({{y}} >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(10)
+)
+
+#: Query rectangle: a 64-wide slice in each dimension.
+_CUST_LO, _CUST_HI, _DAY_LO, _DAY_HI = 100, 163, 256, 319
+
+_ZORDER_SQL = f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_custkey % 1024 AS x,
+               (datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                * 1024) // 2500 AS y
+        FROM orders
+    ), mx AS (SELECT MAX(o_orderkey) + 1 AS maxk FROM orders),
+    zmaps AS (
+        SELECT 'zorder' AS layout,
+               (({_Z_EXPR.format(x="x", y="y")}) * 64) // 1048576 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y
+        FROM base GROUP BY bucket
+        UNION ALL
+        SELECT 'natural', (b.o_orderkey * 64) // mx.maxk AS bucket,
+               CAST(COUNT(*) AS BIGINT),
+               MIN(x), MAX(x), MIN(y), MAX(y)
+        FROM base b CROSS JOIN mx
+        GROUP BY bucket
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN max_x >= {_CUST_LO} AND min_x <= {_CUST_HI}
+                          AND max_y >= {_DAY_LO} AND min_y <= {_DAY_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+           CAST(SUM(CASE WHEN max_x >= {_CUST_LO} AND min_x <= {_CUST_HI}
+                          AND max_y >= {_DAY_LO} AND min_y <= {_DAY_HI}
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+    FROM zmaps
+    GROUP BY layout
+    ORDER BY layout
+"""
+
+
+@register("orders_zorder_locality", _ZORDER_SQL)
+def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout economics made measurable (`operators/layout.py`):
+    orders are laid out into 64 simulated files two ways — natural
+    (orderkey range, i.e. insertion order) and Z-order (10-bit Morton
+    interleave of customer × order-day) — and each layout's zone maps
+    (per-file min/max of both dimensions) are evaluated against the
+    same 64×64 query rectangle. The checked output is how many files /
+    rows a zone-map-pruning scan must touch under each layout: the
+    number that decides scan cost at 100 TB before any query runs.
+    Interleave is pure shift/mask arithmetic replayed verbatim by the
+    oracle; no sort, no window — bucket ids are closed-form."""
+    from clashroyale_datapipeline_agent_spark.operators.layout import (
+        z_value,
+        zone_maps,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("x"),
+        (
+            (
+                F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+                * 1024
+            )
+            / 2500
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    dims = {"x": F.col("x"), "y": F.col("y")}
+    zm_z = zone_maps(
+        base, z_value(F.col("x"), F.col("y"), 10), 1 << 20, 64, dims
+    ).select(F.lit("zorder").alias("layout"), "*")
+    maxk = F.broadcast(
+        o.agg((F.max("o_orderkey") + 1).cast("long").alias("maxk"))
+    )
+    zm_n = zone_maps(
+        base.crossJoin(maxk),
+        F.col("o_orderkey") * 64 / F.col("maxk"),
+        64,  # layout key is already the bucket fraction * 64
+        64,
+        dims,
+    )
+    # zone_maps buckets by key*n/space; with key = orderkey*64/maxk and
+    # space=64, bucket = orderkey*64 div maxk — the natural range write.
+    zm_n = zm_n.select(F.lit("natural").alias("layout"), "*")
+    zmaps = zm_z.unionByName(zm_n)
+    scanned = (
+        (F.col("max_x") >= _CUST_LO)
+        & (F.col("min_x") <= _CUST_HI)
+        & (F.col("max_y") >= _DAY_LO)
+        & (F.col("min_y") <= _DAY_HI)
+    )
+    return (
+        zmaps.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.when(scanned, 1).otherwise(0)).cast("bigint").alias(
+                "buckets_scanned"
+            ),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .orderBy("layout")
+    )

@@ -107,3 +107,65 @@ def test_events_reader_adapts_to_micros_fixture(spark):
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     assert lo.year >= 2000, f"time axis corrupted: {lo}"
     assert (hi - lo).days >= 1
+
+
+def test_merge_changes_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    ch = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I"), (5, "e", "U"), (9, None, "D")],
+        ["k", "v", "op"],
+    )
+    from clashroyale_datapipeline_agent_spark.operators.dim_maintenance import (
+        merge_changes,
+    )
+
+    out = {r.k: r.v for r in merge_changes(snap, ch, ["k"]).collect()}
+    # untouched, updated, deleted-gone, inserted, upserted-absent, D-absent noop
+    assert out == {1: "a", 2: "B", 4: "d", 5: "e"}
+
+
+def test_bloom_no_false_negatives(spark):
+    from clashroyale_datapipeline_agent_spark.operators.bloom import (
+        BLOOM_M,
+        bloom_build,
+        bloom_probe,
+    )
+
+    c = load_star_table(spark, SF_DIR, "customer")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+    bits = bloom_build(dim, "c_custkey")
+    assert bits.count() <= BLOOM_M
+    o = load_star_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    passed = bloom_probe(o, bits, "o_custkey")
+    exact = o.join(dim, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    # every true match must pass the filter
+    assert exact.join(passed, "o_orderkey", "left_anti").count() == 0
+    # and the probe side never shuffles: no Exchange above the scans
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zvalue_locality(spark):
+    from clashroyale_datapipeline_agent_spark.operators.layout import z_value
+
+    df = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    z = df.select("x", "y", z_value(F.col("x"), F.col("y"), 5).alias("z")).collect()
+    # Morton code is a bijection on the 32x32 grid
+    assert len({r.z for r in z}) == 1024
+    assert all(0 <= r.z < 1024 for r in z)
+    # interleave of (x, y) = (1, 0) -> 1, (0, 1) -> 2, (3, 3) -> 15
+    m = {(r.x, r.y): r.z for r in z}
+    assert m[(1, 0)] == 1 and m[(0, 1)] == 2 and m[(3, 3)] == 15
+
+
+def test_zorder_prunes_better_than_natural(spark):
+    rows = {
+        r.layout: r
+        for r in scale_queries.orders_zorder_locality(spark, SF_DIR).collect()
+    }
+    assert rows["zorder"].rows_scanned <= rows["natural"].rows_scanned
+    assert rows["zorder"].buckets_scanned < rows["natural"].buckets_scanned
