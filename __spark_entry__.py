@@ -112,6 +112,9 @@ _FIRST = [
     "orders_merge_upsert_stats",
     "bloom_filter_semi_join_stats",
     "orders_zorder_locality",
+    "docs_bpe_first_merges",
+    "docs_oov_rate_by_lang",
+    "docs_length_diversity_corr",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -764,3 +764,192 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction: BPE first-merge pair statistics
+# ---------------------------------------------------------------------------
+
+_BPE_SQL = """
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wf AS (
+        SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substr(w, i, 2))) AS pair,
+               f
+        FROM wf
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 10
+"""
+
+
+@register("docs_bpe_first_merges", _BPE_SQL)
+def docs_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's first merge decision: the most frequent adjacent
+    character pairs across the corpus, weighted by word frequency. The
+    scale-defining trick is the same one real BPE trainers use: pair
+    generation runs over the DISTINCT word-frequency dict (one corpus
+    shuffle to build, vocabulary-sized thereafter), never over raw
+    text — at 100 TB the vocab table is millions of rows while the
+    corpus is trillions of tokens. Adjacent pairs via
+    sequence→transform→substring (all codegen), explode over the tiny
+    dict, weighted sum."""
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer coverage: OOV rate against a frequency-built vocabulary
+# ---------------------------------------------------------------------------
+
+_OOV_SQL = """
+    WITH terms AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), used AS (
+        SELECT * FROM terms WHERE w <> ''
+    ), vocab AS (
+        SELECT w FROM used GROUP BY w
+        ORDER BY COUNT(*) DESC, w LIMIT 50
+    ), per_doc AS (
+        SELECT t.doc_id, t.lang,
+               SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov,
+               COUNT(*) AS n
+        FROM used t LEFT JOIN vocab v USING (w)
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(oov * 1.0 / n), 6) AS avg_oov_rate,
+           ROUND(MAX(oov * 1.0 / n), 6) AS max_oov_rate
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@register("docs_oov_rate_by_lang", _OOV_SQL)
+def docs_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build the top-50 frequency vocabulary
+    (deterministic count-desc/word-asc order), then measure each
+    document's out-of-vocabulary token fraction and roll up per
+    language. The vocab is corpus-derived yet bounded, so the coverage
+    join BROADCASTS it — per-token membership is map-side; the only
+    shuffles are the vocab build and the per-doc re-aggregate. This is
+    the check run before committing to a tokenizer on a new corpus
+    slice."""
+    d = _t(spark, sf_dir, "documents")
+    used = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        used.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(50)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    per_doc = (
+        used.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("oov"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("oov") / F.col("n")), 6).alias("avg_oov_rate"),
+            F.round(F.max(F.col("oov") / F.col("n")), 6).alias("max_oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation via explicit moments (length vs lexical diversity)
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+    WITH per_doc AS (
+        SELECT d.doc_id, d.source,
+               CAST(d.n_chars AS DOUBLE) AS x,
+               CAST(COUNT(DISTINCT t.w) AS DOUBLE) / COUNT(t.w) AS y
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w) t
+        WHERE t.w <> ''
+        GROUP BY d.doc_id, d.source, d.n_chars
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (sqrt(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                    * sqrt(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 4)
+               AS length_diversity_corr
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_length_diversity_corr", _CORR_SQL)
+def docs_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length and lexical diversity
+    (distinct-token ratio) per source — the screening stat for 'are my
+    long documents just repetitive?'. Written as the EXPLICIT moment
+    formula (n·Σxy − ΣxΣy over the √ variance terms) rather than
+    ``F.corr``: the five moment sums are one partial/final aggregate
+    (map-side combine, one shuffle) and every term is replayable
+    arithmetic, where engine-native corr implementations differ in
+    update order and aren't cross-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("double").alias("x"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "source", "x")
+        .agg(
+            (F.count_distinct("w").cast("double") / F.count(F.lit(1))).alias("y")
+        )
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")) * F.sqrt(
+        n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.round(num / den, 4).alias("length_diversity_corr"),
+        )
+        .orderBy("source")
+    )

@@ -169,3 +169,25 @@ def test_zorder_prunes_better_than_natural(spark):
     }
     assert rows["zorder"].rows_scanned <= rows["natural"].rows_scanned
     assert rows["zorder"].buckets_scanned < rows["natural"].buckets_scanned
+
+
+def test_bpe_pairs_weighted_by_word_freq(spark):
+    rows = scale_queries.docs_bpe_first_merges(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    # descending, deterministic tiebreak
+    ns = [r.n_occurrences for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r.pair) == 2 for r in rows)
+
+
+def test_oov_rate_bounds(spark):
+    rows = scale_queries.docs_oov_rate_by_lang(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.avg_oov_rate <= r.max_oov_rate <= 1.0
+
+
+def test_corr_in_range(spark):
+    rows = scale_queries.docs_length_diversity_corr(spark, SF_DIR).collect()
+    assert rows
+    assert all(-1.0 <= r.length_diversity_corr <= 1.0 for r in rows)
