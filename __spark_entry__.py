@@ -115,6 +115,8 @@ _FIRST = [
     "docs_bpe_first_merges",
     "docs_oov_rate_by_lang",
     "docs_length_diversity_corr",
+    "fk_integrity_audit",
+    "docs_lang_source_chi2",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -953,3 +953,141 @@ def docs_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+_FK_SQL = """
+    SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY relationship
+"""
+
+
+@register("fk_integrity_audit", _FK_SQL)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep: orphan counts for the star schema's
+    four FK edges in one result. Each edge is a LEFT join probed only
+    for parent existence; the three dimension-parent edges broadcast
+    (supplier/customer/nation are dims), so the only key shuffle is
+    fact→orders — at 100 TB this is the cheapest possible audit shape:
+    no orphan materialization, just counts. The 'quality suite' answer
+    to 'can I trust my joins before running them?'."""
+
+    def edge(child, parent, ck, pk, name):
+        j = child.join(parent, F.col(ck) == F.col(pk), "left")
+        return j.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = [
+        edge(li.select("l_orderkey"), o.select("o_orderkey"), "l_orderkey",
+             "o_orderkey", "lineitem.l_orderkey -> orders"),
+        edge(li.select("l_suppkey"), F.broadcast(s.select("s_suppkey")),
+             "l_suppkey", "s_suppkey", "lineitem.l_suppkey -> supplier"),
+        edge(o.select("o_custkey"), F.broadcast(c.select("c_custkey")),
+             "o_custkey", "c_custkey", "orders.o_custkey -> customer"),
+        edge(c.select("c_nationkey"), F.broadcast(n.select("n_nationkey")),
+             "c_nationkey", "n_nationkey", "customer.c_nationkey -> nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("relationship")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square drift: language mix per source vs the corpus-wide mix
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+    WITH obs AS (
+        SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS o
+        FROM documents GROUP BY source, lang
+    ), row_tot AS (
+        SELECT source, SUM(o) AS rt FROM obs GROUP BY source
+    ), col_tot AS (
+        SELECT lang, SUM(o) AS ct FROM obs GROUP BY lang
+    ), tot AS (SELECT SUM(o) AS t FROM obs),
+    cells AS (
+        SELECT obs.source, obs.o, row_tot.rt * col_tot.ct / tot.t AS e
+        FROM obs
+        JOIN row_tot ON obs.source = row_tot.source
+        JOIN col_tot ON obs.lang = col_tot.lang
+        CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2_contrib
+    FROM cells
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_lang_source_chi2", _CHI2_SQL)
+def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix drift detector: per-source chi-square contribution of
+    the language contingency table against independence (expected =
+    row·col/total). A source whose language mix diverges from the
+    corpus-wide mix lights up before it skews a training run. Pure
+    arithmetic on one (source, lang) aggregate — the contingency table
+    is bounded (sources × langs), so the expected-count joins all
+    broadcast; no libm anywhere, so every cell is cross-engine exact."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    row_tot = obs.groupBy("source").agg(F.sum("o").alias("rt"))
+    col_tot = obs.groupBy("lang").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    cells = (
+        obs.join(F.broadcast(row_tot), "source")
+        .join(F.broadcast(col_tot), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "o",
+            (F.col("rt") * F.col("ct") / F.col("t")).alias("e"),
+        )
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                4,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("source")
+    )

@@ -191,3 +191,17 @@ def test_corr_in_range(spark):
     rows = scale_queries.docs_length_diversity_corr(spark, SF_DIR).collect()
     assert rows
     assert all(-1.0 <= r.length_diversity_corr <= 1.0 for r in rows)
+
+
+def test_fk_audit_clean_fixture(spark):
+    rows = scale_queries.fk_integrity_audit(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    # driver fixtures are referentially clean; the audit must agree
+    assert all(r.n_orphans == 0 for r in rows)
+    assert all(r.n_child_rows > 0 for r in rows)
+
+
+def test_chi2_nonnegative(spark):
+    rows = scale_queries.docs_lang_source_chi2(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.chi2_contrib >= 0.0 for r in rows)
