@@ -332,17 +332,18 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_SQL = """
     WITH ordered AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev
         FROM events
     ), changes AS (
-        SELECT user_id, event_type, ts
+        SELECT user_id, event_type, ts, event_id
         FROM ordered
         WHERE prev IS NULL OR prev <> event_type
     ), intervals AS (
         SELECT user_id, event_type, ts AS valid_from,
-               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
         FROM changes
     )
     SELECT event_type AS state,
@@ -381,7 +382,7 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     iv = changes.select(
         "user_id",
         "event_type",
