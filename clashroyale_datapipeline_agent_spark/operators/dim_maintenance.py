@@ -123,6 +123,10 @@ def merge_changes(
     - 'U'/'D' for an absent key behaves like the SQL MERGE default:
       'U' inserts (upsert), 'D' is a no-op.
 
+    Precondition (same as SQL MERGE, which raises on multiple matches):
+    ``changes`` has at most one row per key — dedupe upstream (e.g.
+    keep the latest by a version column) before merging.
+
     Scale shape: ONE shuffle on the merge keys (the full-outer join);
     every branch is a column-level CASE on join-hit markers, no second
     pass, no driver state. This is the nightly-snapshot maintenance

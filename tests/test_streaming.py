@@ -294,3 +294,51 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     }
     assert want == {(h * 10, h * 10 + 1) for h in range(6)}
     assert got == want
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path, event_rows):
+    from clashroyale_datapipeline_agent_spark.operators.sketches import cms_counters
+    from clashroyale_datapipeline_agent_spark.streaming.sketch_stream import (
+        CmsCounterStore,
+        start_streaming_cms,
+    )
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    # three micro-batch files
+    third = len(event_rows) // 3
+    for i, lo in enumerate(range(0, len(event_rows), third)):
+        _write_batch(src, event_rows[lo : lo + third], f"b{i}")
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    store = CmsCounterStore(spark, str(tmp_path / "cms_store"))
+    q = start_streaming_cms(
+        stream,
+        store,
+        "user_id",
+        checkpoint_dir=str(tmp_path / "cms_ckpt"),
+    )
+    q.awaitTermination(120)
+    # merged streaming sketch == one-shot batch sketch over all events
+    batch_df = spark.read.schema(SCHEMA).json(str(src))
+    expect = {
+        (r.row_id, r.bucket): r.cnt
+        for r in cms_counters(batch_df, "user_id").collect()
+    }
+    got = {(r.row_id, r.bucket): r.cnt for r in store.read().collect()}
+    assert got == expect
+
+
+def test_cms_store_merge_idempotent(spark, tmp_path):
+    from clashroyale_datapipeline_agent_spark.streaming.sketch_stream import (
+        CmsCounterStore,
+    )
+
+    store = CmsCounterStore(spark, str(tmp_path / "s"))
+    d = spark.createDataFrame([(0, 1, 5), (1, 2, 7)], "row_id int, bucket int, cnt bigint")
+    store.merge_deltas(d, batch_id=0)
+    store.merge_deltas(d, batch_id=0)  # replay must not double-apply
+    got = {(r.row_id, r.bucket): r.cnt for r in store.read().collect()}
+    assert got == {(0, 1): 5, (1, 2): 7}
+    store.merge_deltas(d, batch_id=1)
+    got = {(r.row_id, r.bucket): r.cnt for r in store.read().collect()}
+    assert got == {(0, 1): 10, (1, 2): 14}
