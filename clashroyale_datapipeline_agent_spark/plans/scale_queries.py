@@ -610,17 +610,49 @@ def bloom_filter_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the measured false-positive rate; the oracle replays bit
     positions verbatim."""
     from clashroyale_datapipeline_agent_spark.operators.bloom import (
+        BLOOM_K,
         bloom_build,
-        bloom_probe,
+        bloom_position,
     )
 
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
     bits = bloom_build(dim, "c_custkey")
-    passed = bloom_probe(o, bits, "o_custkey")
-    exact = o.join(
-        dim, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    # One pass over the fact side computes BOTH verdicts per row — the
+    # K membership tests as broadcast left joins against hit markers and
+    # the exact semi as a broadcast left join against the dim — then a
+    # single aggregate. (bloom_probe's chained-semi form is the
+    # production filter; here both paths must be measured side by side,
+    # and fusing them halves the probe work and collapses five
+    # aggregate jobs into three.)
+    flagged = o
+    hit_flags = []
+    # the SAME marker DF for every j keeps the four broadcast subtrees
+    # identical, so ReusedExchange materializes the bit set once
+    marker = bits.select("_pos", F.lit(True).alias("_hit"))
+    for j in range(BLOOM_K):
+        flagged = (
+            flagged.withColumn("_pos", bloom_position(F.col("o_custkey"), j))
+            .join(F.broadcast(marker), "_pos", "left")
+            .drop("_pos")
+            .withColumnRenamed("_hit", f"_hit{j}")
+        )
+        hit_flags.append(F.col(f"_hit{j}").isNotNull())
+    flagged = flagged.join(
+        F.broadcast(dim.select("c_custkey", F.lit(True).alias("_exact"))),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    in_bloom = hit_flags[0]
+    for hf in hit_flags[1:]:
+        in_bloom = in_bloom & hf
+    main = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_orders"),
+        F.sum(F.when(F.col("_exact").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_matches"),
+        F.sum(F.when(in_bloom, 1).otherwise(0)).cast("bigint").alias("bloom_pass"),
     )
     one = lambda df, name: F.broadcast(  # noqa: E731
         df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
@@ -628,9 +660,7 @@ def bloom_filter_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         one(dim, "n_keys")
         .crossJoin(one(bits, "n_bits"))
-        .crossJoin(one(exact, "exact_matches"))
-        .crossJoin(one(passed, "bloom_pass"))
-        .crossJoin(one(o, "_n_orders"))
+        .crossJoin(main)
         .select(
             "n_keys",
             "n_bits",
