@@ -79,6 +79,8 @@ _FIRST = [
     "docs_length_diversity_corr",
     "fk_integrity_audit",
     "docs_lang_source_chi2",
+    "events_salted_type_counts",
+    "events_salted_tier_join",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

@@ -1122,3 +1122,81 @@ def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-handling operators, oracle-backed (previously pytest-only)
+# ---------------------------------------------------------------------------
+
+_SALTED_AGG_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@register("events_salted_type_counts", _SALTED_AGG_SQL)
+def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation (`operators/skew.py:salted_counter_agg`)
+    cross-checked against the plain GROUP BY it must equal: stage 1
+    groups by (key, random salt) so a hot key spreads across 16
+    reducers, stage 2 re-sums the tiny partials. The oracle is the
+    unsalted aggregate — equality IS the correctness property (sums and
+    counts are the commutative monoid the operator is restricted to)."""
+    from clashroyale_datapipeline_agent_spark.operators.skew import (
+        salted_counter_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_counter_agg(
+        ev,
+        ["event_type"],
+        {"n_events": "count", "total_value": "sum:value"},
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+    ).orderBy("event_type")
+
+
+_SALTED_JOIN_SQL = """
+    WITH dim AS (
+        SELECT DISTINCT user_id, user_id % 5 AS tier FROM events
+    )
+    SELECT d.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.tier
+    ORDER BY d.tier
+"""
+
+
+@register("events_salted_tier_join", _SALTED_JOIN_SQL)
+def events_salted_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant replicated join (`operators/skew.py:salted_join`)
+    cross-checked against the plain equi-join it must equal: the big
+    (skewed) side gets a random salt, the small side is replicated
+    salt× so (key, salt) matches exactly once — a hot user's rows land
+    on 8 reducers instead of one. Replication cost is bounded by the
+    small side; the oracle is the unsalted join."""
+    from clashroyale_datapipeline_agent_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 5).alias("tier")
+    )
+    joined = salted_join(ev.select("user_id", "value"), dim, "user_id", salt=8)
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("tier")
+    )
