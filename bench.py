@@ -40,13 +40,18 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        if (i + 1) % 25 == 0:
+            # nudge the ContextCleaner: broadcast/shuffle state from a
+            # hundred prior queries otherwise waits for an old-gen GC
+            # and the pause lands inside whichever query triggers it
+            spark.sparkContext._jvm.System.gc()
 
     sf = None
     tail = os.path.basename(sf_dir.rstrip("/"))

@@ -64,7 +64,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quiet local runs
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # in local mode the driver JVM IS the executor: 32 task threads
+        # share this heap. 8g caused old-gen pressure once a long-lived
+        # session accumulated ~100 queries of broadcasts (10x GC-pause
+        # inflation on the shingle-heavy self-joins, measured in bench);
+        # the box has 128 GiB, so size the single JVM like the executor
+        # fleet it stands in for.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
