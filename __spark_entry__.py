@@ -81,6 +81,7 @@ _FIRST = [
     "docs_lang_source_chi2",
     "events_salted_type_counts",
     "events_salted_tier_join",
+    "dedup_lsh_band_sweep",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

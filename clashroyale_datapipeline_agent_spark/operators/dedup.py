@@ -84,11 +84,16 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     estimates Jaccard similarity componentwise. Pure expressions — the whole
     signature computes inside codegen, no UDF.
     """
-    mins = [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    def _mh(seed: int) -> Column:
+        # NB: the lambda MUST be single-argument. F.transform passes the
+        # ELEMENT INDEX as the second argument to a 2-arg lambda, so the
+        # tempting `lambda s, i=i:` closure binds the array position —
+        # every "hash function" collapses to the same index-salted one.
+        return F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    return F.array(*[_mh(i) for i in range(num_hashes)])
 
 
 def lsh_candidate_pairs(

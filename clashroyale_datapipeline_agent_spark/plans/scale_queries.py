@@ -1200,3 +1200,168 @@ def events_salted_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-configuration sweep: candidate volume vs precision
+# ---------------------------------------------------------------------------
+
+_LSH_N_HASHES = 16
+_LSH_CONFIGS = [("b2r8", 2, 8), ("b4r4", 4, 4), ("b8r2", 8, 2)]
+
+_LSH_SIG_LIST = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5(s || '#{i}')))"
+    for i in range(_LSH_N_HASHES)
+)
+#: fully-enumerated (cfg, band_index, slice_lo, slice_hi) literal rows
+_LSH_BANDS_VALUES = ", ".join(
+    f"('{cfg}', {bi}, {bi * r + 1}, {bi * r + r})"
+    for cfg, b, r in _LSH_CONFIGS
+    for bi in range(b)
+)
+
+_LSH_SWEEP_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        FROM toks
+    ), sigs AS (
+        SELECT doc_id, shingles, [{_LSH_SIG_LIST}] AS sig
+        FROM sh WHERE len(shingles) > 0
+    ), bands(cfg, bi, lo, hi) AS (VALUES {_LSH_BANDS_VALUES}),
+    banded AS (
+        SELECT b.cfg, s.doc_id, b.bi,
+               array_to_string(s.sig[b.lo:b.hi], '|') AS bsig
+        FROM sigs s CROSS JOIN bands b
+    ), cand AS (
+        SELECT DISTINCT x.cfg, x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.cfg = y.cfg AND x.bi = y.bi AND x.bsig = y.bsig
+         AND x.doc_id < y.doc_id
+    ), uniq AS (
+        SELECT DISTINCT id_a, id_b FROM cand
+    ), jac AS (
+        SELECT u.id_a, u.id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS j
+        FROM uniq u
+        JOIN sh sa ON sa.doc_id = u.id_a
+        JOIN sh sb ON sb.doc_id = u.id_b
+    )
+    SELECT c.cfg AS config,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN j.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_pairs,
+           ROUND(SUM(CASE WHEN j.j >= 0.5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS precision_at_05
+    FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+    GROUP BY c.cfg
+    ORDER BY config
+"""
+
+
+@register("dedup_lsh_band_sweep", _LSH_SWEEP_SQL)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding is a dial, not a constant — this query MEASURES it.
+    One 16-hash md5 MinHash signature per document, banded three ways
+    ((b=2,r=8) strict … (b=8,r=2) permissive); per config the checked
+    output is candidate-pair volume, true near-dups among them (exact
+    shingle Jaccard ≥ 0.5, verified on the candidate UNION only — one
+    verify pass shared by all configs), and precision. At 100 TB this
+    table IS the tuning procedure: run the sweep on a slice, pick the
+    band shape whose candidate volume the verify stage can afford.
+    Banding, slicing, and Jaccard replay identically in DuckDB
+    (1-based inclusive list slices in both engines)."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    def _mh(seed: int):
+        # single-arg lambda only: F.transform feeds the element INDEX to
+        # a second lambda parameter, silently replacing the salt
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+        )
+
+    minh = F.array(*[_mh(i) for i in range(_LSH_N_HASHES)])
+    sigs = base.select("doc_id", "shingles", minh.alias("sig"))
+    parts = []
+    for cfg, b, r in _LSH_CONFIGS:
+        bb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("bi"),
+                        F.concat_ws("|", F.slice("sig", bi * r + 1, r)).alias(
+                            "bsig"
+                        ),
+                    )
+                    for bi in range(b)
+                ]
+            )
+        ).alias("bb")
+        parts.append(
+            sigs.select(F.lit(cfg).alias("cfg"), "doc_id", bb).select(
+                "cfg", "doc_id", "bb.bi", "bb.bsig"
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.cfg") == F.col("y.cfg"))
+            & (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.cfg").alias("cfg"),
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    uniq = cand.select("id_a", "id_b").distinct()
+    sa = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = (
+        uniq.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter
+                / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b")))
+            ).alias("j"),
+        )
+    )
+    return (
+        cand.join(jac, ["id_a", "id_b"])
+        .groupBy(F.col("cfg").alias("config"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_pairs"),
+            F.round(
+                F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("precision_at_05"),
+        )
+        .orderBy("config")
+    )

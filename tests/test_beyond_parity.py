@@ -57,16 +57,23 @@ def test_shingles_and_minhash(docs):
 
 
 def test_lsh_candidates_and_jaccard(docs):
-    cands = D.lsh_candidate_pairs(docs, num_hashes=16, bands=8)
+    # bands=16/r=1: a single shared minhash surfaces the pair, so the
+    # 0.4-jaccard near-dup (1,3) collides with probability 1-(0.6)^16
+    # under INDEPENDENT hash functions. (The old bands=8/r=2 expectation
+    # was calibrated against a closure bug that salted by array index —
+    # at r=2 a 0.4 pair is only a ~75% collision and correctly missed.)
+    cands = D.lsh_candidate_pairs(docs, num_hashes=16, bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
     verified = D.ngram_jaccard_pairs(docs, cands, threshold=0.35).collect()
     vm = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
     assert vm[(1, 2)] == pytest.approx(1.0)
     assert vm[(1, 3)] == pytest.approx(0.4)  # 4 shared / 10 union shingles
-    deduped = D.minhash_lsh_dedup(docs, threshold=0.35, num_hashes=16, bands=8)
+    deduped = D.minhash_lsh_dedup(docs, threshold=0.35, num_hashes=16, bands=16)
     kept = {r["doc_id"] for r in deduped.collect()}
     assert 2 not in kept and 3 not in kept and 1 in kept
+    # dissimilar docs must NOT be surfaced even at the permissive setting
+    assert (1, 4) not in pairs and (4, 5) not in pairs
 
 
 def test_simhash(docs):

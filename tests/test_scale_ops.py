@@ -205,3 +205,13 @@ def test_chi2_nonnegative(spark):
     rows = scale_queries.docs_lang_source_chi2(spark, SF_DIR).collect()
     assert rows
     assert all(r.chi2_contrib >= 0.0 for r in rows)
+
+
+def test_lsh_band_sweep_monotone(spark):
+    rows = {r.config: r for r in scale_queries.dedup_lsh_band_sweep(spark, SF_DIR).collect()}
+    # more bands of fewer rows = more permissive = at least as many candidates
+    if "b2r8" in rows and "b8r2" in rows:
+        assert rows["b8r2"].n_candidates >= rows["b2r8"].n_candidates
+    for r in rows.values():
+        assert 0 <= r.n_true_pairs <= r.n_candidates
+        assert 0.0 <= r.precision_at_05 <= 1.0
