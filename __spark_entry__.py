@@ -82,6 +82,7 @@ _FIRST = [
     "events_salted_type_counts",
     "events_salted_tier_join",
     "dedup_lsh_band_sweep",
+    "docs_weighted_sample_counts",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
 
 HEXP = "'0123456789abcdef'"
+HEX_CHARS = "0123456789abcdef"
 
 #: DuckDB replay of md5 first-3-hex-digit bucketing (0..4095) for {h}.
 _BUCKET3 = (
@@ -1364,4 +1365,68 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_at_05"),
         )
         .orderBy("config")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted priority sample (length-weighted training mix)
+# ---------------------------------------------------------------------------
+
+_HEX4 = (
+    f"((strpos({HEXP}, substr({{h}}, 1, 1)) - 1) * 4096"
+    f" + (strpos({HEXP}, substr({{h}}, 2, 1)) - 1) * 256"
+    f" + (strpos({HEXP}, substr({{h}}, 3, 1)) - 1) * 16"
+    f" + (strpos({HEXP}, substr({{h}}, 4, 1)) - 1))"
+)
+
+_WSAMPLE_SQL = f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               CAST({_HEX4.format(h="md5(CAST(doc_id AS VARCHAR))")} + 1 AS DOUBLE)
+               / n_chars AS priority
+        FROM documents
+        WHERE n_chars > 0
+    ), picked AS (
+        SELECT * FROM pri ORDER BY priority, doc_id LIMIT 100
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars_sampled
+    FROM picked
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_weighted_sample_counts", _WSAMPLE_SQL)
+def docs_weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without RNG: priority = (md5-derived uniform
+    integer) / weight, keep the k smallest — longer documents win
+    proportionally more slots (the deterministic analogue of
+    priority/A-Res weighted reservoir sampling, on the same md5
+    arithmetic discipline as the hash splits). Deterministic,
+    replayable, and mergeable: the k smallest priorities of a union are
+    computable from each partition's k smallest — TakeOrdered does
+    exactly that map-side, no full sort. Output: sampled count and mean
+    length per source (longer-doc sources overrepresented by design)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.md5(F.col("doc_id").cast("string"))
+    dd = lambda i: F.instr(F.lit(HEX_CHARS), F.substring(h, i, 1)) - 1  # noqa: E731
+    hex4 = dd(1) * 4096 + dd(2) * 256 + dd(3) * 16 + dd(4)
+    pri = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ((hex4 + 1).cast("double") / F.col("n_chars")).alias("priority"),
+    )
+    picked = pri.orderBy("priority", "doc_id").limit(100)
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias(
+                "avg_chars_sampled"
+            ),
+        )
+        .orderBy("source")
     )

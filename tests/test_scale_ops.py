@@ -215,3 +215,14 @@ def test_lsh_band_sweep_monotone(spark):
     for r in rows.values():
         assert 0 <= r.n_true_pairs <= r.n_candidates
         assert 0.0 <= r.precision_at_05 <= 1.0
+
+
+def test_weighted_sample_favors_long_docs(spark):
+    d = load_star_table(spark, SF_DIR, "documents").filter(F.col("n_chars") > 0)
+    overall_avg = d.agg(F.avg("n_chars")).first()[0]
+    rows = scale_queries.docs_weighted_sample_counts(spark, SF_DIR).collect()
+    n = sum(r.n_sampled for r in rows)
+    assert n == min(100, d.count())
+    sampled_avg = sum(r.avg_chars_sampled * r.n_sampled for r in rows) / n
+    # weight ∝ length ⇒ the sample skews long
+    assert sampled_avg > overall_avg
