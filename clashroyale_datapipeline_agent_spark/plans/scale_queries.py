@@ -1282,7 +1282,13 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-based inclusive list slices in both engines)."""
     from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
 
-    d = _t(spark, sf_dir, "documents")
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    # sf-dir parquet arrives as ONE input split; without the spread the
+    # 16-hash signature computation serializes on a single core
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -1294,7 +1300,14 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     minh = F.array(*[_mh(i) for i in range(_LSH_N_HASHES)])
-    sigs = base.select("doc_id", "shingles", minh.alias("sig"))
+    # materialize once: the signature lineage (shingle explode + 16 md5
+    # array traversals) is otherwise recomputed per band config AND per
+    # side of the jaccard verify join — 5 evaluations of the most
+    # expensive subtree (measured 22 s -> ~8 s warm at sf0.1)
+    base = base.localCheckpoint(eager=True)
+    sigs = base.select("doc_id", "shingles", minh.alias("sig")).localCheckpoint(
+        eager=True
+    )
     parts = []
     for cfg, b, r in _LSH_CONFIGS:
         bb = F.explode(
@@ -1333,6 +1346,9 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.doc_id").alias("id_b"),
         )
         .distinct()
+        # candidates feed BOTH the shared verify pass and the final
+        # per-config aggregate; materialize the (bounded) pair set once
+        .localCheckpoint(eager=True)
     )
     uniq = cand.select("id_a", "id_b").distinct()
     sa = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))

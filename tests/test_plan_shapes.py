@@ -213,3 +213,49 @@ def test_pq_assign_is_map_side(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_equidepth_no_window(spark, sf_dir):
+    # the whole point: exact equi-depth WITHOUT a global-order WindowExec
+    from clashroyale_datapipeline_agent_spark.plans import scale_queries as SCQ
+
+    plan = _plan(spark, SCQ.docs_equidepth_histogram(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zorder_no_sort_no_window(spark, sf_dir):
+    # zone maps via closed-form buckets: no Sort, no Window anywhere
+    from clashroyale_datapipeline_agent_spark.plans import scale_queries as SCQ
+
+    plan = _plan(spark, SCQ.orders_zorder_locality(spark, sf_dir))
+    assert "Window" not in plan
+    assert "TakeOrdered" in plan or plan.count("Sort ") <= 1  # final ORDER BY only
+
+
+def test_merge_single_join(spark, sf_dir):
+    # MERGE = exactly one (full-outer) join, no second pass
+    from clashroyale_datapipeline_agent_spark.plans import scale_queries as SCQ
+
+    plan = _plan(spark, SCQ.orders_merge_upsert_stats(spark, sf_dir))
+    # "formatted" lists each node in tree + detail sections: count the
+    # unique "Join type:" detail line instead of node-name substrings
+    assert plan.count("Join type:") == 1
+    assert "Join type: FullOuter" in plan
+
+
+def test_cms_counters_partial_final(spark, sf_dir):
+    # sketch state collapses map-side before the exchange
+    from clashroyale_datapipeline_agent_spark.operators.sketches import cms_counters
+    from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+    ev = load_star_table(spark, sf_dir, "events")
+    plan = _plan(spark, cms_counters(ev, "user_id"))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_fk_audit_dimension_edges_broadcast(spark, sf_dir):
+    from clashroyale_datapipeline_agent_spark.plans import scale_queries as SCQ
+
+    plan = _plan(spark, SCQ.fk_integrity_audit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier/customer/nation edges
