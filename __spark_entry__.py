@@ -83,6 +83,7 @@ _FIRST = [
     "events_salted_tier_join",
     "dedup_lsh_band_sweep",
     "docs_weighted_sample_counts",
+    "docs_incremental_dedup_counts",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

@@ -539,3 +539,45 @@ def winnow_fingerprints(
         .select("id", F.explode(fps).alias("fp"))
         .distinct()
     )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    store_fps: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dedupe a NEW batch against a historical fingerprint store.
+
+    The incremental-corpus pattern: the store holds one md5 fingerprint
+    per previously-admitted document (kilobytes per million docs, never
+    the text), and each arriving batch is checked in two steps —
+    against history (join on fingerprint) and within itself (first
+    occurrence by ``id_col`` wins). Returns the batch with a ``status``
+    column: 'dup_history' | 'dup_batch' | 'kept'. Admitted rows'
+    fingerprints are what the caller appends to the store — the corpus
+    itself is NEVER rescanned, which is the only workable shape when
+    history is 100 TB and the batch is gigabytes.
+
+    Scale: one broadcast-or-shuffle join on the fingerprint (store side
+    is fingerprints only) + one per-fingerprint window within the batch
+    (batch-sized, not corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(F.col(text_col)).alias("_fp")
+    b = batch.select("*", fp)
+    hist = store_fps.select(F.col(fp_col).alias("_fp")).distinct().select(
+        "_fp", F.lit(True).alias("_in_hist")
+    )
+    j = b.join(hist, "_fp", "left")
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    first_id = F.first(id_col).over(w)
+    status = (
+        F.when(F.col("_in_hist").isNotNull(), "dup_history")
+        .when(F.col(id_col) != first_id, "dup_batch")
+        .otherwise("kept")
+    )
+    return j.select(*batch.columns, status.alias("status"))

@@ -1446,3 +1446,58 @@ def docs_weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs the historical fingerprint store
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_SQL = """
+    WITH batch AS (
+        SELECT doc_id, source, md5(text) AS fp FROM documents
+        WHERE doc_id % 4 = 0
+    ), hist AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 <> 0
+    ), firsts AS (
+        SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY fp
+    ), status AS (
+        SELECT b.source,
+               CASE WHEN h.fp IS NOT NULL THEN 'dup_history'
+                    WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+                    ELSE 'kept' END AS status
+        FROM batch b
+        LEFT JOIN hist h ON b.fp = h.fp
+        JOIN firsts f ON b.fp = f.fp
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM status
+    GROUP BY source, status
+    ORDER BY source, status
+"""
+
+
+@register("docs_incremental_dedup_counts", _INCR_DEDUP_SQL)
+def docs_incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup (`operators/dedup.py:dedup_incremental`): the
+    arriving batch (doc_id % 4 = 0 as the stand-in) is checked against
+    the historical corpus via its FINGERPRINT STORE — kilobytes per
+    million admitted docs — never by rescanning text, then deduped
+    within itself (first doc_id per fingerprint wins). Per (source,
+    status) counts; statuses 'dup_history'/'dup_batch'/'kept'. This is
+    the only workable shape when history is 100 TB and the batch is
+    gigabytes: one fingerprint join + one batch-local window."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "source", "text")
+    store = d.filter(F.col("doc_id") % 4 != 0).select(
+        F.md5("text").alias("fp")
+    )
+    out = dedup_incremental(batch, store)
+    return (
+        out.groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "status")
+    )

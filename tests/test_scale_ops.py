@@ -226,3 +226,16 @@ def test_weighted_sample_favors_long_docs(spark):
     sampled_avg = sum(r.avg_chars_sampled * r.n_sampled for r in rows) / n
     # weight ∝ length ⇒ the sample skews long
     assert sampled_avg > overall_avg
+
+
+def test_incremental_dedup_statuses(spark):
+    from clashroyale_datapipeline_agent_spark.operators.dedup import dedup_incremental
+
+    batch = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc")], ["doc_id", "text"]
+    )
+    store = spark.createDataFrame([("ccc",), ("zzz",)], ["text"]).select(
+        F.md5("text").alias("fp")
+    )
+    out = {r.doc_id: r.status for r in dedup_incremental(batch, store).collect()}
+    assert out == {1: "kept", 2: "kept", 3: "dup_batch", 4: "dup_history"}
