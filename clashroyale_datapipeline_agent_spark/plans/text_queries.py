@@ -2108,8 +2108,13 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle's unnest drops token-less docs, so both sides filter to
     docs with at least one token."""
     from clashroyale_datapipeline_agent_spark.operators.dedup import simhash_md5_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # single-split parquet would serialize the 32-bit-vote projection on
+    # one core (same lesson as the LSH sweep)
+    d = spread_if_narrow(_t(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 5 == 0
+    )
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), " "), lambda t: t != "")
     fp = d.filter(F.size(toks) > 0).select(
         "doc_id", simhash_md5_col(F.col("text")).alias("simhash")
@@ -2794,7 +2799,9 @@ def dedup_winnow_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
 
     d = spread_if_narrow(_t(spark, sf_dir, "documents"))
-    fps = winnow_fingerprints(d, k=8, w=6)
+    # the char-gram winnowing projection feeds the df filter, the kept
+    # join AND the per-doc sizes — materialize it once instead of 3x
+    fps = winnow_fingerprints(d, k=8, w=6).localCheckpoint(eager=True)
     dfc = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
