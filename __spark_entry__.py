@@ -84,6 +84,7 @@ _FIRST = [
     "dedup_lsh_band_sweep",
     "docs_weighted_sample_counts",
     "docs_incremental_dedup_counts",
+    "docs_fightin_words_topk",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

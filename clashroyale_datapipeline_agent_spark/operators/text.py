@@ -433,3 +433,53 @@ def cosine_pairs(
             ),
         )
     )
+
+
+def logodds_discriminative_terms(
+    docs: DataFrame,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Per-group discriminative terms via Dirichlet-prior log-odds
+    (Monroe/Colaresi/Quinn 2008, "Fightin' Words"): for each (group,
+    term), the z-scored log-odds delta of the term's rate in the group
+    vs the rest of the corpus, with a symmetric Dirichlet prior that
+    keeps rare terms from dominating. Output: (group, term, z).
+
+    Scale shape: ONE (group, term) count shuffle; every other input —
+    per-term corpus totals, per-group token totals, vocabulary size —
+    re-aggregates from it and joins back bounded (vocab-sized or
+    group-sized), so z is computed map-side on the counts table. No
+    libm beyond ln/sqrt, both ROUND-stable cross-engine.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    gt = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("y_iw"))
+    tw = gt.groupBy("term").agg(F.sum("y_iw").alias("y_w"))
+    gn = gt.groupBy("grp").agg(F.sum("y_iw").alias("n_i"))
+    tot = gt.agg(
+        F.sum("y_iw").alias("n"), F.count_distinct("term").alias("v")
+    )
+    a = F.lit(alpha)
+    a0 = F.col("v") * a
+    cells = (
+        gt.join(F.broadcast(tw), "term")
+        .join(F.broadcast(gn), "grp")
+        .crossJoin(F.broadcast(tot))
+    )
+    rest = F.col("y_w") - F.col("y_iw")
+    delta = F.log(
+        (F.col("y_iw") + a) / (F.col("n_i") + a0 - F.col("y_iw") - a)
+    ) - F.log((rest + a) / (F.col("n") - F.col("n_i") + a0 - rest - a))
+    var = 1.0 / (F.col("y_iw") + a) + 1.0 / (rest + a)
+    return cells.select(
+        F.col("grp"),
+        "term",
+        (delta / F.sqrt(var)).alias("z"),
+    )

@@ -1501,3 +1501,74 @@ def docs_incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("source", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fightin' Words: per-source discriminative terms (Dirichlet log-odds)
+# ---------------------------------------------------------------------------
+
+_LOGODDS_SQL = """
+    WITH toks AS (
+        SELECT source AS grp,
+               unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                  x -> x != '')) AS term
+        FROM documents
+    ), gt AS (
+        SELECT grp, term, CAST(COUNT(*) AS DOUBLE) AS y_iw
+        FROM toks GROUP BY grp, term
+    ), tw AS (SELECT term, SUM(y_iw) AS y_w FROM gt GROUP BY term),
+    gn AS (SELECT grp, SUM(y_iw) AS n_i FROM gt GROUP BY grp),
+    tot AS (SELECT SUM(y_iw) AS n, COUNT(DISTINCT term) AS v FROM gt),
+    cells AS (
+        SELECT gt.grp, gt.term,
+               (ln((gt.y_iw + 0.01) / (gn.n_i + tot.v * 0.01 - gt.y_iw - 0.01))
+                - ln((tw.y_w - gt.y_iw + 0.01)
+                     / (tot.n - gn.n_i + tot.v * 0.01 - (tw.y_w - gt.y_iw) - 0.01)))
+               / sqrt(1.0 / (gt.y_iw + 0.01) + 1.0 / (tw.y_w - gt.y_iw + 0.01))
+                   AS z
+        FROM gt
+        JOIN tw ON gt.term = tw.term
+        JOIN gn ON gt.grp = gn.grp
+        CROSS JOIN tot
+    ), ranked AS (
+        SELECT grp AS source, term, z,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY z DESC, term)
+                   AS rn
+        FROM cells
+    )
+    SELECT source, term, ROUND(z, 4) AS z
+    FROM ranked WHERE rn <= 3
+    ORDER BY source, z DESC, term
+"""
+
+
+@register("docs_fightin_words_topk", _LOGODDS_SQL)
+def docs_fightin_words_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source discriminative vocabulary
+    (`operators/text.py:logodds_discriminative_terms` — the
+    Monroe/Colaresi/Quinn Dirichlet log-odds z-score): which terms mark
+    a source out against the rest of the corpus. The training-mix use
+    is source-fingerprinting — a source whose top terms drift between
+    snapshots changed its content pipeline. One (group, term) count
+    shuffle; totals re-aggregate from it and join back broadcast;
+    top-3 per source via a bounded per-group window."""
+    from pyspark.sql import Window
+
+    from clashroyale_datapipeline_agent_spark.operators.text import (
+        logodds_discriminative_terms,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    z = logodds_discriminative_terms(d, "source")
+    w = Window.partitionBy("grp").orderBy(F.desc("z"), F.asc("term"))
+    return (
+        z.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("grp").alias("source"), "term", F.round("z", 4).alias("z")
+        )
+        .orderBy("source", F.desc("z"), "term")
+    )

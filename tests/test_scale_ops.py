@@ -239,3 +239,29 @@ def test_incremental_dedup_statuses(spark):
     )
     out = {r.doc_id: r.status for r in dedup_incremental(batch, store).collect()}
     assert out == {1: "kept", 2: "kept", 3: "dup_batch", 4: "dup_history"}
+
+
+def test_fightin_words_symmetric_fixture(spark):
+    from clashroyale_datapipeline_agent_spark.operators.text import (
+        logodds_discriminative_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "apple apple apple shared shared"),
+            ("b", "banana banana banana shared shared"),
+        ],
+        ["source", "text"],
+    )
+    z = {
+        (r.grp, r.term): r.z
+        for r in logodds_discriminative_terms(docs, "source").collect()
+    }
+    # each source's marker term scores positive for it (sparse form:
+    # only observed (group, term) cells are emitted)
+    assert z[("a", "apple")] > 0
+    assert z[("b", "banana")] > 0
+    # a term both groups share equally is antisymmetric across two
+    # equal-size groups, and less discriminative than the markers
+    assert abs(z[("a", "shared")] + z[("b", "shared")]) < 1e-9
+    assert abs(z[("a", "shared")]) < z[("a", "apple")]
