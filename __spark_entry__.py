@@ -85,6 +85,7 @@ _FIRST = [
     "docs_weighted_sample_counts",
     "docs_incremental_dedup_counts",
     "docs_fightin_words_topk",
+    "docs_equidepth_by_source",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

@@ -1572,3 +1572,64 @@ def docs_fightin_words_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", F.desc("z"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group equi-depth histogram (grouped quantile normalization)
+# ---------------------------------------------------------------------------
+
+_QUARTILES = [0.25, 0.5, 0.75]
+
+_EQUIDEPTH_GRP_SQL = f"""
+    WITH b AS (
+        SELECT source, quantile_cont(n_chars, {_QUARTILES}) AS bs
+        FROM documents GROUP BY source
+    ), assigned AS (
+        SELECT d.source,
+               ({" + ".join(f"CASE WHEN CAST(d.n_chars AS DOUBLE) > b.bs[{i}] THEN 1 ELSE 0 END" for i in range(1, 4))})
+                   AS bucket,
+               d.n_chars
+        FROM documents d JOIN b ON d.source = b.source
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM assigned
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+"""
+
+
+@register("docs_equidepth_by_source", _EQUIDEPTH_GRP_SQL)
+def docs_equidepth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED equi-depth histogram — quartile bucketing of document
+    length WITHIN each source (the per-group quantile-normalization
+    primitive: 'is this doc long *for its source*?'). Same two-pass,
+    window-free shape as the global `docs_equidepth_histogram`, but the
+    boundary table is one row PER GROUP (groupBy percentile aggregate)
+    and joins back broadcast on the group key; bucket assignment stays
+    map-side. Scales with group count, never with a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    bounds = d.groupBy("source").agg(
+        F.percentile(
+            F.col("n_chars"), F.array(*[F.lit(p) for p in _QUARTILES])
+        ).alias("bs")
+    )
+    bucket = sum(
+        F.when(
+            F.col("n_chars").cast("double") > F.element_at("bs", i), 1
+        ).otherwise(0)
+        for i in range(1, 4)
+    ).alias("bucket")
+    return (
+        d.join(F.broadcast(bounds), "source")
+        .select("source", bucket, "n_chars")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("source", "bucket")
+    )

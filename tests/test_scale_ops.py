@@ -265,3 +265,14 @@ def test_fightin_words_symmetric_fixture(spark):
     # equal-size groups, and less discriminative than the markers
     assert abs(z[("a", "shared")] + z[("b", "shared")]) < 1e-9
     assert abs(z[("a", "shared")]) < z[("a", "apple")]
+
+
+def test_grouped_equidepth_partitions_each_source(spark):
+    d = load_star_table(spark, SF_DIR, "documents")
+    per_source = {r.source: r.n for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = scale_queries.docs_equidepth_by_source(spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got[r.source] = got.get(r.source, 0) + r.n_docs
+        assert 0 <= r.bucket <= 3
+    assert got == per_source
