@@ -86,6 +86,7 @@ _FIRST = [
     "docs_incremental_dedup_counts",
     "docs_fightin_words_topk",
     "docs_equidepth_by_source",
+    "embeddings_truncation_fidelity",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

@@ -1633,3 +1633,109 @@ def docs_equidepth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation fidelity: pairwise-cosine distortion at prefix dims
+# ---------------------------------------------------------------------------
+
+_TRUNC_KS = [8, 16, 32]
+
+
+def _sql_cos(a: str, b: str, k: str) -> str:
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {k}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {k}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {k}),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+_TRUNC_SQL = f"""
+    WITH pairs AS (
+        SELECT a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ), ks(k) AS (VALUES {", ".join(f"({k})" for k in _TRUNC_KS)}),
+    cells AS (
+        SELECT ks.k,
+               {_sql_cos("p.ea", "p.eb", "64")} AS cos_full,
+               {_sql_cos("p.ea", "p.eb", "ks.k")} AS cos_k
+        FROM pairs p CROSS JOIN ks
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ABS(cos_full - cos_k)), 4) AS avg_abs_cos_delta,
+           ROUND(MAX(ABS(cos_full - cos_k)), 4) AS max_abs_cos_delta
+    FROM cells
+    GROUP BY k
+    ORDER BY k
+"""
+
+
+@register("embeddings_truncation_fidelity", _TRUNC_SQL)
+def embeddings_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: how much does
+    pairwise cosine similarity move when vectors are cut to their first
+    k dims (k = 8/16/32 of 64)? Evaluated on the consecutive-id pair
+    sample — linear in the table, no self-join blowup — with dot/norm
+    as sequential array folds (identical fold order in both engines, so
+    the doubles match bitwise before ROUND). This is the measurement
+    behind 'can I store the 16-dim prefix and pay 4x less ANN cost?' —
+    the decision that dominates vector-store economics at 100 TB."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("ida"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, "ida")
+
+    def cos(col_a, col_b, k: int):
+        sa, sb = F.slice(col_a, 1, k), F.slice(col_b, 1, k)
+        dot = F.aggregate(
+            F.zip_with(sa, sb, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        n1 = F.sqrt(
+            F.aggregate(
+                F.transform(sa, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        n2 = F.sqrt(
+            F.aggregate(
+                F.transform(sb, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return dot / (n1 * n2)
+
+    parts = []
+    for k in _TRUNC_KS:
+        parts.append(
+            pairs.select(
+                F.lit(k).alias("k"),
+                cos(F.col("ea"), F.col("eb"), 64).alias("cos_full"),
+                cos(F.col("ea"), F.col("eb"), k).alias("cos_k"),
+            )
+        )
+    cells = parts[0]
+    for p in parts[1:]:
+        cells = cells.unionByName(p)
+    delta = F.abs(F.col("cos_full") - F.col("cos_k"))
+    return (
+        cells.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg(delta), 4).alias("avg_abs_cos_delta"),
+            F.round(F.max(delta), 4).alias("max_abs_cos_delta"),
+        )
+        .orderBy("k")
+    )

@@ -276,3 +276,12 @@ def test_grouped_equidepth_partitions_each_source(spark):
         got[r.source] = got.get(r.source, 0) + r.n_docs
         assert 0 <= r.bucket <= 3
     assert got == per_source
+
+
+def test_truncation_fidelity_monotone(spark):
+    rows = {r.k: r for r in scale_queries.embeddings_truncation_fidelity(spark, SF_DIR).collect()}
+    ks = sorted(rows)
+    # more dims kept -> less cosine distortion
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a].avg_abs_cos_delta >= rows[b].avg_abs_cos_delta
+    assert all(r.avg_abs_cos_delta <= r.max_abs_cos_delta for r in rows.values())
