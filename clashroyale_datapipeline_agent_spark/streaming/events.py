@@ -158,3 +158,19 @@ def accumulate_stream_to_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a stream against a (small) static
+    dimension. Structured Streaming re-plans the static side per
+    micro-batch, so a dimension refreshed on disk is picked up without
+    restarting the query; wrapping the dim in ``F.broadcast`` keeps the
+    join map-side — the stream is never shuffled for the enrichment.
+    This is the streaming twin of the batch J1 broadcast dim join."""
+    return events.join(F.broadcast(dim), on, how)

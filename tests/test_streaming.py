@@ -342,3 +342,35 @@ def test_cms_store_merge_idempotent(spark, tmp_path):
     store.merge_deltas(d, batch_id=1)
     got = {(r.row_id, r.bucket): r.cnt for r in store.read().collect()}
     assert got == {(0, 1): 10, (1, 2): 14}
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, event_rows):
+    from clashroyale_datapipeline_agent_spark.streaming.events import enrich_with_dim
+
+    src = tmp_path / "enr_src"
+    src.mkdir()
+    _write_batch(src, event_rows, "b0")
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 2}") for i in range(5)], ["user_id", "tier"]
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    agg = (
+        enrich_with_dim(stream, dim, "user_id")
+        .groupBy("tier")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.tier: r["count"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    batch_df = spark.read.schema(SCHEMA).json(str(src))
+    want = {
+        r.tier: r["count"]
+        for r in enrich_with_dim(batch_df, dim, "user_id").groupBy("tier").count().collect()
+    }
+    assert got == want
