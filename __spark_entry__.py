@@ -87,6 +87,8 @@ _FIRST = [
     "docs_fightin_words_topk",
     "docs_equidepth_by_source",
     "embeddings_truncation_fidelity",
+    "orders_date_spine_fill",
+    "docs_dup_concentration",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

@@ -1739,3 +1739,132 @@ def embeddings_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap filling: zero-filled daily revenue
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL = """
+    WITH bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+               MAX(CAST(o_orderdate AS DATE)) AS hi
+        FROM orders
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ), daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY day
+    ), filled AS (
+        SELECT s.day,
+               COALESCE(d.n_orders, 0) AS n_orders,
+               COALESCE(d.revenue, 0.0) AS revenue
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_days,
+           CAST(MAX(n_orders) AS BIGINT) AS max_daily_orders,
+           ROUND(SUM(revenue), 2) AS total_revenue
+    FROM filled
+"""
+
+
+@register("orders_date_spine_fill", _SPINE_SQL)
+def orders_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap filling — the reporting primitive every daily rollup
+    needs: a generated date spine (``sequence`` over the min/max bounds,
+    a 1-row broadcast aggregate exploded driver-free) LEFT-joined to the
+    daily aggregate, gaps zero-filled. The spine is date-ranged (years =
+    thousands of rows) so it BROADCASTS to the daily aggregate whatever
+    the fact-table size; checked output summarizes the filled series
+    (gap days surface explicitly instead of silently missing)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    filled = (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+    return filled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("n_orders") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gap_days"),
+        F.max("n_orders").cast("bigint").alias("max_daily_orders"),
+        F.round(F.sum("revenue"), 2).alias("total_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplication concentration: entropy of duplicate-cluster sizes per source
+# ---------------------------------------------------------------------------
+
+_DUP_ENTROPY_SQL = """
+    WITH clusters AS (
+        SELECT source, md5(text) AS fp, CAST(COUNT(*) AS DOUBLE) AS sz
+        FROM documents GROUP BY source, fp
+    ), tot AS (
+        SELECT source, SUM(sz) AS n FROM clusters GROUP BY source
+    )
+    SELECT c.source,
+           CAST(t.n AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+           ROUND(1.0 - COUNT(*) / t.n, 4) AS dup_rate,
+           ROUND(-SUM((c.sz / t.n) * ln(c.sz / t.n)), 4) AS cluster_entropy
+    FROM clusters c JOIN tot t ON c.source = t.source
+    GROUP BY c.source, t.n
+    ORDER BY c.source
+"""
+
+
+@register("docs_dup_concentration", _DUP_ENTROPY_SQL)
+def docs_dup_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW a source duplicates matters as much as how much: the same
+    dup_rate can be one text repeated a thousand times (low cluster
+    entropy — one boilerplate page) or a thousand texts repeated twice
+    (high entropy — a mirrored crawl), and the right remediation
+    differs. Shannon entropy over the duplicate-cluster size
+    distribution per source, from the same (source, fingerprint) counts
+    the exact-dedup pass already produces — no extra scan at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = d.groupBy("source", F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).cast("double").alias("sz")
+    )
+    tot = clusters.groupBy("source").agg(F.sum("sz").alias("n"))
+    p = F.col("sz") / F.col("n")
+    return (
+        clusters.join(F.broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_texts"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("cluster_entropy"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "n_unique_texts",
+            F.round(1.0 - F.col("n_unique_texts") / F.col("n"), 4).alias(
+                "dup_rate"
+            ),
+            "cluster_entropy",
+        )
+        .orderBy("source")
+    )

@@ -285,3 +285,24 @@ def test_truncation_fidelity_monotone(spark):
     for a, b in zip(ks, ks[1:]):
         assert rows[a].avg_abs_cos_delta >= rows[b].avg_abs_cos_delta
     assert all(r.avg_abs_cos_delta <= r.max_abs_cos_delta for r in rows.values())
+
+
+def test_date_spine_covers_range_exactly(spark):
+    o = load_star_table(spark, SF_DIR, "orders")
+    lo, hi = o.agg(F.min(F.to_date("o_orderdate")), F.max(F.to_date("o_orderdate"))).first()
+    r = scale_queries.orders_date_spine_fill(spark, SF_DIR).first()
+    assert r.n_days == (hi - lo).days + 1
+    assert 0 <= r.n_gap_days < r.n_days
+    assert r.max_daily_orders > 0
+
+
+def test_dup_concentration_bounds(spark):
+    import math
+
+    rows = scale_queries.docs_dup_concentration(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_rate < 1.0
+        # entropy of n_unique clusters is bounded by ln(n_unique);
+        # the stored value is ROUND(.,4), so allow rounding slack
+        assert 0.0 <= r.cluster_entropy <= math.log(r.n_unique_texts) + 5e-5
