@@ -89,6 +89,7 @@ _FIRST = [
     "embeddings_truncation_fidelity",
     "orders_date_spine_fill",
     "docs_dup_concentration",
+    "events_hll_intersection",
     "hll_partkey_estimate",
     "graph_pagerank_topk",
     "dedup_winnow_overlap_topk",

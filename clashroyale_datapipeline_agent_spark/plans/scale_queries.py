@@ -1868,3 +1868,123 @@ def docs_dup_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: intersection estimate via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+_HLL_FINAL = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+               CAST(SUM(CAST(power(2, 40 - m_j) AS BIGINT)) AS BIGINT)
+                   AS present_sum
+        FROM {src}
+"""
+
+_HLL_EST = (
+    "ROUND((0.7213 / 1.00421484375) * 65536.0 * 1099511627776.0"
+    " / CAST({ps} + (256 - {nb}) * 1099511627776 AS DOUBLE), 2)"
+)
+
+_HLL_INTERSECT_SQL = f"""
+    WITH r AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), x AS (
+        SELECT event_type,
+               (strpos({HEXP}, substr(h, 1, 1)) - 1) * 16
+             + (strpos({HEXP}, substr(h, 2, 1)) - 1) AS bucket,
+               length(regexp_extract(substr(h, 3, 16), '^0*')) AS zeros,
+               substr(h, 3, 16) AS rest
+        FROM r
+    ), rr AS (
+        SELECT event_type, bucket,
+               LEAST(4 * zeros
+                     + CASE WHEN substr(rest, zeros + 1, 1) = '1' THEN 3
+                            WHEN substr(rest, zeros + 1, 1) IN ('2','3') THEN 2
+                            WHEN substr(rest, zeros + 1, 1) IN ('4','5','6','7') THEN 1
+                            ELSE 0 END
+                     + 1, 40) AS rho
+        FROM x
+    ), regs AS (
+        SELECT event_type, bucket, MAX(rho) AS m_j
+        FROM rr GROUP BY event_type, bucket
+    ), ua AS ({_HLL_FINAL.format(src="regs WHERE event_type = 'click'")}
+    ), ub AS ({_HLL_FINAL.format(src="regs WHERE event_type = 'purchase'")}
+    ), uu AS ({_HLL_FINAL.format(
+        src="(SELECT bucket, MAX(m_j) AS m_j FROM regs GROUP BY bucket) u")}
+    ), exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    )
+    SELECT {_HLL_EST.format(ps="ua.present_sum", nb="ua.n_buckets_used")} AS est_a,
+           {_HLL_EST.format(ps="ub.present_sum", nb="ub.n_buckets_used")} AS est_b,
+           {_HLL_EST.format(ps="uu.present_sum", nb="uu.n_buckets_used")} AS est_union,
+           ROUND({_HLL_EST.format(ps="ua.present_sum", nb="ua.n_buckets_used")}
+                 + {_HLL_EST.format(ps="ub.present_sum", nb="ub.n_buckets_used")}
+                 - {_HLL_EST.format(ps="uu.present_sum", nb="uu.n_buckets_used")},
+                 2) AS est_intersection,
+           exact.exact_intersection
+    FROM ua, ub, uu, exact
+"""
+
+
+@register("events_hll_intersection", _HLL_INTERSECT_SQL)
+def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set ALGEBRA: sketches union by register max-merge, and
+    inclusion-exclusion then estimates the intersection — 'how many
+    clickers also purchased' from three 256-row register tables, no
+    user-id join anywhere. This is the audience-overlap query every
+    analytics stack runs; at 100 TB the sketch form reads kilobytes of
+    stored registers where the exact form (shown beside it in the
+    checked output) shuffles both user sets. Oracle replays registers,
+    merge, and estimates bit-for-bit."""
+    from clashroyale_datapipeline_agent_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    regs = hll_registers(ev, "event_type", "user_id")
+    est = hll_estimate_from_registers(regs, "event_type").select(
+        "event_type", "hll_estimate"
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit("u").alias("g"), "bucket", "m_j")
+    )
+    est_u = hll_estimate_from_registers(merged, "g").select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    ea = est.filter(F.col("event_type") == "click").select(
+        F.col("hll_estimate").alias("est_a")
+    )
+    eb = est.filter(F.col("event_type") == "purchase").select(
+        F.col("hll_estimate").alias("est_b")
+    )
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = clickers.join(buyers, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_intersection")
+    )
+    return (
+        F.broadcast(ea)
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 2
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

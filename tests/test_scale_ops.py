@@ -306,3 +306,12 @@ def test_dup_concentration_bounds(spark):
         # entropy of n_unique clusters is bounded by ln(n_unique);
         # the stored value is ROUND(.,4), so allow rounding slack
         assert 0.0 <= r.cluster_entropy <= math.log(r.n_unique_texts) + 5e-5
+
+
+def test_hll_intersection_sane(spark):
+    r = scale_queries.events_hll_intersection(spark, SF_DIR).first()
+    # inclusion-exclusion estimate should land in the right ballpark of
+    # the exact overlap (HLL-256 standard error ~6.5%; allow generous slack)
+    assert r.est_union <= r.est_a + r.est_b + 1e-9
+    if r.exact_intersection > 0:
+        assert r.est_intersection == pytest.approx(r.exact_intersection, rel=0.5)
