@@ -33,60 +33,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Green under tools/oracle_check.py but absent from CORRECTNESS_r01/r02
 #: (they sat in registration slots >= 50) — this round they go first.
 _FIRST = [
-    "cr_classify_archetype_counts",
-    "cr_symmetric_matchup_matrix",
-    "cr_exact_deck_grouping",
-    "cr_user_matchup_summary",
-    "cr_user_deck_summary_reagg",
-    "cr_j6_tough_easy_split",
-    "o5_tough_order_topk",
-    "cr_a15_combined_type_counts",
-    "cr_p8_mirror_exclusion",
-    "p11_alias_reconciliation",
-    "o2_worst_first_topk",
-    "o3_meta_summary_order",
-    "o4_matchup_order_topk",
-    "j2_elixir_backfill",
-    "events_cumulative_per_user",
-    "f6_json_props_extract",
-    "j_range_join_ship_window",
-    # round-3 additions (no driver row exists yet by definition).
-    # Ordered so the 50-slot driver window (slots 0-49) captures the 17
-    # carryovers above plus the r3 headline operators; the TPC-H extras
-    # and remaining stats queries rotate into later rounds' windows.
-    "f7_context_lines",
-    "floor_monitor_batch_twin",
-    "events_dedup_first_per_key",
-    "docs_pack_stats_det",
-    "multimodal_feature_stats",
-    "decontaminate_ngram_overlap",
-    "docs_lang_cap_counts",
-    "docs_unigram_logprob_topk",
-    "docs_bm25_topk",
-    "embeddings_kmeans_iter_stats",
-    "docs_redaction_stats",
-    "docs_chunk_stats",
-    "cms_user_topk_estimate",
-    "events_hll_merge_daily",
-    "orders_quality_checks",
-    "events_scd2_intervals",
-    "docs_equidepth_histogram",
-    "orders_merge_upsert_stats",
-    "bloom_filter_semi_join_stats",
-    "orders_zorder_locality",
-    "docs_bpe_first_merges",
-    "docs_oov_rate_by_lang",
-    "docs_length_diversity_corr",
-    "fk_integrity_audit",
-    "docs_lang_source_chi2",
-    "events_salted_type_counts",
-    "events_salted_tier_join",
-    "dedup_lsh_band_sweep",
-    "docs_weighted_sample_counts",
-    "docs_incremental_dedup_counts",
-    "docs_fightin_words_topk",
-    "docs_equidepth_by_source",
-    "embeddings_truncation_fidelity",
+    # Never seen in any CORRECTNESS_r* driver file (judge-verified green
+    # at sf0.01 via tools/oracle_check.py in round 3) — slots 0-43 this
+    # round so the driver artifact finally evidences them.
     "orders_date_spine_fill",
     "docs_dup_concentration",
     "events_hll_intersection",
@@ -131,11 +80,16 @@ _FIRST = [
     "q2_best_supplier_per_part",
     "q11_important_part_value",
     "q20_promotion_suppliers",
+    # Round-4 additions (no driver row exists yet) slot in here, inside
+    # the 50-row window (slots 44-49).
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —
 #: two rounds of driver evidence already; they yield their front slots.
 _LAST = [
+    # Hash-green in >=2 driver rounds (r1/r2) or in CORRECTNESS_r03 —
+    # they yield their front slots; regression cover stays in pytest +
+    # tools/oracle_check.py.
     "flagship_pricing_summary",
     "p1_predicate_pushdown_scan",
     "p2_normalize_result_projection",
@@ -169,6 +123,56 @@ _LAST = [
     "ann_cosine_topk",
     "events_sliding_1h_30m",
     "events_sessionization",
+    "cr_classify_archetype_counts",
+    "cr_symmetric_matchup_matrix",
+    "cr_exact_deck_grouping",
+    "cr_user_matchup_summary",
+    "cr_user_deck_summary_reagg",
+    "cr_j6_tough_easy_split",
+    "o5_tough_order_topk",
+    "cr_a15_combined_type_counts",
+    "cr_p8_mirror_exclusion",
+    "p11_alias_reconciliation",
+    "o2_worst_first_topk",
+    "o3_meta_summary_order",
+    "o4_matchup_order_topk",
+    "j2_elixir_backfill",
+    "events_cumulative_per_user",
+    "f6_json_props_extract",
+    "j_range_join_ship_window",
+    "f7_context_lines",
+    "floor_monitor_batch_twin",
+    "events_dedup_first_per_key",
+    "docs_pack_stats_det",
+    "multimodal_feature_stats",
+    "decontaminate_ngram_overlap",
+    "docs_lang_cap_counts",
+    "docs_unigram_logprob_topk",
+    "docs_bm25_topk",
+    "embeddings_kmeans_iter_stats",
+    "docs_redaction_stats",
+    "docs_chunk_stats",
+    "cms_user_topk_estimate",
+    "events_hll_merge_daily",
+    "orders_quality_checks",
+    "events_scd2_intervals",
+    "docs_equidepth_histogram",
+    "orders_merge_upsert_stats",
+    "bloom_filter_semi_join_stats",
+    "orders_zorder_locality",
+    "docs_bpe_first_merges",
+    "docs_oov_rate_by_lang",
+    "docs_length_diversity_corr",
+    "fk_integrity_audit",
+    "docs_lang_source_chi2",
+    "events_salted_type_counts",
+    "events_salted_tier_join",
+    "dedup_lsh_band_sweep",
+    "docs_weighted_sample_counts",
+    "docs_incremental_dedup_counts",
+    "docs_fightin_words_topk",
+    "docs_equidepth_by_source",
+    "embeddings_truncation_fidelity",
 ]
 
 
