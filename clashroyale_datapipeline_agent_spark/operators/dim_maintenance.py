@@ -121,7 +121,11 @@ def merge_changes(
     - key in changes with op 'I' or 'U'  -> change row (insert/update);
     - key in changes with op 'D'         -> dropped;
     - 'U'/'D' for an absent key behaves like the SQL MERGE default:
-      'U' inserts (upsert), 'D' is a no-op.
+      'U' inserts (upsert), 'D' is a no-op;
+    - op NULL or outside {I,U,D}         -> the change row is ignored:
+      an existing snapshot row survives untouched, an absent key stays
+      absent. A malformed changeset can therefore never delete or
+      overwrite snapshot rows.
 
     Precondition (same as SQL MERGE, which raises on multiple matches):
     ``changes`` has at most one row per key — dedupe upstream (e.g.
@@ -146,10 +150,14 @@ def merge_changes(
         F.lit(True).alias("_in_c"),
     )
     j = s.join(c, list(keys), "full_outer")
-    take_change = F.col("_in_c").isNotNull() & (F.col("_op") != "D")
+    # Only a recognized upsert op takes the change payload; only a
+    # literal 'D' (NULL-safe compare) deletes. Anything else — op NULL,
+    # typo'd op — leaves the snapshot row in place and inserts nothing.
+    take_change = F.col("_in_c").isNotNull() & F.col("_op").isin("I", "U")
     keep = (
-        # snapshot-only rows survive; change rows survive unless delete
-        (F.col("_in_c").isNull() & F.col("_in_s").isNotNull())
+        # snapshot rows survive unless explicitly deleted; valid
+        # insert/update rows survive with the change payload
+        (F.col("_in_s").isNotNull() & ~F.col("_op").eqNullSafe("D"))
         | take_change
     )
     return j.filter(keep).select(

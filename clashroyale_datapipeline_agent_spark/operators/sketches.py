@@ -199,7 +199,16 @@ def cms_estimate(
     ).select("*", "rb.row_id", "rb.bucket").drop("rb")
     others = [c for c in keys.columns if c != value_col]
     return (
-        probes.join(F.broadcast(counters), ["row_id", "bucket"])
+        # LEFT join + coalesce(0): a probe key whose (row_id, bucket)
+        # cell was never incremented must contribute 0 to the MIN, not
+        # vanish — otherwise an unseen key either drops from the output
+        # or overestimates from its nonzero cells only, breaking the
+        # "estimate >= truth, including truth = 0" contract.
+        probes.join(F.broadcast(counters), ["row_id", "bucket"], "left")
         .groupBy(value_col, *others)
-        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
     )

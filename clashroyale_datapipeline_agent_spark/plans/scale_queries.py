@@ -697,7 +697,7 @@ _ZORDER_SQL = f"""
         SELECT o_orderkey,
                o_custkey % 1024 AS x,
                (datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-                * 1024) // 2500 AS y
+                * 1024) // 2560 AS y
         FROM orders
     ), mx AS (SELECT MAX(o_orderkey) + 1 AS maxk FROM orders),
     zmaps AS (
@@ -754,7 +754,11 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
                 * 1024
             )
-            / 2500
+            # divisor 2560 keeps y <= 1023 over the fixture date span
+            # ([1995-01-01, 2002-01-01), up to 2556 days): 2556*1024/2560
+            # = 1022 — inside the 10-bit Morton space. 2500 would alias
+            # dates after ~mid-2001 into y-1024 buckets.
+            / 2560
         )
         .cast("long")
         .alias("y"),

@@ -126,6 +126,38 @@ def test_merge_changes_semantics(spark):
     assert out == {1: "a", 2: "B", 4: "d", 5: "e"}
 
 
+def test_merge_changes_malformed_ops_cannot_mutate_snapshot(spark):
+    # NULL or unrecognized op must leave the snapshot row untouched for an
+    # existing key and insert nothing for an absent key — a malformed
+    # changeset never silently deletes or overwrites.
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    ch = spark.createDataFrame(
+        [(1, "X", None), (2, "Y", "Z"), (7, "q", None), (8, "r", "??")],
+        ["k", "v", "op"],
+    )
+    from clashroyale_datapipeline_agent_spark.operators.dim_maintenance import (
+        merge_changes,
+    )
+
+    out = {r.k: r.v for r in merge_changes(snap, ch, ["k"]).collect()}
+    assert out == {1: "a", 2: "b"}
+
+
+def test_cms_estimate_unseen_key_is_zero(spark):
+    # A probe key absent from the data must surface with estimate 0 (its
+    # MIN over depth rows hits at least one never-incremented cell on
+    # these fixtures), not vanish from the output — the left-join +
+    # coalesce(0) contract.
+    data = spark.createDataFrame([(k,) for k in range(5)], ["user_id"])
+    counters = cms_counters(data, "user_id")
+    unseen = spark.range(1).select(
+        F.lit(-987654321).cast("long").alias("user_id")
+    )
+    rows = cms_estimate(counters, unseen, "user_id").collect()
+    assert len(rows) == 1
+    assert rows[0].cms_estimate == 0
+
+
 def test_bloom_no_false_negatives(spark):
     from clashroyale_datapipeline_agent_spark.operators.bloom import (
         BLOOM_M,
