@@ -146,9 +146,11 @@ def compute_deck_type_counts(battles: DataFrame, side: str) -> DataFrame:
     archetypes = spark.createDataFrame(
         [(a,) for a in ARCHETYPES], "deck_type string"
     )
-    return (
-        counts.join(F.broadcast(archetypes), "deck_type", "right_outer")
-        .select("deck_type", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    # broadcast the post-agg counts (<= 6 rows) as the BUILD side of a
+    # left-outer — broadcasting archetypes under right_outer is an
+    # unsupported build direction and silently degrades to a shuffle join
+    return archetypes.join(F.broadcast(counts), "deck_type", "left").select(
+        "deck_type", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
 
 
@@ -159,6 +161,44 @@ def combined_type_counts(my_counts: DataFrame, opp_counts: DataFrame) -> DataFra
         my_counts.unionByName(opp_counts)
         .groupBy(F.lower("deck_type").alias("deck_type"))
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def combined_type_counts_single_scan(battles: DataFrame) -> DataFrame:
+    """A15, fused: my+opp archetype counts from ONE battles scan.
+
+    Semantically identical to ``combined_type_counts(
+    compute_deck_type_counts(b, "my"), compute_deck_type_counts(b, "opp"))``
+    (``meta_analytics.py:186-197`` + ``meta_workflow.py:401-415``), but the
+    two-sided plan there scans the battle lineage twice and evaluates the
+    classify cascade once per scan. Here both sides classify in a single
+    projection, explode-doubles map-side (see ``build_participant_table``),
+    and one 6-key groupBy + broadcast zero-backfill finishes it — the same
+    one-scan shape as A7/A9. Non-archetype labels (if the cascade ever
+    produced one) are dropped by the right join, exactly as in the
+    per-side backfill path.
+    """
+    doubled = battles.select(
+        F.explode(
+            F.array(
+                classify_deck_col(F.col("my_cards")),
+                classify_deck_col(F.col("opp_cards")),
+            )
+        ).alias("deck_type")
+    )
+    counts = (
+        doubled.groupBy(F.lower("deck_type").alias("deck_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    archetypes = battles.sparkSession.createDataFrame(
+        [(a.lower(),) for a in ARCHETYPES], "deck_type string"
+    )
+    # archetypes LEFT JOIN broadcast(counts): Spark can only build the
+    # RIGHT side of a left-outer join, and counts is the post-agg 6-row
+    # side — a right_outer with broadcast(archetypes) would fall back to
+    # a shuffle join (HintErrorLogger warns the hint is unsupported).
+    return archetypes.join(F.broadcast(counts), "deck_type", "left").select(
+        "deck_type", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
 
 

@@ -631,19 +631,18 @@ def o5_tough_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cr_a15_combined_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15 cross-engine: production ``compute_deck_type_counts`` per side
-    (zero-backfilled over all six archetypes) summed by LOWERCASED archetype
-    via ``combined_type_counts`` — the Phase-0 stopping check's view
-    (``meta_workflow.py:401-415``)."""
+    """A15 cross-engine: my+opp archetype counts, zero-backfilled over all
+    six archetypes and keyed by LOWERCASED archetype — the Phase-0 stopping
+    check's view (``meta_workflow.py:401-415``). Planned through the fused
+    single-scan shape (``combined_type_counts_single_scan``): one battles
+    scan, classify both sides in one projection, explode-double, 6-key
+    groupBy — not the reference's two per-side value_counts passes."""
     from clashroyale_datapipeline_agent_spark.operators.meta import (
-        combined_type_counts,
-        compute_deck_type_counts,
+        combined_type_counts_single_scan,
     )
 
     battles = _battles(spark, sf_dir)
-    my_c = compute_deck_type_counts(battles, "my")
-    opp_c = compute_deck_type_counts(battles, "opp")
-    out = combined_type_counts(my_c, opp_c)
+    out = combined_type_counts_single_scan(battles)
     return out.select("deck_type", F.col("cnt").cast("bigint").alias("cnt"))
 
 

@@ -98,6 +98,24 @@ def test_pov_doubling_is_explode_not_union(spark, sf_dir):
         assert "Union" not in plan, plan
 
 
+def test_a15_combined_counts_single_scan(spark, sf_dir):
+    """A15 must read the battle lineage ONCE: classify both sides in one
+    projection and explode-double, not two per-side value_counts scans
+    unioned (the round-3 4.2 s plan wart). One parquet scan of lineitem
+    (the battle fixture lineage), one Generate, no Union."""
+    from clashroyale_datapipeline_agent_spark.plans import domain_queries as DQ
+
+    import re
+
+    plan = _plan(spark, DQ.cr_a15_combined_type_counts(spark, sf_dir))
+    # distinct scan NODES (the tree may reference one node id repeatedly)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan
+    gen_ids = set(re.findall(r"\((\d+)\) Generate", plan))
+    assert len(gen_ids) == 1, plan
+    assert "Union" not in plan, plan
+
+
 def test_asof_join_single_shuffle_no_udf(spark, sf_dir):
     """as_of_join plans as one Exchange on the key (the union + running
     window shape) with no Python evaluation node."""
