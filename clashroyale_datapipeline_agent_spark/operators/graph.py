@@ -143,13 +143,29 @@ def pagerank(
     Nodes with no in-edges keep the (1−d) floor via the left join +
     coalesce.
 
-    Callers model an undirected walk (e.g. a bipartite interaction
-    graph) by passing both orientations of each edge.
+    Node universe and dangling-node CONTRACT: ranks cover every node
+    appearing as ``src`` OR ``dst``. Sink-only nodes (in-edges only)
+    receive mass and hold a rank but emit nothing — this is the
+    simplified per-node-constant form ``(1−d) + d·Σ`` (the classic
+    Spark/GraphX example semantics), NOT the stochastic-matrix form:
+    dangling mass is absorbed, so Σrank is not conserved round to
+    round. Rankings are unaffected for graphs without sinks; callers
+    modeling an undirected walk (both orientations of each edge) never
+    have sinks.
+
+    Output: ``(node, rank, outdeg)`` with ``outdeg = 0`` for sinks.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    # rank universe = src ∪ dst: a sink-only node must appear (and keep
+    # collecting mass) even though it never contributes
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     base = F.lit(1.0 - damping)
     for i in range(iterations):
         contribs = (
@@ -170,4 +186,6 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.join(deg, ranks.node == deg.src).select("node", "rank", "outdeg")
+    return ranks.join(deg, ranks.node == deg.src, "left").select(
+        "node", "rank", F.coalesce("outdeg", F.lit(0)).cast("bigint").alias("outdeg")
+    )

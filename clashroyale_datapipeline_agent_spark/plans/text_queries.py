@@ -2679,35 +2679,38 @@ def docs_bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 's' || CAST(s AS VARCHAR) AS src, 'c' || CAST(c AS VARCHAR) AS dst FROM pairs
     ), deg AS (
         SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ), r0 AS (
-        SELECT src AS node, 1.0 AS r FROM deg
+        SELECT node, 1.0 AS r FROM nodes
     ), r1 AS (
-        SELECT d2.src AS node,
+        SELECT n.node,
                0.15 + 0.85 * COALESCE(s.in_sum, 0.0) AS r
-        FROM deg d2 LEFT JOIN (
+        FROM nodes n LEFT JOIN (
             SELECT e.dst, SUM(r0.r / deg.outdeg) AS in_sum
             FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
             GROUP BY e.dst
-        ) s ON s.dst = d2.src
+        ) s ON s.dst = n.node
     ), r2 AS (
-        SELECT d2.src AS node,
+        SELECT n.node,
                0.15 + 0.85 * COALESCE(s.in_sum, 0.0) AS r
-        FROM deg d2 LEFT JOIN (
+        FROM nodes n LEFT JOIN (
             SELECT e.dst, SUM(r1.r / deg.outdeg) AS in_sum
             FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
             GROUP BY e.dst
-        ) s ON s.dst = d2.src
+        ) s ON s.dst = n.node
     ), r3 AS (
-        SELECT d2.src AS node,
+        SELECT n.node,
                0.15 + 0.85 * COALESCE(s.in_sum, 0.0) AS r
-        FROM deg d2 LEFT JOIN (
+        FROM nodes n LEFT JOIN (
             SELECT e.dst, SUM(r2.r / deg.outdeg) AS in_sum
             FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
             GROUP BY e.dst
-        ) s ON s.dst = d2.src
+        ) s ON s.dst = n.node
     )
-    SELECT r3.node, ROUND(r3.r, 4) AS rank, deg.outdeg
-    FROM r3 JOIN deg ON deg.src = r3.node
+    SELECT r3.node, ROUND(r3.r, 4) AS rank,
+           CAST(COALESCE(deg.outdeg, 0) AS BIGINT) AS outdeg
+    FROM r3 LEFT JOIN deg ON deg.src = r3.node
     ORDER BY rank DESC, node ASC
     LIMIT 20
     """,

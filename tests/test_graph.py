@@ -65,3 +65,33 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
         assert by_id[i]["split"] == by_id[i + 1]["split"] == by_id[i + 2]["split"]
     # all three splits are populated at this size
     assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_pagerank_includes_sink_only_nodes(spark):
+    # Directed star into a sink: a -> c, b -> c. Node c has no out-edges
+    # but must appear with outdeg 0 and collect mass: after round 1,
+    # rank(c) = 0.15 + 0.85 * (1/1 + 1/1) = 1.85; a and b (no in-edges)
+    # sit at the 0.15 floor. Simplified form: dangling mass absorbed.
+    from clashroyale_datapipeline_agent_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    out = {r.node: r for r in pagerank(edges, iterations=1).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"].outdeg == 0
+    assert abs(out["c"].rank - 1.85) < 1e-9
+    assert abs(out["a"].rank - 0.15) < 1e-9
+    assert abs(out["b"].rank - 0.15) < 1e-9
+
+
+def test_pagerank_mass_conserved_without_sinks(spark):
+    # On a sink-free graph (a 3-cycle) the simplified form conserves
+    # total mass: sum(rank) == n at every round.
+    from clashroyale_datapipeline_agent_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    rows = pagerank(edges, iterations=4).collect()
+    assert abs(sum(r.rank for r in rows) - 3.0) < 1e-9
