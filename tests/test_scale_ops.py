@@ -249,6 +249,26 @@ def test_lsh_band_sweep_monotone(spark):
         assert 0.0 <= r.precision_at_05 <= 1.0
 
 
+def test_lsh_band_sweep_xx_full_corpus_invariants(spark):
+    # The xxhash64 production twin runs the identical sweep over the FULL
+    # corpus (no key-mod slice): same three configs, same monotone
+    # candidate-volume law, and at least as many candidates per config as
+    # the md5 oracle form's quarter-slice.
+    xx = {
+        r.config: r
+        for r in scale_queries.dedup_lsh_band_sweep_xx(spark, SF_DIR).collect()
+    }
+    md5 = {
+        r.config: r
+        for r in scale_queries.dedup_lsh_band_sweep(spark, SF_DIR).collect()
+    }
+    assert set(xx) == {"b2r8", "b4r4", "b8r2"}
+    assert xx["b8r2"].n_candidates >= xx["b2r8"].n_candidates
+    for cfg, r in xx.items():
+        assert 0 <= r.n_true_pairs <= r.n_candidates
+        assert r.n_candidates >= md5[cfg].n_candidates
+
+
 def test_weighted_sample_favors_long_docs(spark):
     d = load_star_table(spark, SF_DIR, "documents").filter(F.col("n_chars") > 0)
     overall_avg = d.agg(F.avg("n_chars")).first()[0]
