@@ -148,9 +148,18 @@ class MetaDatasetBuilder:
         seed: int | None = None,
         bucket_table: str | None = "auto",
         num_buckets: int = 32,
+        transport: Callable[[str], object] | None = None,
+        fetch_partitions: int | None = None,
     ) -> None:
         self.spark = spark
         self.fetch = fetch_battlelog
+        # S2 distributed path: when ``transport`` is given, each loop's
+        # tag batch fans out over executors via sources/fetch.py
+        # (mapInPandas) instead of the driver-side sequential loop —
+        # ``fetch_battlelog`` may then be None. ``fetch_partitions``
+        # bounds the request concurrency (default: parallelism).
+        self.transport = transport
+        self.fetch_partitions = fetch_partitions
         self.staging = Path(staging_dir)
         if bucket_table == "auto":
             # Default Phase-0 path IS the bucketed store (SCALE.md): every
@@ -194,17 +203,46 @@ class MetaDatasetBuilder:
 
     def _ingest(self, tags: list[str]) -> int:
         """Fetch + normalize + keep per-player most-recent-k + append to
-        staging (U4). Returns rows appended."""
-        raws: list[dict] = []
-        for tag in tags:
-            try:
-                raws.extend(self.fetch(tag))
-            except Exception:  # per-player fetch tolerance (meta_workflow.py:325-341)
-                continue
-            self.fetched_tags.add(tag)
-        if not raws:
-            return 0
-        raw_df = self.spark.createDataFrame(raws, schema=schemas.RAW_BATTLE)
+        staging (U4). Returns rows appended.
+
+        Two fetch paths, same downstream plan:
+        - driver loop over the injected ``fetch_battlelog`` (reference
+          parity, ``meta_workflow.py:325-341``);
+        - distributed ``mapInPandas`` fan-out over the tag batch when a
+          ``transport`` was injected (S2's Spark mapping, SURVEY §2.1) —
+          the fetch result is checkpointed so the status collect and the
+          staging write trigger ONE round of HTTP, and only succeeded
+          tags enter ``fetched_tags`` (failed ones stay resample-able,
+          same as the driver path's per-player tolerance).
+        """
+        if self.transport is not None:
+            from clashroyale_datapipeline_agent_spark.sources import fetch as FX
+
+            fetched = FX.fetch_battlelogs(
+                self.spark,
+                tags,
+                self.transport,
+                partitions=self.fetch_partitions,
+            ).localCheckpoint(eager=True)
+            by_norm = {FX.normalize_player_tag(t): t for t in tags}
+            ok_rows = FX.fetch_status(fetched).filter("ok").collect()
+            self.fetched_tags.update(
+                by_norm.get(r.player_tag, r.player_tag) for r in ok_rows
+            )
+            raw_df = FX.parse_battlelogs(fetched)
+            if raw_df.limit(1).count() == 0:
+                return 0
+        else:
+            raws: list[dict] = []
+            for tag in tags:
+                try:
+                    raws.extend(self.fetch(tag))
+                except Exception:  # per-player fetch tolerance (meta_workflow.py:325-341)
+                    continue
+                self.fetched_tags.add(tag)
+            if not raws:
+                return 0
+            raw_df = self.spark.createDataFrame(raws, schema=schemas.RAW_BATTLE)
         normalized = filter_and_normalize_ranked_1v1(raw_df)
         kept = M.most_recent_per_player(normalized, self.per_player)
         if self.bucket_table:
