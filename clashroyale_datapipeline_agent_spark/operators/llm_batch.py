@@ -23,7 +23,7 @@ from clashroyale_datapipeline_agent_spark.plans.qna_router import (
 
 CLASSIFIED_SCHEMA = (
     "question_id long, question string, category string, "
-    "data_needs array<string>, route string"
+    "data_needs array<string>, route string, llm_error string"
 )
 
 
@@ -33,6 +33,9 @@ def classify_questions(
     *,
     question_col: str = "question",
     id_col: str = "question_id",
+    max_retries: int = 0,
+    backoff_s: float = 1.0,
+    sleeper: Callable[[float], None] | None = None,
 ) -> DataFrame:
     """Classify + route every question row.
 
@@ -40,17 +43,49 @@ def classify_questions(
     classifier callable — connection setup cost is per-partition, request
     cost per row, parsing/fallbacks identical to the driver path
     (``parse_classifier_output``).
+
+    Robustness replays the reference client's semantics PER ROW, never
+    per batch (``phase2_qna_workflow.py:231-238``: an LLM error falls
+    back to other/SEND_ALL for THAT question; ``:246-252``: malformed
+    JSON likewise):
+
+    - a raising client retries up to ``max_retries`` times with linear
+      backoff (``backoff_s * attempt``; ``sleeper`` injectable so tests
+      don't sleep) — the rate-limit answer for 429-style failures;
+    - a row still failing gets the reference's error fallback
+      (category ``other``, needs ``SEND_ALL``) plus the error string in
+      ``llm_error``; every other row in the batch is unaffected;
+    - malformed/invalid JSON output is a PARSE fallback (handled inside
+      ``parse_classifier_output``), not an error: ``llm_error`` stays
+      NULL and the reference's category/needs defaults apply.
     """
+    do_sleep = sleeper if sleeper is not None else __import__("time").sleep
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = make_client()
         for pdf in batches:
-            cats, needs, routes = [], [], []
+            cats, needs, routes, errors = [], [], [], []
             for q in pdf[question_col]:
-                c = parse_classifier_output(client(q))
+                raw: str | None = None
+                err: str | None = None
+                for attempt in range(max_retries + 1):
+                    try:
+                        raw = client(q)
+                        err = None
+                        break
+                    except Exception as exc:  # per-row tolerance
+                        err = f"{type(exc).__name__}: {exc}"[:500]
+                        if attempt < max_retries:
+                            do_sleep(backoff_s * (attempt + 1))
+                if err is not None:
+                    # reference LLM-error fallback: other/SEND_ALL
+                    c = parse_classifier_output("")
+                else:
+                    c = parse_classifier_output(raw)
                 cats.append(c.category)
                 needs.append(c.data_needs)
                 routes.append(route_by_category(c))
+                errors.append(err)
             yield pd.DataFrame(
                 {
                     "question_id": pdf[id_col],
@@ -58,6 +93,7 @@ def classify_questions(
                     "category": cats,
                     "data_needs": needs,
                     "route": routes,
+                    "llm_error": errors,
                 }
             )
 
