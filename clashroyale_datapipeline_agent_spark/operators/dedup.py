@@ -194,15 +194,22 @@ def ngram_jaccard_all_pairs(
     at 100 TB you run this on a key-sampled slice or on LSH candidates only
     (:func:`ngram_jaccard_pairs`), since exact all-pairs cost is driven by
     the hottest shingle's frequency squared.
+
+    The join/count key is ``xxhash64(shingle)``, not the raw 3-gram
+    string: an 8-byte long per shuffle row instead of a ~20-40 byte
+    string on the query's dominant exchange. Distinct-shingle counts
+    under a 64-bit hash differ from exact only on collision
+    (P ≈ shingles²/2⁶⁵ per doc — negligible, and the DuckDB
+    differential on the registered queries would surface any effect).
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"),
-    )
+    ).select("id", F.xxhash64("s").alias("h"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -462,15 +469,17 @@ def ngram_containment_all_pairs(
     meet through the shingle equi-join, never a cross product); emits the
     pair once (id_a < id_b) with both directed containments plus
     ``containment`` = the max of the two (small-side containment).
+    Joins on ``xxhash64(shingle)`` — 8-byte shuffle keys, see the
+    collision note on :func:`ngram_jaccard_all_pairs`.
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"),
-    )
+    ).select("id", F.xxhash64("s").alias("h"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

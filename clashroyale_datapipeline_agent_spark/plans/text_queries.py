@@ -1758,10 +1758,11 @@ def docs_temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFr
     """
     WITH toks AS (
         SELECT doc_id, source,
-               list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS t
         FROM documents
     ), sh AS (
-        SELECT DISTINCT source, s FROM (
+        SELECT DISTINCT source, md5(s) AS h FROM (
             SELECT source, unnest(list_distinct(list_transform(
                 generate_series(1, greatest(len(t) - 2, 0)),
                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
@@ -1771,7 +1772,7 @@ def docs_temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFr
         SELECT source, COUNT(*) AS n FROM sh GROUP BY source
     ), shared AS (
         SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
-        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
         GROUP BY 1, 2
     )
     SELECT src_a, src_b,
@@ -1790,8 +1791,11 @@ def source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     between every pair of corpus sources, top-20 most-overlapping pairs —
     the "is source B just a re-crawl of source A?" readout that decides
     whether a whole source gets dropped before training. Scale shape:
-    shingles are deduplicated to (source, shingle) grain FIRST (corpus
-    text never self-joins), pairs meet through a shingle-keyed equi-join
+    shingles are hashed to md5 THEN deduplicated to (source, hash) grain
+    (corpus text never self-joins, and the dedup exchange + the pair
+    equi-join both move 32-hex-char keys instead of arbitrary-length
+    3-gram strings — md5 rather than xxhash64 because the oracle twin
+    must replay the key), pairs meet through a hash-keyed equi-join
     whose fan-out is bounded by sources-per-shingle squared, and the
     matrix itself is at most sources^2/2 rows."""
     from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
@@ -1802,6 +1806,7 @@ def source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "source", F.explode(shingles_col(F.col("text"), 3)).alias("s")
         )
+        .select("source", F.md5("s").alias("h"))
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
@@ -1809,7 +1814,7 @@ def source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.source") < F.col("b.source")),
         )
         .groupBy(
