@@ -83,6 +83,7 @@ _FIRST = [
     # Round-4 additions (no driver row exists yet) slot in here, inside
     # the 50-row window (slots 44-49).
     "dedup_lsh_band_sweep_xx",
+    "e2e_user_context_render",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -1079,3 +1079,136 @@ def floor_monitor_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("games"),
         (F.count(F.lit(1)) >= 200).alias("crossed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4: end-to-end Phase-0 -> Phase-2 composition under the oracle gate
+# (VERDICT r3 "Next round" #9).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e2e_user_context_render",
+    f"""
+    WITH cards(idx, name, elixir, is_bait, is_spam, is_tank) AS (
+        VALUES
+          {_cards_values_sql()}
+    ),
+    my_cards_rel AS ({_decks_sql(7, 0, 'my')}),
+    opp_cards_rel AS ({_decks_sql(11, 5, 'opp')}),
+    my_types AS ({_classify_sql('my_cards_rel')}),
+    opp_types AS ({_classify_sql('opp_cards_rel')}),
+    battles AS (
+        SELECT m.deck_type AS my_deck_type, p.deck_type AS opp_deck_type,
+               {_RESULT_SQL} AS result
+        FROM orders o
+        JOIN my_types m  ON m.o_orderkey = o.o_orderkey
+        JOIN opp_types p ON p.o_orderkey = o.o_orderkey
+    ),
+    summary AS (
+        SELECT COUNT(*) AS games_played,
+               SUM(CASE WHEN result = 'win'  THEN 1 ELSE 0 END) AS wins,
+               SUM(CASE WHEN result = 'loss' THEN 1 ELSE 0 END) AS losses,
+               SUM(CASE WHEN result = 'draw' THEN 1 ELSE 0 END) AS draws
+        FROM battles
+    ),
+    summary_lines(ord, line) AS (
+        SELECT 1, printf('games_played: %d', CAST(games_played AS BIGINT)) FROM summary
+        UNION ALL SELECT 2, printf('wins: %d', CAST(wins AS BIGINT)) FROM summary
+        UNION ALL SELECT 3, printf('losses: %d', CAST(losses AS BIGINT)) FROM summary
+        UNION ALL SELECT 4, printf('draws: %d', CAST(draws AS BIGINT)) FROM summary
+        UNION ALL SELECT 5, printf('win_rate: %.4f',
+                                   ROUND(wins * 1.0 / games_played, 4)) FROM summary
+        UNION ALL SELECT 6, 'Your deck performance:'
+    ),
+    reagg AS (
+        SELECT my_deck_type AS deck_type,
+               COUNT(*) AS games,
+               SUM(CASE WHEN result = 'win' THEN 1 ELSE 0 END) AS wins
+        FROM battles GROUP BY my_deck_type
+    ),
+    deck_top AS (
+        SELECT deck_type, games, wins,
+               ROW_NUMBER() OVER (ORDER BY games DESC, deck_type ASC) AS rn
+        FROM reagg
+        ORDER BY games DESC, deck_type ASC
+        LIMIT 5
+    ),
+    deck_lines AS (
+        SELECT 6 + rn AS ord,
+               printf('- %s: %d/%d wins (%.2f)',
+                      deck_type, CAST(wins AS BIGINT), CAST(games AS BIGINT),
+                      ROUND(wins * 1.0 / games, 2)) AS line
+        FROM deck_top
+    )
+    SELECT CAST(ord AS BIGINT) AS ord, line FROM summary_lines
+    UNION ALL
+    SELECT CAST(ord AS BIGINT) AS ord, line FROM deck_lines
+    ORDER BY ord
+    """,
+)
+def e2e_user_context_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Phase-0 → Phase-2 lineage in ONE DataFrame, proving the
+    pipeline COMPOSES, not just its pieces: the staged battle store feeds
+    the A1 global summary, the A14 metric/value melt, the A6 matchup
+    matrix, the A12 user-deck re-aggregation, and the F7 engine-side
+    rendering (``render_deck_lines`` + the ``"%s: %s"`` summary form of
+    ``render_context_lines``, reference ``phase2_qna_workflow.py:68-86``)
+    — emitted as the ordered coach-context lines the QnA router ships to
+    the LLM. Counter lines format via the melt's string values; win_rate
+    renders ``%.4f`` over a pre-rounded value (the f7 engine-stability
+    trick). The oracle replays the whole chain as stacked CTEs."""
+    from clashroyale_datapipeline_agent_spark.operators.battle_aggs import (
+        compute_deck_type_matchups,
+        compute_summary,
+        with_deck_types,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.llm_tables import (
+        summary_to_metric_value,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.meta import (
+        build_user_deck_summary,
+    )
+    from clashroyale_datapipeline_agent_spark.plans.qna_router import (
+        render_deck_lines,
+    )
+
+    battles = _battles_full(spark, sf_dir)
+
+    # Phase-1: A1 summary -> A14 melt with engine-stable value strings
+    summary = compute_summary(battles)
+    stable = summary.select(
+        F.col("games_played").cast("long").alias("games_played"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("losses").cast("long").alias("losses"),
+        F.col("draws").cast("long").alias("draws"),
+        F.format_string(
+            "%.4f", F.round(F.col("win_rate").cast("double"), 4)
+        ).alias("win_rate"),
+    )
+    melted = summary_to_metric_value(stable)
+    ord_of = (
+        F.when(F.col("metric") == "games_played", 1)
+        .when(F.col("metric") == "wins", 2)
+        .when(F.col("metric") == "losses", 3)
+        .when(F.col("metric") == "draws", 4)
+        .otherwise(5)
+    )
+    summary_lines = melted.select(
+        ord_of.cast("bigint").alias("ord"),
+        F.format_string("%s: %s", "metric", "value").alias("line"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(6).cast("bigint").alias("ord"),
+            F.lit("Your deck performance:").alias("line"),
+        )
+    )
+
+    # Phase-1/2: A6 matrix -> A12 re-agg -> F7 top-5 deck lines
+    mm = compute_deck_type_matchups(with_deck_types(battles), min_games=1)
+    uds = build_user_deck_summary(mm, min_games_per_deck=20)
+    deck_lines = render_deck_lines(uds, limit=5, with_ordinal=True).select(
+        (F.col("line_no") + 6).cast("bigint").alias("ord"), "line"
+    )
+
+    return summary_lines.unionByName(deck_lines).orderBy("ord")

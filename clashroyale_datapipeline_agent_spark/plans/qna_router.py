@@ -18,7 +18,7 @@ import json
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CATEGORIES = ["user", "matchup", "meta", "card", "other"]
@@ -187,7 +187,9 @@ def render_context_lines(
     return "\n".join(lines)
 
 
-def render_deck_lines(deck_summary: DataFrame, *, limit: int = 5) -> DataFrame:
+def render_deck_lines(
+    deck_summary: DataFrame, *, limit: int = 5, with_ordinal: bool = False
+) -> DataFrame:
     """F7 — the deck-performance lines as a DataFrame of rendered strings.
 
     The reference sorts by games desc before taking the top rows
@@ -198,19 +200,23 @@ def render_deck_lines(deck_summary: DataFrame, *, limit: int = 5) -> DataFrame:
     the JVM but half-even in C/Python on exact half-boundaries), which is
     what lets the ``f7_context_lines`` oracle pair this against DuckDB's
     ``printf``. The limit prunes BEFORE formatting — at scale only
-    ``limit`` rows ever render."""
-    return (
-        deck_summary.orderBy(F.desc("games"), F.asc("deck_type"))
-        .limit(limit)
-        .select(
-            F.format_string(
-                "- %s: %d/%d wins (%.2f)",
-                F.col("deck_type"),
-                F.col("wins").cast("long"),
-                F.col("games").cast("long"),
-                F.round(F.col("win_rate").cast("double"), 2),
-            ).alias("line")
-        )
+    ``limit`` rows ever render. ``with_ordinal=True`` additionally emits
+    the 1-based display position (``line_no``, the same games-desc
+    order) so composed renderings can interleave sections
+    deterministically."""
+    line = F.format_string(
+        "- %s: %d/%d wins (%.2f)",
+        F.col("deck_type"),
+        F.col("wins").cast("long"),
+        F.col("games").cast("long"),
+        F.round(F.col("win_rate").cast("double"), 2),
+    ).alias("line")
+    top = deck_summary.orderBy(F.desc("games"), F.asc("deck_type")).limit(limit)
+    if not with_ordinal:
+        return top.select(line)
+    w = Window.orderBy(F.desc("games"), F.asc("deck_type"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("line_no"), line
     )
 
 
