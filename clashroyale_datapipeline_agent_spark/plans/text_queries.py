@@ -209,11 +209,11 @@ def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
-                   generate_series(1, greatest(len(list_filter(string_split(lower(text), ' '), x -> x != '')) - 2, 0)),
+                   generate_series(1, greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) - 2, 0)),
                    i -> concat_ws(' ',
-                        list_filter(string_split(lower(text), ' '), x -> x != '')[i],
-                        list_filter(string_split(lower(text), ' '), x -> x != '')[i+1],
-                        list_filter(string_split(lower(text), ' '), x -> x != '')[i+2])
+                        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')[i],
+                        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')[i+1],
+                        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')[i+2])
                )) AS shingles
         FROM documents
     )
@@ -313,7 +313,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS term
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')) AS term
         FROM documents
     ), tc AS (
         SELECT doc_id, term, count(*) AS tf_count FROM toks GROUP BY 1, 2
@@ -359,7 +359,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_topk",
     """
     WITH toks AS (
-        SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS t
         FROM documents WHERE doc_id % 10 = 0
     ), sh AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
@@ -446,7 +446,7 @@ def dedup_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT doc_id, lang,
-               list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS t
         FROM documents
     ), bg AS (
         SELECT doc_id, unnest(list_transform(
@@ -1154,7 +1154,7 @@ def j_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS t
         FROM documents
     ),
     grams AS (
@@ -1240,7 +1240,7 @@ def docs_lang_cap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))
                    AS term
         FROM documents
     ),
@@ -1284,7 +1284,7 @@ def docs_unigram_logprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))
                    AS term
         FROM documents
     ),
@@ -1461,7 +1461,7 @@ def docs_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x != '') AS toks
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
         FROM documents
     ),
     base AS (
@@ -2316,7 +2316,7 @@ def events_rolling_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment_topk",
     """
     WITH toks AS (
-        SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS t
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS t
         FROM documents WHERE doc_id % 10 = 0
     ), sh AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2619,7 +2619,7 @@ def hll_partkey_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tc AS (
         SELECT doc_id AS id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
         FROM documents,
-             unnest(list_filter(string_split(lower(trim(text)), ' '),
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                                 x -> x != '')) AS t(term)
         GROUP BY doc_id, t.term
     ), dfc AS (
