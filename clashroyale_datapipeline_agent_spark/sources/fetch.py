@@ -213,3 +213,20 @@ def read_landed_battlelogs(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path).withColumnRenamed("value", "battle_json")
     b = F.from_json("battle_json", schemas.RAW_BATTLE)
     return raw.select(b.alias("b")).select("b.*")
+
+
+def stream_landed_battlelogs(spark: SparkSession, path: str) -> DataFrame:
+    """§2.10 × S2: the landed raw zone as a STREAMING source.
+
+    ``readStream.text`` over the JSONL directory — Structured
+    Streaming's file source tracks seen files per micro-batch, so each
+    fetch round's landing is ingested exactly once. Parsing is the same
+    JVM-side ``from_json`` as the batch scan; downstream this composes
+    with the incremental meta-counter maintenance
+    (``streaming/incremental.py``) for a fetch → land → stream →
+    maintain pipeline whose store provably equals the batch recompute
+    (pinned in ``tests/test_fetch.py``).
+    """
+    raw = spark.readStream.text(path).withColumnRenamed("value", "battle_json")
+    b = F.from_json("battle_json", schemas.RAW_BATTLE)
+    return raw.select(b.alias("b")).select("b.*")

@@ -182,3 +182,56 @@ def test_meta_loop_runs_on_distributed_fetch(spark, tmp_path):
     # failed tag is NOT marked fetched (stays resample-able); succeeded are
     assert "#PLAYER013" not in b.fetched_tags
     assert len(b.fetched_tags) >= 19
+
+
+def test_landed_stream_incremental_equals_batch(spark, tmp_path):
+    """fetch -> land JSONL -> STREAM the raw zone -> incremental counter
+    maintenance across two landings == one batch recompute over
+    everything landed (the S2 x §2.10 composition)."""
+    from clashroyale_datapipeline_agent_spark.operators.normalize import (
+        filter_and_normalize_ranked_1v1,
+    )
+    from clashroyale_datapipeline_agent_spark.streaming.incremental import (
+        IncrementalCounterStore,
+        participant_counter_deltas,
+        start_incremental_meta_counters,
+    )
+
+    dest = str(tmp_path / "raw_zone")
+    store = IncrementalCounterStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = FX.stream_landed_battlelogs(spark, dest)
+        q = start_incremental_meta_counters(
+            filter_and_normalize_ranked_1v1(stream), store, ckpt
+        )
+        q.awaitTermination(120)
+
+    f1 = FX.fetch_battlelogs(
+        spark, ["#S1", "#S2"], _scripted_transport, partitions=2
+    ).localCheckpoint(eager=True)
+    FX.land_battlelogs_jsonl(f1, dest)
+    drain()
+    v_after_first = store.current_version()
+
+    f2 = FX.fetch_battlelogs(
+        spark, ["#S3"], _scripted_transport, partitions=1
+    ).localCheckpoint(eager=True)
+    FX.land_battlelogs_jsonl(f2, dest)
+    drain()
+    # the second drain saw ONLY the new files (exactly-once file source)
+    assert store.current_version() > v_after_first
+
+    batch = filter_and_normalize_ranked_1v1(
+        FX.read_landed_battlelogs(spark, dest)
+    )
+    expected = {
+        r.deck_type: (r.games, r.wins, r.losses, r.draws)
+        for r in participant_counter_deltas(batch).collect()
+    }
+    got = {
+        r.deck_type: (r.games, r.wins, r.losses, r.draws)
+        for r in store.read().collect()
+    }
+    assert got == expected and expected  # non-trivial and identical
