@@ -27,6 +27,7 @@ from clashroyale_datapipeline_agent_spark.plans import text_queries  # noqa: F40
 from clashroyale_datapipeline_agent_spark.plans import domain_queries  # noqa: F401  (registers)
 from clashroyale_datapipeline_agent_spark.plans import tpch_extra  # noqa: F401  (registers)
 from clashroyale_datapipeline_agent_spark.plans import scale_queries  # noqa: F401  (registers)
+from clashroyale_datapipeline_agent_spark.plans import curation_queries  # noqa: F401  (registers)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -84,6 +85,16 @@ _FIRST = [
     # the 50-row window (slots 44-49).
     "dedup_lsh_band_sweep_xx",
     "e2e_user_context_render",
+    "semantic_dedup_cluster_stats",
+    "docs_perplexity_buckets",
+    "docs_ngram_coverage_topk",
+    "dedup_keep_best_quality",
+    # Slots 50-51 — OUTSIDE the driver's 50-row window this round
+    # (pending rotation next round; verified locally via
+    # tools/oracle_check.py, integer-arithmetic twins so lowest
+    # divergence risk of the round-4 additions).
+    "docs_filter_funnel",
+    "docs_mixture_plan",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -590,3 +590,56 @@ def dedup_incremental(
         .otherwise("kept")
     )
     return j.select(*batch.columns, status.alias("status"))
+
+
+def ngram_coverage(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span audit — the n-token-granular
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of its distinct word n-grams that also occur
+    in at least one OTHER document.
+
+    Plan shape: n-grams hash to md5 and dedupe to (doc, hash) grain, the
+    hash's document frequency is ONE re-aggregation of that same table
+    (no second scan), and coverage is a join back on the hash — there is
+    NO pair join anywhere, so a boilerplate n-gram shared by a million
+    documents costs one aggregation row, not a million² fan-out. That is
+    what makes this the 100 TB-safe span audit; the pairwise containment
+    form (:func:`ngram_containment_all_pairs`) exists separately for the
+    bounded-candidate case.
+
+    Returns ``(id_col, n_grams, n_shared, coverage)`` for documents with
+    at least one n-gram (docs shorter than ``n`` tokens have no rows).
+    """
+    sh = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+        )
+        .select(id_col, F.md5("s").alias("h"))
+        .distinct()
+    )
+    df_h = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.join(df_h, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams").cast("double"),
+                4,
+            ),
+        )
+    )

@@ -228,3 +228,54 @@ def resample_by_temperature(
         .filter(F.col("_rn") <= F.col("_target"))
         .drop("_rn", "_target")
     )
+
+
+def plan_source_mixture(
+    token_counts: DataFrame,
+    weight_col: Column,
+    *,
+    budget_frac: float,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Training-mixture planning (the Pile/Llama-style source-weighting
+    step): given per-source token counts and RELATIVE weights, compute
+    each source's token target under a corpus-fraction budget, the
+    sampling rate (or oversampling epochs, when the target exceeds the
+    source), and the planned token yield.
+
+    ``token_counts`` is the (source, n_tokens) aggregate — sources², not
+    corpus, rows. ``weight_col`` is any deterministic expression over it
+    (a literal map, a CASE over the source name, …); weights are
+    normalized internally so callers pass relative priorities. The two
+    corpus totals (token sum, weight sum) join back as a broadcast 1-row
+    aggregate — no driver collect, and the whole plan touches only the
+    per-source aggregate, so it composes after a single corpus scan.
+
+    Returns ``(source, n_tokens, weight, target_tokens, epochs,
+    planned_tokens)``: ``epochs`` > 1 means the source must be repeated
+    to fill its slice; ``planned_tokens`` caps at one epoch (the
+    no-oversampling yield).
+    """
+    w = token_counts.withColumn("_w_raw", weight_col.cast("double"))
+    totals = w.agg(
+        F.sum("_w_raw").alias("_w_sum"),
+        F.sum(F.col(tokens_col)).alias("_tok_sum"),
+    )
+    out = w.join(F.broadcast(totals))
+    budget = F.floor(F.lit(budget_frac) * F.col("_tok_sum").cast("double"))
+    target = F.floor(
+        budget.cast("double") * F.col("_w_raw") / F.col("_w_sum")
+    ).cast("bigint")
+    return out.select(
+        F.col(source_col),
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+        F.round(F.col("_w_raw") / F.col("_w_sum"), 4).alias("weight"),
+        target.alias("target_tokens"),
+        F.round(
+            target.cast("double") / F.col(tokens_col).cast("double"), 4
+        ).alias("epochs"),
+        F.least(F.col(tokens_col).cast("bigint"), target).alias(
+            "planned_tokens"
+        ),
+    )

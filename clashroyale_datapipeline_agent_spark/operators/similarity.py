@@ -549,3 +549,60 @@ def pq_assign(
         F.col("a.code").alias("code"),
         F.col("a.d2").alias("d2"),
     )
+
+
+def semantic_dedup_prune(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune any vector
+    whose cosine similarity to a LOWER-id member of the SAME cluster
+    reaches ``threshold`` — one representative (the earliest id) survives
+    each semantic-duplicate set, and cross-cluster pairs are never
+    examined.
+
+    Plan shape: assignment is :func:`nearest_centroid_col` (codegen
+    argmin over centroid literals — ties go to the lowest cluster id);
+    each vector's norm is computed ONCE before the pair join; candidate
+    pairs come from an equi-join on the cluster id with an ``id <`` band,
+    so the fan-out is sum-over-clusters of size² — never all-pairs. At
+    100 TB the cluster COUNT is the dial: SemDeDup runs with ~100k
+    clusters precisely so E[cluster size] stays bounded, and the pair
+    join stays shuffle-bounded by the largest cluster. Cosines are
+    rounded to 6 decimals before the threshold compare so the decision is
+    reproducible across engines (fold-order ULP noise is ~1e-15 relative,
+    far below the rounding grid).
+
+    Returns ``(id_col, cluster, pruned)`` — one row per input vector.
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    assigned = v.withColumn(
+        "cluster", nearest_centroid_col(F.col("e"), centroids)
+    ).withColumn("nrm", norm_col(F.col("e")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = dot_col(F.col("a.e"), F.col("b.e")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(F.round(cos, 6) >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return assigned.join(dup_ids, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.coalesce(F.col("_pruned"), F.lit(False)).alias("pruned"),
+    )

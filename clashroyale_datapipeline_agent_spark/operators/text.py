@@ -483,3 +483,41 @@ def logodds_discriminative_terms(
         "term",
         (delta / F.sqrt(var)).alias("z"),
     )
+
+
+def filter_funnel(
+    docs: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Multi-stage curation-filter attrition report (the C4/Gopher/CCNet
+    cleaning-pipeline readout: how many documents each successive filter
+    costs).
+
+    ``stages`` is an ORDERED list of ``(name, boolean Column)``; a
+    document survives stage *i* iff predicates ``1..i`` all hold
+    (sequential-filter semantics). One scan evaluates every predicate,
+    ONE hash aggregation produces the full cumulative-survivor vector
+    (``len(stages)+1`` sums on a single row), and an inline ``stack``
+    melts it to one row per stage — no per-stage rescan, no driver loop,
+    so at 100 TB the report costs exactly one pass over the corpus.
+
+    Returns ``(stage_idx, stage, n_in, n_out)`` with ``n_in`` = survivors
+    of the previous stage (stage 1's ``n_in`` is the corpus size).
+    """
+    flags = docs.select(
+        *[p.cast("boolean").alias(f"_f{i}") for i, (_, p) in enumerate(stages)]
+    )
+    aggs = [F.count(F.lit(1)).alias("_n0")]
+    cum: Column | None = None
+    for i in range(len(stages)):
+        cum = F.col(f"_f{i}") if cum is None else (cum & F.col(f"_f{i}"))
+        aggs.append(
+            F.sum(F.coalesce(cum, F.lit(False)).cast("long")).alias(f"_n{i + 1}")
+        )
+    row = flags.agg(*aggs)
+    parts: list[str] = []
+    for i, (name, _) in enumerate(stages):
+        parts += [f"{i + 1}", f"'{name}'", f"_n{i}", f"_n{i + 1}"]
+    return row.selectExpr(
+        f"stack({len(stages)}, {', '.join(parts)})"
+        " as (stage_idx, stage, n_in, n_out)"
+    )

@@ -1,0 +1,532 @@
+"""Round-4 corpus-curation queries: the LLM training-data pipeline steps
+between raw crawl and tokenizer — semantic dedup, perplexity bucketing,
+sequential filter attrition, duplicated-span audit, keep-best dedup
+policy, and source-mixture planning.
+
+These extend the beyond-parity surface (the reference pipeline,
+`phase1_data_pipeline.py`, curates a few thousand battle rows in pandas
+and has no corpus-curation notion at all). House cross-engine rules
+apply: md5-only hashing where the oracle must replay a hash, ROUND
+before every float threshold compare or output, BIGINT casts on counts,
+deterministic total orders under LIMIT.
+
+- ``semantic_dedup_cluster_stats`` — SemDeDup (Abbas et al. 2023):
+  cluster embeddings against literal seed centroids, prune vectors with
+  a lower-id same-cluster neighbor at cosine ≥ τ. The cluster count is
+  the 100 TB dial (pair fan-out = Σ cluster-size²).
+- ``docs_perplexity_buckets`` — CCNet's head/middle/tail split on
+  unigram-LM mean negative log-prob, tercile boundaries from exact
+  interpolated percentiles (scores rounded to 6 decimals BEFORE the
+  percentile/bucket compare so both engines bucket identical values).
+- ``docs_filter_funnel`` — sequential Gopher-style filter attrition in
+  ONE corpus scan + ONE hash agg (``operators/text.py:filter_funnel``).
+- ``docs_ngram_coverage_topk`` — per-doc duplicated-span fraction at
+  8-token granularity (Lee et al. 2022 exact-substring dedup, n-gram
+  approximation); document-frequency re-agg, NO pair join.
+- ``dedup_keep_best_quality`` — dedup selection POLICY: within each
+  near-dup cluster (connected components) keep the highest
+  distinct-token-ratio doc, ties to the lowest id — vs the naive
+  keep-first that throws away the best copy.
+- ``docs_mixture_plan`` — per-source token targets / sampling epochs
+  under a corpus-fraction budget (``operators/sampling.py:
+  plan_source_mixture``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
+
+# DuckDB-side whitespace tokenization ≡ operators/text.tokens_col
+# (split on \s+ runs after trim/lower, drop empties).
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " x -> x != '')"
+)
+
+
+@register(
+    "semantic_dedup_cluster_stats",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    init AS (SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < 8),
+    dist AS (
+        SELECT v.vec_id, i.cluster, list_distance(v.e, i.c) AS d
+        FROM v CROSS JOIN init i
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d ASC, cluster ASC
+                   ) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    nrm AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a
+        JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN nrm nb ON nb.vec_id = b.vec_id
+        WHERE ROUND(
+            list_dot_product(va.e, vb.e) / (na.nrm * nb.nrm), 6
+        ) >= 0.3
+    )
+    SELECT CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept
+    FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    GROUP BY a.cluster
+    ORDER BY cluster
+    """,
+)
+def semantic_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication audit (Abbas et al. 2023,
+    arXiv:2303.09540): k=8 clusters from literal seed centroids (the 8
+    lowest vec_ids — no RNG, same discipline as ``kmeans_lloyd``),
+    within-cluster lower-id-neighbor pruning at cosine ≥ 0.3; per-cluster
+    members / pruned / kept. Assignment is a codegen argmin over centroid
+    literals; the DuckDB twin replays assignment with ``list_distance``
+    (argmin invariant under sqrt) and the cosine test with
+    ``list_dot_product``, both rounded to 6 decimals before the
+    threshold. Scale: the pair join keys on the cluster id, so fan-out is
+    Σ cluster-size² — k grows with the corpus to keep E[size] bounded
+    (SemDeDup runs ~100k clusters at web scale)."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        semantic_dedup_prune,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    v = spread_if_narrow(_t(spark, sf_dir, "embeddings"))
+    seeds = [
+        list(r["c"])
+        for r in v.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    ]
+    pruned = semantic_dedup_prune(v, seeds, threshold=0.3)
+    return (
+        pruned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(F.col("pruned").cast("long")).cast("bigint").alias("n_pruned"),
+            F.sum((~F.col("pruned")).cast("long")).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            "n_pruned",
+            "n_kept",
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "docs_perplexity_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x != '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    corpus AS (SELECT term, SUM(cnt) AS corpus_cnt FROM tc GROUP BY term),
+    total AS (SELECT SUM(corpus_cnt) AS corpus_total FROM corpus),
+    scored AS (
+        SELECT tc.doc_id,
+               CAST(SUM(tc.cnt) AS BIGINT) AS n_tokens,
+               ROUND(-SUM(tc.cnt * ln(c.corpus_cnt / t.corpus_total))
+                         / SUM(tc.cnt), 6) AS nll
+        FROM tc JOIN corpus c ON c.term = tc.term, total t
+        GROUP BY tc.doc_id
+    ),
+    bounds AS (
+        SELECT quantile_cont(nll, CAST(1 AS DOUBLE) / 3) AS b1,
+               quantile_cont(nll, CAST(2 AS DOUBLE) / 3) AS b2
+        FROM scored
+    ),
+    bucketed AS (
+        SELECT s.n_tokens, s.nll,
+               CASE WHEN s.nll <= b.b1 THEN 'head'
+                    WHEN s.nll <= b.b2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s, bounds b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(AVG(nll), 4) AS mean_nll
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    doc by mean negative log-prob under the corpus unigram LM
+    (``operators/text.py:unigram_logprob_scores``), split the corpus at
+    the tercile boundaries into head (most fluent) / middle / tail.
+    Per-doc scores are rounded to 6 decimals BEFORE the percentile and
+    bucket compares, so both engines rank an identical multiset and
+    fold-order ULP noise cannot flip a membership. Boundaries are exact
+    interpolated percentiles broadcast from a 1-row aggregate (same
+    no-NTILE discipline as ``docs_equidepth_histogram``); the bucket
+    assignment is map-side."""
+    from clashroyale_datapipeline_agent_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    scored = unigram_logprob_scores(d).select(
+        "n_tokens", F.round("mean_neg_logprob", 6).alias("nll")
+    )
+    bounds = scored.agg(
+        F.expr("percentile(nll, CAST(1 AS DOUBLE) / 3)").alias("b1"),
+        F.expr("percentile(nll, CAST(2 AS DOUBLE) / 3)").alias("b2"),
+    )
+    bucket = (
+        F.when(F.col("nll") <= F.col("b1"), "head")
+        .when(F.col("nll") <= F.col("b2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "docs_filter_funnel",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               list_sum(list_transform(toks, w -> len(w))) * 1.0
+                   / len(toks) AS mwl,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS dr,
+               len(list_filter(toks, w -> w IN ('the', 'a'))) AS sw
+        FROM t
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n0,
+               SUM(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN n >= 20 AND mwl <= 4.6
+                        THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN n >= 20 AND mwl <= 4.6 AND dr >= 0.35
+                        THEN 1 ELSE 0 END) AS n3,
+               SUM(CASE WHEN n >= 20 AND mwl <= 4.6 AND dr >= 0.35
+                             AND sw >= 2
+                        THEN 1 ELSE 0 END) AS n4
+        FROM s
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_out AS BIGINT) AS n_out,
+           CASE WHEN n_in > 0
+                THEN ROUND((n_in - n_out) * 1.0 / n_in, 4)
+                ELSE 0.0 END AS drop_frac
+    FROM (
+        SELECT 1 AS stage_idx, 'min_tokens' AS stage,
+               n0 AS n_in, n1 AS n_out FROM agg
+        UNION ALL SELECT 2, 'mean_word_len', n1, n2 FROM agg
+        UNION ALL SELECT 3, 'distinct_ratio', n2, n3 FROM agg
+        UNION ALL SELECT 4, 'stopwords', n3, n4 FROM agg
+    ) ORDER BY stage_idx
+    """,
+)
+def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential curation-filter attrition (the C4/Gopher cleaning
+    funnel): min token count ≥ 20, mean word length ≤ 4.6, distinct-token
+    ratio ≥ 0.35 (repetition filter), ≥ 2 stopword hits — each stage's
+    ``n_in`` is the previous stage's survivors. One corpus scan, one hash
+    aggregation, an inline ``stack`` melt
+    (``operators/text.py:filter_funnel``); the DuckDB twin is the naive
+    cumulative-CASE form. All stage predicates are exact rational
+    arithmetic over token counts, so the threshold compares are
+    bit-identical across engines."""
+    from clashroyale_datapipeline_agent_spark.operators.text import (
+        filter_funnel,
+        tokens_col,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    toks = tokens_col(F.lower(F.col("text")))
+    feats = d.select(
+        F.size(toks).alias("n"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("mwl"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("dr"),
+        F.size(F.filter(toks, lambda w: w.isin("the", "a"))).alias("sw"),
+    )
+    funnel = filter_funnel(
+        feats,
+        [
+            ("min_tokens", F.col("n") >= 20),
+            ("mean_word_len", F.col("mwl") <= 4.6),
+            ("distinct_ratio", F.col("dr") >= 0.35),
+            ("stopwords", F.col("sw") >= 2),
+        ],
+    )
+    return funnel.select(
+        F.col("stage_idx").cast("bigint").alias("stage_idx"),
+        "stage",
+        F.col("n_in").cast("bigint").alias("n_in"),
+        F.col("n_out").cast("bigint").alias("n_out"),
+        F.when(
+            F.col("n_in") > 0,
+            F.round(
+                (F.col("n_in") - F.col("n_out")).cast("double")
+                / F.col("n_in").cast("double"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("drop_frac"),
+    ).orderBy("stage_idx")
+
+
+@register(
+    "docs_ngram_coverage_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, md5(s) AS h FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 7, 0)),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                               t[i+4], t[i+5], t[i+6], t[i+7])))) AS s
+            FROM toks
+        )
+    ),
+    gd AS (SELECT h, COUNT(*) AS nd FROM sh GROUP BY h),
+    cov AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM sh JOIN gd USING (h) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_shared,
+           ROUND(n_shared * 1.0 / n_grams, 4) AS coverage
+    FROM cov WHERE n_shared > 0
+    ORDER BY coverage DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def docs_ngram_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span audit at 8-token granularity (the n-gram
+    approximation of Lee et al. 2022 exact-substring dedup): per doc, the
+    fraction of its distinct 8-grams that occur in ≥ 1 other doc; top-20
+    most-covered docs. ``operators/dedup.py:ngram_coverage`` — grams hash
+    to md5, document frequency is ONE re-agg of the (doc, hash) table,
+    and there is NO pair join, so a boilerplate span shared by a million
+    docs costs one aggregation row, not a fan-out. The LIMIT rides a
+    (coverage DESC, doc_id ASC) total order."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import ngram_coverage
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    cov = ngram_coverage(d, n=8)
+    return (
+        cov.where(F.col("n_shared") > 0)
+        .orderBy(F.desc("coverage"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 3 = 0
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+        WHERE a.doc_id % 9 = 0
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ), reach(v, r) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.v = s.v
+    ), comp AS (
+        SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+    ),
+    q AS (
+        SELECT doc_id, len(list_distinct(t)) * 1.0 / len(t) AS quality
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    ranked AS (
+        SELECT d.source,
+               row_number() OVER (
+                   PARTITION BY COALESCE(c.component, d.doc_id)
+                   ORDER BY q.quality DESC, d.doc_id ASC
+               ) AS rn
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SELECTION POLICY: within each near-dup cluster keep the
+    highest-quality member (distinct-token ratio, ties to the lowest
+    doc_id) instead of the naive keep-first — the curation step that
+    decides WHICH copy of a duplicated page survives into training.
+    Cluster structure is the same deterministic arithmetic edge set +
+    connected components as ``dedup_cluster_size_histogram`` (so both
+    engines cluster the same graph); singletons keep themselves. Quality
+    is exact rational arithmetic (uniq/n of token counts), so the argmax
+    compares identically across engines; the per-cluster ``row_number``
+    window is bounded by the largest cluster, and the final readout
+    aggregates to sources² rows."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import (
+        connected_components,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    ids = d.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    e1 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.doc_id") % 3 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    e2 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 2)
+        & (F.col("a.doc_id") % 9 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comps = connected_components(e1.unionByName(e2))
+    toks = tokens_col(F.lower(F.col("text")))
+    quality = (
+        F.size(F.array_distinct(toks)).cast("double")
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    scored = d.select("doc_id", "source", quality.alias("quality"))
+    assigned = scored.join(comps, scored.doc_id == comps.id, "left").select(
+        "doc_id",
+        "source",
+        "quality",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("rep"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("rep").orderBy(F.desc("quality"), F.asc("doc_id"))
+    )
+    return (
+        assigned.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("rn") == 1).cast("long")).cast("bigint").alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("long")).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_mixture_plan",
+    f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    per AS (
+        SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_tokens,
+               CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                         % 2 = 0
+                    THEN 2.0 ELSE 1.0 END AS w_raw
+        FROM per
+    ),
+    tot AS (SELECT SUM(w_raw) AS w_sum, SUM(n_tokens) AS tok_sum FROM w),
+    planned AS (
+        SELECT source, n_tokens,
+               CAST(w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE) AS wnorm,
+               FLOOR(
+                   FLOOR(CAST(0.5 AS DOUBLE) * t.tok_sum)
+                   * CAST(w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE)
+               ) AS target_d
+        FROM w, tot t
+    )
+    SELECT source, n_tokens,
+           ROUND(wnorm, 4) AS weight,
+           CAST(target_d AS BIGINT) AS target_tokens,
+           ROUND(target_d / n_tokens, 4) AS epochs,
+           CAST(LEAST(CAST(n_tokens AS DOUBLE), target_d) AS BIGINT)
+               AS planned_tokens
+    FROM planned ORDER BY source
+    """,
+)
+def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning (the Pile/Llama source-weighting step):
+    per-source token targets under a 50 %-of-corpus budget with
+    even-indexed sources weighted 2:1 over odd (a deterministic literal
+    policy both engines replay), sampling ``epochs`` (> 1 ⇒ the source
+    must repeat to fill its slice) and the one-epoch ``planned_tokens``
+    yield. ``operators/sampling.py:plan_source_mixture`` — everything
+    downstream of the per-source token aggregate touches sources² rows,
+    and the corpus totals join back as a broadcast 1-row aggregate."""
+    from clashroyale_datapipeline_agent_spark.operators.sampling import (
+        plan_source_mixture,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    per = d.select(
+        "source", F.size(tokens_col(F.lower(F.col("text")))).alias("n")
+    ).groupBy("source").agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    weight = F.when(
+        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int") % 2 == 0,
+        F.lit(2.0),
+    ).otherwise(F.lit(1.0))
+    return plan_source_mixture(per, weight, budget_frac=0.5).orderBy("source")
