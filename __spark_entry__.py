@@ -95,6 +95,8 @@ _FIRST = [
     # divergence risk of the round-4 additions).
     "docs_filter_funnel",
     "docs_mixture_plan",
+    "ann_signlsh_recall",
+    "customer_kanonymity_audit",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

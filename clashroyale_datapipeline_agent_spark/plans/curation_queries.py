@@ -530,3 +530,179 @@ def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.0),
     ).otherwise(F.lit(1.0))
     return plan_source_mixture(per, weight, budget_frac=0.5).orderBy("source")
+
+
+@register(
+    "ann_signlsh_recall",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, e,
+               (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM v
+    ),
+    bc AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+    q AS (SELECT * FROM b WHERE vec_id < 16),
+    pairs AS (
+        SELECT q.vec_id AS q_id, q.bucket AS q_bucket,
+               o.vec_id AS o_id, o.bucket AS o_bucket,
+               ROUND(
+                   list_dot_product(q.e, o.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(o.e, o.e))), 6
+               ) AS cos
+        FROM q JOIN b o ON o.vec_id != q.vec_id
+    ),
+    truth AS (
+        SELECT q_id, o_id, q_bucket, o_bucket FROM (
+            SELECT q_id, o_id, q_bucket, o_bucket,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, o_id ASC
+                   ) AS rn
+            FROM pairs
+        ) WHERE rn <= 10
+    )
+    SELECT t.q_id AS vec_id,
+           CAST(MAX(c.n) - 1 AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN t.o_bucket = t.q_bucket
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           ROUND(SUM(CASE WHEN t.o_bucket = t.q_bucket
+                          THEN 1 ELSE 0 END) / 10.0, 4) AS recall
+    FROM truth t JOIN bc c ON c.bucket = t.q_bucket
+    GROUP BY t.q_id
+    ORDER BY vec_id
+    """,
+)
+def ann_signlsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality measurement — the recall@10 / candidate-count
+    tradeoff every approximate index must report before it replaces
+    brute force: 4-bit sign-LSH buckets (signs of dims 1-4, an oracle-
+    replayable stand-in for the hyperplane codes of
+    ``similarity.lsh_bucket_col``) vs exact cosine top-10 ground truth
+    for a 16-query probe set. Ground truth is the bounded-query brute
+    force (16 × N broadcast fan-out, the documented small-side-only
+    baseline); cosines round to 6 decimals BEFORE the top-10 rank so
+    both engines rank identical values, with vec_id as the total-order
+    tiebreak. Low recall on these near-random embeddings is the honest
+    readout — the query exists to MEASURE it, and at 100 TB the same
+    audit runs on a key-mod query sample against the production index."""
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    v = spread_if_narrow(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("e", i) >= 0, "1").otherwise("0")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    b = v.withColumn("bucket", bucket)
+    bc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    q = b.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    from clashroyale_datapipeline_agent_spark.operators.similarity import dot_col
+
+    cos = F.round(
+        dot_col(F.col("qe"), F.col("e"))
+        / (
+            F.sqrt(dot_col(F.col("qe"), F.col("qe")))
+            * F.sqrt(dot_col(F.col("e"), F.col("e")))
+        ),
+        6,
+    )
+    pairs = (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_bucket",
+            F.col("vec_id").alias("o_id"),
+            F.col("bucket").alias("o_bucket"),
+            cos.alias("cos"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("o_id"))
+    )
+    truth = pairs.withColumn("rn", rn).filter(F.col("rn") <= 10)
+    hit = (F.col("o_bucket") == F.col("q_bucket")).cast("long")
+    return (
+        truth.join(
+            F.broadcast(bc.withColumnRenamed("bucket", "q_bucket")), "q_bucket"
+        )
+        .groupBy(F.col("q_id").alias("vec_id"))
+        .agg(
+            (F.max("n") - 1).cast("bigint").alias("n_candidates"),
+            F.sum(hit).cast("bigint").alias("hits"),
+            F.round(F.sum(hit) / F.lit(10.0), 4).alias("recall"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "customer_kanonymity_audit",
+    """
+    WITH g AS (
+        SELECT c_mktsegment,
+               c_nationkey,
+               CAST(FLOOR(c_acctbal / 2000) AS INT) AS ab_band,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           ROUND(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / SUM(n), 4)
+               AS risk_frac
+    FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def customer_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier triple
+    (segment, nation, account-balance band): rows whose quasi-id group
+    has fewer than 5 members are re-identification candidates and must
+    be generalized or suppressed before the table ships as training
+    data — the PII-risk counterpart of ``docs_redaction_stats``. ONE
+    hash aggregation to quasi-id grain (bounded: segments × nations ×
+    bands), then a re-agg to segments — the corpus never moves twice,
+    and the same two-level shape holds at any row count because the
+    group-key domain, not the data, bounds the state."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("ab_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    small = F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
+    return (
+        g.groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("n") < 5).cast("long")).cast("bigint").alias(
+                "n_small_groups"
+            ),
+            F.sum(small).cast("bigint").alias("n_rows_at_risk"),
+            F.round(
+                F.sum(small).cast("double") * F.lit(1.0)
+                / F.sum("n").cast("double"),
+                4,
+            ).alias("risk_frac"),
+        )
+        .orderBy("c_mktsegment")
+    )

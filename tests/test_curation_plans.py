@@ -65,3 +65,14 @@ def test_s7_env_config_source(spark):
     # shuffle partitions honor $SPARK_GRAFT_CPUS (default 32)
     expect = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
     assert int(conf.get("spark.sql.shuffle.partitions")) == expect
+
+
+def test_ann_recall_probe_set_broadcasts(spark, sf_dir):
+    """The brute-force ground truth is a BOUNDED 16-query fan-out: the
+    probe set must broadcast (nested-loop against it is the documented
+    small-side-only baseline), and the bucket-count join must broadcast
+    too — no shuffle keyed on the corpus."""
+    plan = _plan(spark, CQ.ann_signlsh_recall(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 16-row probe side
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
