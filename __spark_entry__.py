@@ -97,6 +97,8 @@ _FIRST = [
     "docs_mixture_plan",
     "ann_signlsh_recall",
     "customer_kanonymity_audit",
+    "corpus_source_report",
+    "orders_key_skew_topk",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -706,3 +706,119 @@ def customer_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "corpus_source_report",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, md5(trim(text)) AS fp, {_TOKS} AS toks
+        FROM documents
+    ),
+    fpc AS (SELECT fp, COUNT(*) AS n_copies FROM t GROUP BY fp),
+    per_doc AS (
+        SELECT t.source,
+               len(t.toks) AS n_tok,
+               len(list_distinct(t.toks)) * 1.0 / len(t.toks) AS dr,
+               CASE WHEN c.n_copies >= 2 THEN 1 ELSE 0 END AS is_dup
+        FROM t JOIN fpc c ON c.fp = t.fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+           ROUND(SUM(is_dup) * 1.0 / COUNT(*), 4) AS dup_frac,
+           ROUND(AVG(dr), 4) AS mean_distinct_ratio
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary: one row per source with volume (docs,
+    tokens), exact-duplication exposure (docs whose trimmed-text md5
+    fingerprint appears anywhere else in the corpus — the
+    ``doc_fingerprint_md5`` convention), and mean lexical diversity —
+    the at-a-glance table a curation run publishes alongside the
+    training mix. ONE corpus scan computes fingerprint + token stats;
+    the copy count is a re-agg of the fingerprint column joined back on
+    the 32-hex key; the report itself is sources² rows. Mean
+    distinct-ratio is an AVG over exact rationals, ROUND-4 on output."""
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    toks = tokens_col(F.lower(F.col("text")))
+    t = d.select(
+        "source",
+        F.md5(F.trim(F.col("text"))).alias("fp"),
+        F.size(toks).alias("n_tok"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("dr"),
+    )
+    fpc = t.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    is_dup = (F.col("n_copies") >= 2).cast("long")
+    return (
+        t.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(is_dup).cast("bigint").alias("dup_docs"),
+            F.round(
+                F.sum(is_dup).cast("double") * F.lit(1.0)
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_frac"),
+            F.round(F.avg("dr"), 4).alias("mean_distinct_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "orders_key_skew_topk",
+    """
+    WITH k AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT SUM(cnt) AS total, AVG(CAST(cnt AS DOUBLE)) AS mean_cnt
+        FROM k
+    )
+    SELECT k.o_custkey, k.cnt,
+           ROUND(k.cnt / t.total, 6) AS share,
+           ROUND(k.cnt / t.mean_cnt, 4) AS skew_vs_mean
+    FROM k, tot t
+    ORDER BY k.cnt DESC, k.o_custkey ASC
+    LIMIT 10
+    """,
+)
+def orders_key_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the measurement that decides whether a
+    shuffle join on this key needs salting (``operators/skew.py``) or
+    AQE skew handling before it runs at scale: top-10 heaviest
+    ``o_custkey`` values with their share of the table and their ratio
+    to the mean key load. Per-key counts are one hash aggregation (the
+    map-side combine bounds the shuffle at keys², not rows); the totals
+    join back as a broadcast 1-row aggregate; the LIMIT rides a
+    (cnt DESC, key ASC) total order."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = k.agg(
+        F.sum("cnt").alias("total"),
+        F.avg(F.col("cnt").cast("double")).alias("mean_cnt"),
+    )
+    return (
+        k.join(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("mean_cnt"), 4).alias("skew_vs_mean"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("o_custkey"))
+        .limit(10)
+    )
