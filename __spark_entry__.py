@@ -99,6 +99,7 @@ _FIRST = [
     "customer_kanonymity_audit",
     "corpus_source_report",
     "orders_key_skew_topk",
+    "curation_pipeline_report",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -822,3 +822,122 @@ def orders_key_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("o_custkey"))
         .limit(10)
     )
+
+
+@register(
+    "curation_pipeline_report",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, md5(trim(text)) AS fp, {_TOKS} AS toks
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, source, fp, len(toks) AS n,
+               list_sum(list_transform(toks, w -> len(w))) * 1.0
+                   / len(toks) AS mwl
+        FROM t
+    ),
+    kept AS (SELECT * FROM feat WHERE n >= 20 AND mwl <= 4.6),
+    dedup AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY fp ORDER BY doc_id ASC
+            ) AS rn FROM kept
+        ) WHERE rn = 1
+    ),
+    per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_kept_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM dedup GROUP BY source
+    ),
+    raw AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw_docs
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT p.*,
+               CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                         % 2 = 0
+                    THEN 2.0 ELSE 1.0 END AS w_raw
+        FROM per p
+    ),
+    tot AS (SELECT SUM(w_raw) AS w_sum, SUM(n_tokens) AS tok_sum FROM w)
+    SELECT r.source, r.n_raw_docs, w.n_kept_docs, w.n_tokens,
+           CAST(FLOOR(
+               FLOOR(CAST(0.5 AS DOUBLE) * t.tok_sum)
+               * CAST(w.w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE)
+           ) AS BIGINT) AS target_tokens,
+           ROUND(FLOOR(
+               FLOOR(CAST(0.5 AS DOUBLE) * t.tok_sum)
+               * CAST(w.w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE)
+           ) / w.n_tokens, 4) AS epochs
+    FROM w JOIN raw r ON r.source = w.source, tot t
+    ORDER BY r.source
+    """,
+)
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composition under the oracle gate (the
+    corpus analog of ``e2e_user_context_render``): quality filters
+    (min tokens, mean word length) → exact dedup keep-first (per-md5
+    ``row_number``, earliest doc_id survives) → per-source yield →
+    mixture targets/epochs for the 2:1 even/odd-source policy over the
+    POST-curation token pool — one lineage proving the stages compose,
+    not just work alone. Plan: one corpus scan computes fingerprint +
+    stats; dedup is a per-fingerprint window (bounded by the largest
+    copy-set); everything after the per-source aggregate is sources²
+    rows with broadcast totals (``sampling.plan_source_mixture``)."""
+    from clashroyale_datapipeline_agent_spark.operators.sampling import (
+        plan_source_mixture,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    toks = tokens_col(F.lower(F.col("text")))
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.trim(F.col("text"))).alias("fp"),
+        F.size(toks).alias("n"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("mwl"),
+    )
+    kept = feat.filter((F.col("n") >= 20) & (F.col("mwl") <= 4.6))
+    rn = F.row_number().over(
+        Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    )
+    deduped = kept.withColumn("rn", rn).filter(F.col("rn") == 1)
+    per = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    weight = F.when(
+        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int") % 2 == 0,
+        F.lit(2.0),
+    ).otherwise(F.lit(1.0))
+    mix = plan_source_mixture(per, weight, budget_frac=0.5)
+    raw = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw_docs")
+    )
+    counts = per.select("source", "n_kept_docs")
+    return (
+        mix.join(F.broadcast(counts), "source")
+        .join(F.broadcast(raw), "source")
+        .select(
+            "source",
+            "n_raw_docs",
+            "n_kept_docs",
+            "n_tokens",
+            "target_tokens",
+            "epochs",
+        )
+        .orderBy("source")
+    )
