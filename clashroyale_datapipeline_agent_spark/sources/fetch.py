@@ -230,3 +230,45 @@ def stream_landed_battlelogs(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.readStream.text(path).withColumnRenamed("value", "battle_json")
     b = F.from_json("battle_json", schemas.RAW_BATTLE)
     return raw.select(b.alias("b")).select("b.*")
+
+
+LEADERBOARD_GLOBAL_ID = 170000005  # global trophy ladder (cr_client.py:58)
+
+
+def leaderboard_path(
+    leaderboard_id: int = LEADERBOARD_GLOBAL_ID, limit: int = 300
+) -> str:
+    """API path for the ladder leaderboard —
+    ``GET /leaderboard/{id}?limit=N`` (``cr_client.py:51-62``)."""
+    return f"/leaderboard/{leaderboard_id}?limit={limit}"
+
+
+def fetch_leaderboard(
+    spark: SparkSession,
+    transport: Transport,
+    *,
+    limit: int = 300,
+    leaderboard_id: int = LEADERBOARD_GLOBAL_ID,
+) -> DataFrame:
+    """S1 — leaderboard scan as an explicit-schema DataFrame.
+
+    ONE request (the leaderboard endpoint caps at ~1000 rows), so unlike
+    the battlelog fan-out this stays a driver-side fetch by design —
+    distributing a single HTTP call buys nothing. Response tolerance
+    mirrors ``players.py:6-23``: unwrap ``items`` (empty/missing →
+    empty DataFrame, never a raised batch), normalize tags, keep the
+    (rank, tag, name, trophies) projection of
+    :data:`schemas.LEADERBOARD_PLAYER`. The result is the tag-pool input
+    to :func:`fetch_battlelogs` / ``MetaDatasetBuilder``.
+    """
+    items = _unwrap(transport(leaderboard_path(leaderboard_id, limit)))
+    rows = [
+        (
+            int(p["rank"]) if p.get("rank") is not None else None,
+            normalize_player_tag(p["tag"]) if p.get("tag") else None,
+            p.get("name"),
+            int(p["trophies"]) if p.get("trophies") is not None else None,
+        )
+        for p in items
+    ]
+    return spark.createDataFrame(rows, schemas.LEADERBOARD_PLAYER)

@@ -159,3 +159,44 @@ def test_mixture_plan_budget_and_epochs(spark):
     assert out["big"]["planned_tokens"] == 250
     assert out["small"]["planned_tokens"] == 100
     assert abs(out["big"]["weight"] - 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# S1 leaderboard fetch (sources/fetch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_leaderboard_unwraps_and_normalizes(spark):
+    from clashroyale_datapipeline_agent_spark.sources.fetch import (
+        fetch_leaderboard,
+        leaderboard_path,
+    )
+
+    seen: list[str] = []
+
+    def transport(path):
+        seen.append(path)
+        return {
+            "items": [
+                {"rank": 1, "tag": "abc", "name": "A", "trophies": 9000},
+                {"rank": 2, "tag": "#DEF", "name": "B", "trophies": 8500},
+            ]
+        }
+
+    out = fetch_leaderboard(spark, transport, limit=2).collect()
+    assert seen == [leaderboard_path(limit=2)]
+    assert [r["tag"] for r in out] == ["#ABC", "#DEF"]  # normalized
+    assert out[0]["rank"] == 1 and out[1]["trophies"] == 8500
+
+
+def test_fetch_leaderboard_empty_response_is_empty_df(spark):
+    from clashroyale_datapipeline_agent_spark.sources.fetch import fetch_leaderboard
+
+    out = fetch_leaderboard(spark, lambda p: {}, limit=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank",
+        "tag",
+        "name",
+        "trophies",
+    ]
