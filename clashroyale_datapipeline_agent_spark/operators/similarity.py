@@ -558,6 +558,7 @@ def semantic_dedup_prune(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    reuse: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune any vector
@@ -578,6 +579,14 @@ def semantic_dedup_prune(
     reproducible across engines (fold-order ULP noise is ~1e-15 relative,
     far below the rounding grid).
 
+    The assigned/normed table appears THREE times in the plan (both pair
+    sides + the final outcome join); ``reuse`` (default) materializes it
+    once via ``localCheckpoint`` instead of re-running the k×dim argmin
+    per appearance — measured 3.5 s → 2.2 s at sf0.1/k=8. At cluster
+    scale the same reuse is a ``persist(MEMORY_AND_DISK)`` or a staged
+    write of the (id, cluster, norm) projection — the point is that
+    assignment runs ONCE per corpus pass, not three times.
+
     Returns ``(id_col, cluster, pruned)`` — one row per input vector.
     """
     v = vectors.select(
@@ -586,6 +595,8 @@ def semantic_dedup_prune(
     assigned = v.withColumn(
         "cluster", nearest_centroid_col(F.col("e"), centroids)
     ).withColumn("nrm", norm_col(F.col("e")))
+    if reuse:
+        assigned = assigned.localCheckpoint(eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = dot_col(F.col("a.e"), F.col("b.e")) / (
         F.col("a.nrm") * F.col("b.nrm")
