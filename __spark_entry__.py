@@ -28,6 +28,7 @@ from clashroyale_datapipeline_agent_spark.plans import domain_queries  # noqa: F
 from clashroyale_datapipeline_agent_spark.plans import tpch_extra  # noqa: F401  (registers)
 from clashroyale_datapipeline_agent_spark.plans import scale_queries  # noqa: F401  (registers)
 from clashroyale_datapipeline_agent_spark.plans import curation_queries  # noqa: F401  (registers)
+from clashroyale_datapipeline_agent_spark.plans import estimator_queries  # noqa: F401  (registers)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -100,6 +101,11 @@ _FIRST = [
     "corpus_source_report",
     "orders_key_skew_topk",
     "curation_pipeline_report",
+    # Round-4 session-2 (plans/estimator_queries.py) — also pending
+    # rotation into the 50-row window next round.
+    "ann_pq_adc_topk",
+    "dedup_minhash_estimate_error",
+    "events_interval_join_conversion",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -617,3 +617,76 @@ def semantic_dedup_prune(
         F.col("cluster"),
         F.coalesce(F.col("_pruned"), F.lit(False)).alias("pruned"),
     )
+
+
+def pq_adc_scores(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance computation (ADC, Jégou et al. 2011): score
+    every vector against ``query`` using only its PQ code and a
+    per-(subspace, codeword) distance lookup table built on the driver.
+
+    This is the piece that turns ``pq_assign`` from a compression audit
+    into a search path: at index time each vector is reduced to
+    ``len(codebooks)`` small codes; at query time the distance is
+    approximated as ``sum_g ||q_g - codeword[g][code_g]||²`` — a table
+    lookup per subspace instead of a full d-dim scan. The LUT is
+    ``n_sub * k`` scalars (32 here), entering the plan as literals — the
+    same driver boundary as the codebooks themselves.
+
+    Plan shape: ONE map-side projection computes the per-subspace argmin
+    code AND the LUT lookup inside codegen — zero shuffle, zero UDF. The
+    caller takes top-k (``TakeOrderedAndProject``) and optionally reranks
+    the k survivors against raw vectors (a broadcast join — the classic
+    two-stage ADC + exact-rerank retrieval cascade). At 100 TB the scan
+    reads only the code columns of a real index table; here codes are
+    recomputed inline because the corpus is a parquet of raw vectors.
+
+    Exact distance ties in the per-subspace argmin break to the lowest
+    code (lexicographic ``array_min`` on (d2, code) structs), matching
+    the ``pq_assign`` / oracle convention.
+    """
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    assert len(query) == n_sub * sub_dim
+    lut = [
+        [
+            sum(
+                (query[g * sub_dim + i] - cw[i]) ** 2
+                for i in range(sub_dim)
+            )
+            for cw in book
+        ]
+        for g, book in enumerate(codebooks)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    terms: list[Column] = []
+    for g, book in enumerate(codebooks):
+        sv = F.slice(v, g * sub_dim + 1, sub_dim)
+        cands = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(float(x)) for x in cw]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(c).alias("code"),
+            )
+            for c, cw in enumerate(book)
+        ]
+        code = F.array_min(F.array(*cands))["code"]
+        lut_arr = F.array(*[F.lit(float(x)) for x in lut[g]])
+        terms.append(F.element_at(lut_arr, code + F.lit(1)))
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    return vectors.select(F.col(id_col), adc.alias("adc_d2"))

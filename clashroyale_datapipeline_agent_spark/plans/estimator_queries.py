@@ -1,0 +1,382 @@
+"""Round-4 session-2: estimator-fidelity audits for the approximate scale
+paths, plus the batch twin that puts the streaming interval join under the
+oracle gate.
+
+The quantized/sketched operators (PQ, MinHash) exist because exact
+computation does not survive 100 TB; what makes them *trustworthy* is a
+measured account of what the approximation costs. These queries pin that
+account cross-engine:
+
+- ``ann_pq_adc_topk`` — the PQ **search** path (asymmetric distance
+  computation): codes + a 32-scalar lookup table score the corpus without
+  touching raw vectors, then the top-k survivors are exact-reranked via a
+  broadcast join. Complements ``embeddings_pq_assign_stats`` (which audits
+  the index side only).
+- ``dedup_minhash_estimate_error`` — componentwise-MinHash Jaccard
+  estimate vs exact shingle Jaccard on shared-shingle candidate pairs,
+  bucketed by true similarity: the measured error curve that justifies
+  the signature length (H=16) used by the LSH dedup path.
+- ``events_interval_join_conversion`` — the batch twin of
+  ``streaming/events.py:interval_join`` (view → purchase within 30
+  minutes). The streaming form is differentially tested in
+  ``tests/test_streaming.py``; this row gives the same join DRIVER
+  oracle evidence (gap sums in exact integer microseconds).
+
+House cross-engine rules apply: md5-only hashing where the oracle must
+replay a hash, ROUND before float output, integer arithmetic for bucket
+boundaries and time gaps, deterministic total orders under LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
+
+#: DuckDB-side whitespace tokenization ≡ ``operators/text.tokens_col``.
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " x -> x != '')"
+)
+
+
+@register(
+    "ann_pq_adc_topk",
+    """
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), q AS (
+        SELECT e AS qv FROM emb WHERE vec_id = 7
+    ), grid AS (
+        SELECT unnest(generate_series(0, 7)) AS g
+    ), cent AS (
+        SELECT emb.vec_id AS code, grid.g AS subspace,
+               list_slice(e, grid.g * 8 + 1, grid.g * 8 + 8) AS c
+        FROM emb, grid WHERE emb.vec_id < 4
+    ), lut AS (
+        SELECT cent.subspace, cent.code,
+               list_sum(list_transform(
+                   list_zip(list_slice(q.qv, cent.subspace * 8 + 1,
+                                       cent.subspace * 8 + 8), cent.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+        FROM cent, q
+    ), sub AS (
+        SELECT emb.vec_id, grid.g AS subspace,
+               list_slice(e, grid.g * 8 + 1, grid.g * 8 + 8) AS v
+        FROM emb, grid WHERE emb.vec_id <> 7
+    ), assigned AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT s.vec_id, s.subspace, c.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.subspace
+                       ORDER BY list_sum(list_transform(list_zip(s.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                                c.code ASC) AS rn
+            FROM sub s JOIN cent c ON c.subspace = s.subspace
+        ) WHERE rn = 1
+    ), adc AS (
+        SELECT a.vec_id, ROUND(SUM(l.qd2), 6) AS adc_d2
+        FROM assigned a
+        JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+        GROUP BY a.vec_id
+    ), exact AS (
+        SELECT emb.vec_id,
+               ROUND(list_sum(list_transform(list_zip(emb.e, q.qv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS exact_d2
+        FROM emb, q WHERE emb.vec_id <> 7
+    )
+    SELECT CAST(adc.vec_id AS BIGINT) AS vec_id, adc.adc_d2, exact.exact_d2
+    FROM adc JOIN exact ON exact.vec_id = adc.vec_id
+    ORDER BY adc.adc_d2 ASC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-20 to the vec_id=7 query vector, with
+    exact-distance rerank columns (``operators/similarity.py:
+    pq_adc_scores``). Codebooks are the deterministic 4-seed / 8-subspace
+    layout shared with ``embeddings_pq_assign_stats``; the query-to-
+    codeword LUT (32 scalars) is built on the driver and enters the plan
+    as literals. Plan: one map-side projection computes code + LUT lookup
+    (zero shuffle, zero UDF), TakeOrderedAndProject takes the top-20 on
+    the ROUNDED ADC distance (ties to vec_id), then a broadcast join
+    fetches raw vectors for the 20 survivors to attach exact distances —
+    the two-stage retrieval cascade that makes billion-vector search
+    affordable. The oracle replays assignment, LUT, and rerank with
+    explicit list arithmetic."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        pq_adc_scores,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    e = spread_if_narrow(_t(spark, sf_dir, "embeddings"))
+    seed = (
+        e.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    codebooks = [
+        [list(row[0][g * 8 : g * 8 + 8]) for row in seed] for g in range(8)
+    ]
+    query = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 7)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    corpus = e.filter(F.col("vec_id") != 7)
+    topk = (
+        pq_adc_scores(corpus, codebooks, query)
+        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(20)
+    )
+    qlit = F.array(*[F.lit(x) for x in query])
+    rerank = e.select(
+        F.col("vec_id").alias("r_vec_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    qlit,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("exact_d2"),
+    )
+    return (
+        rerank.join(
+            F.broadcast(topk), F.col("r_vec_id") == F.col("vec_id"), "inner"
+        )
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "adc_d2",
+            "exact_d2",
+        )
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    )
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    """
+    WITH toks AS (
+        SELECT doc_id, {toks} AS t
+        FROM documents WHERE doc_id % 5 = 0
+    ), shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+        FROM toks
+    ), sh AS (
+        SELECT doc_id, md5(unnest(shingles)) AS h FROM shl
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   k -> list_min(list_transform(shingles,
+                        s -> md5(s || '#' || CAST(k AS VARCHAR))))) AS sig
+        FROM shl WHERE len(shingles) > 0
+    ), pairs AS (
+        SELECT sh.id_a, sh.id_b,
+               CAST(sh.n_shared AS DOUBLE)
+                   / CAST(sa.n + sb.n - sh.n_shared AS DOUBLE) AS jacc,
+               len(list_filter(list_zip(ga.sig, gb.sig),
+                               p -> p[1] = p[2])) / 16.0 AS est,
+               LEAST((5 * sh.n_shared) // (sa.n + sb.n - sh.n_shared), 4)
+                   AS bucket
+        FROM shared sh
+        JOIN sizes sa ON sa.doc_id = sh.id_a
+        JOIN sizes sb ON sb.doc_id = sh.id_b
+        JOIN sig ga ON ga.doc_id = sh.id_a
+        JOIN sig gb ON gb.doc_id = sh.id_b
+    )
+    SELECT CAST(bucket AS INT) AS jacc_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(jacc), 4) AS avg_true_jacc,
+           ROUND(AVG(est), 4) AS avg_est_jacc,
+           ROUND(AVG(ABS(est - jacc)), 4) AS mae
+    FROM pairs
+    GROUP BY bucket
+    ORDER BY jacc_bucket
+    """.format(toks=_TOKS),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-fidelity audit: componentwise Jaccard estimate
+    (H=16 salted md5 min-hashes, ``E[est] = J`` by the MinHash property)
+    vs EXACT shingle Jaccard, on shared-shingle candidate pairs over a
+    keyed 20% document slice, bucketed by true-similarity quintile. This
+    is the error curve that justifies the signature length the LSH dedup
+    path runs with — mean absolute error per bucket should track
+    ``sqrt(J(1-J)/H)``.
+
+    Cross-engine determinism: pairs meet through an md5(shingle)-keyed
+    equi-join (hash-compacted shuffle rows, never a cross product); the
+    estimate is an exact multiple of 1/16; bucket boundaries use pure
+    INTEGER arithmetic (``(5*|A∩B|) div |A∪B|``) so no float ever decides
+    a bucket; only the final averages round. Scale shape: signature +
+    shingle explode are map-side, the two shuffles key on md5 hashes and
+    bounded pair ids."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    )
+    shl = d.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
+    )
+    sh = shl.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    def _salted_minhash(k: int) -> Column:
+        # NB: the transform lambda must stay SINGLE-argument (a second
+        # parameter — even a defaulted closure — receives the element
+        # INDEX; see the warning at ``operators/dedup.py:minhash_signature``),
+        # so the salt is closed over via this factory, not a default arg.
+        salt = F.lit(f"#{k}")
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(s, salt)))
+        )
+
+    sig = shl.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        F.array(*[_salted_minhash(k) for k in range(16)]).alias("sig"),
+    )
+    union_n = F.col("na") + F.col("nb") - F.col("n_shared")
+    pairs = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select(
+            (F.col("n_shared").cast("double") / union_n.cast("double")).alias(
+                "jacc"
+            ),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a", "sig_b", lambda x, y: x == y
+                        ),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(16.0)
+            ).alias("est"),
+            F.least(
+                F.expr("(5 * n_shared) div (na + nb - n_shared)"), F.lit(4)
+            ).alias("bucket"),
+        )
+    )
+    return (
+        pairs.groupBy(F.col("bucket").cast("int").alias("jacc_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jacc"), 4).alias("avg_true_jacc"),
+            F.round(F.avg("est"), 4).alias("avg_est_jacc"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("jacc"))), 4).alias("mae"),
+        )
+        .orderBy("jacc_bucket")
+    )
+
+
+@register(
+    "events_interval_join_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(v.user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT v.event_id) AS BIGINT) AS n_views_converted,
+           CAST(SUM(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_gap_us
+    FROM v JOIN p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL '30 minutes'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_interval_join_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (``streaming/events.py:interval_join``): every view pairs with same-
+    user purchases inside ``[view.ts, view.ts + 30 min]``; per user-bucket
+    pair counts, converted-view counts, and the gap mass in EXACT integer
+    microseconds. The streaming form (watermarks sizing both state
+    buffers) matches this batch result row-for-row in
+    ``tests/test_streaming.py:test_interval_join_stream_matches_batch``;
+    this row adds driver-oracle evidence for the join itself. Scale
+    shape: equi-join on user_id (one shuffle per side) with the time
+    bound as a post-join filter Spark pushes into the join condition;
+    state in the streaming form is bounded by the 30-minute window plus
+    watermark slack."""
+    from clashroyale_datapipeline_agent_spark.streaming.events import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = interval_join(
+        views, purchases, key="user_id", within="30 minutes"
+    )
+    return (
+        joined.groupBy(
+            (F.col("l_key") % 10).cast("bigint").alias("user_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("l_event_id").cast("bigint").alias(
+                "n_views_converted"
+            ),
+            F.sum(
+                F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))
+            )
+            .cast("bigint")
+            .alias("sum_gap_us"),
+        )
+        .orderBy("user_bucket")
+    )

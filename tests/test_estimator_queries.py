@@ -1,0 +1,87 @@
+"""Estimator-fidelity queries (plans/estimator_queries.py): semantic
+invariants pytest can pin beyond the cross-engine hash (which only proves
+both engines agree — not that the estimator behaves like the theory says).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.plans import estimator_queries as EQ
+
+
+def _plan(spark, df) -> str:
+    return spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pq_adc_seed_vectors_score_their_own_reconstruction(spark, sf_dir):
+    """A codebook seed vector quantizes to itself in every subspace
+    (d2=0), so its ADC distance must EQUAL the exact query-to-seed
+    distance — the zero-quantization-error corner of the ADC
+    approximation, checked to float tolerance."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        pq_adc_scores,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = (
+        e.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    codebooks = [
+        [list(row[0][g * 8 : g * 8 + 8]) for row in seed] for g in range(8)
+    ]
+    query = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 7)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    adc = {
+        r["vec_id"]: r["adc_d2"]
+        for r in pq_adc_scores(
+            e.filter(F.col("vec_id") < 4), codebooks, query
+        ).collect()
+    }
+    for c, row in enumerate(seed):
+        exact = sum((q - float(v)) ** 2 for q, v in zip(query, row[0]))
+        assert abs(adc[c] - exact) < 1e-9, (c, adc[c], exact)
+
+
+def test_pq_adc_topk_plan_is_scan_topk_broadcast_rerank(spark, sf_dir):
+    """The ADC cascade must plan as: map-side code+LUT projection (no
+    Python eval, no shuffle before the top-k), TakeOrderedAndProject for
+    the candidate cut, and a BROADCAST join (never sort-merge) for the
+    20-row exact rerank."""
+    plan = _plan(spark, EQ.ann_pq_adc_topk(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_estimate_error_tracks_theory(spark, sf_dir):
+    """Componentwise MinHash is unbiased with sd = sqrt(J(1-J)/H) ≤ 0.125
+    at H=16; per-bucket mean absolute error on the deterministic fixture
+    must stay within ~2 sd, and the estimate must be a multiple of 1/16."""
+    rows = EQ.dedup_minhash_estimate_error(spark, sf_dir).collect()
+    assert rows, "no candidate pairs on the fixture"
+    for r in rows:
+        assert 0 <= r["jacc_bucket"] <= 4
+        assert r["mae"] <= 0.26, r.asDict()
+        # bucketed averages live in [0, 1]
+        assert 0.0 <= r["avg_est_jacc"] <= 1.0
+        assert 0.0 <= r["avg_true_jacc"] <= 1.0
+
+
+def test_interval_join_conversion_gaps_bounded(spark, sf_dir):
+    """Every aggregated gap mass is non-negative and no single pair can
+    exceed 30 minutes, so sum_gap_us ≤ n_pairs * 30min."""
+    for r in EQ.events_interval_join_conversion(spark, sf_dir).collect():
+        assert 0 <= r["sum_gap_us"] <= r["n_pairs"] * 30 * 60 * 1_000_000
+        assert r["n_views_converted"] <= r["n_pairs"]
