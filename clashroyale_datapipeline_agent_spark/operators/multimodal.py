@@ -105,3 +105,57 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+#: Output schema of resize — the MEDIA_ASSET shape plus an audit column.
+RESIZE_SCHEMA = (
+    "asset_id long, media_type string, payload binary, "
+    "meta map<string,string>, status string"
+)
+
+
+def resize_assets(assets: DataFrame, *, max_bytes: int = 256) -> DataFrame:
+    """Resize/transcode media payloads via ``mapInPandas`` — binary in,
+    binary out, metadata updated in place.
+
+    The codec call is STUBBED (a real deployment swaps the body for
+    PIL ``thumbnail`` / ffmpeg scale): payloads longer than ``max_bytes``
+    are deterministically truncated and tagged ``meta['resized']='true'``,
+    shorter ones pass through untouched. What is REAL — and what this
+    operator exists to pin — is the Spark-side shape a 100 TB media
+    pipeline needs: Arrow batches stream binary columns through Python
+    without per-row overhead, output payloads stay columnar (never
+    collected), per-asset failures land in ``status`` instead of killing
+    the stage, and the output schema is again MEDIA_ASSET-compatible so
+    resize chains with ``extract_features``/``frame_sample_plan``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas, status = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                try:
+                    if payload is None:
+                        raise NotImplementedError(
+                            "no payload; real codec would fetch/stream"
+                        )
+                    if len(payload) > max_bytes:
+                        payload = payload[:max_bytes]
+                        meta["resized"] = "true"
+                    status.append("ok")
+                except Exception as e:  # noqa: BLE001 — per-row tolerance
+                    status.append(f"error:{type(e).__name__}")
+                payloads.append(payload)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta": metas,
+                    "status": status,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -293,3 +293,25 @@ def test_scrub_col_order_and_patterns(spark):
     out = df.select(scrub_col(F.col("t")).alias("c")).collect()[0]["c"]
     assert "<NUM>" in out and "<EMAIL>" in out
     assert "12345678" not in out and "bob@example.com" not in out
+
+
+def test_resize_assets_truncates_and_chains(assets):
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        resize_assets,
+    )
+
+    out = {r["asset_id"]: r for r in resize_assets(assets, max_bytes=256).collect()}
+    assert len(out) == 4
+    # large payloads truncate and get tagged; small ones pass through
+    assert len(out[2]["payload"]) == 256 and out[2]["meta"]["resized"] == "true"
+    assert len(out[1]["payload"]) == 104 and "resized" not in out[1]["meta"]
+    # missing payload -> per-row error, stage survives
+    assert out[4]["status"].startswith("error:NotImplementedError")
+    # output is MEDIA_ASSET-shaped: chains straight into extract_features
+    feats = {
+        r["asset_id"]: r
+        for r in extract_features(
+            resize_assets(assets, max_bytes=256).drop("status")
+        ).collect()
+    }
+    assert feats[3]["n_bytes"] == 256 and feats[3]["status"] == "ok"
