@@ -108,6 +108,7 @@ def interval_join(
     left_watermark: str = "1 hour",
     right_watermark: str = "2 hours",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left event pairs with
     right events of the same ``key`` whose timestamp falls in
@@ -119,7 +120,16 @@ def interval_join(
     to compute state eviction for both join buffers — without the time
     bound the right-side buffer would grow forever. Works identically on
     batch DataFrames (the batch twin is a plain range join, the
-    ``j_range_join_ship_window`` shape).
+    ``j_range_join_ship_window`` shape; oracle row
+    ``events_interval_join_conversion``).
+
+    ``how='left_outer'`` keeps left events that never convert: in
+    streaming mode the null-padded row for an unmatched left event is
+    emitted only once the watermark passes ``l_ts + within`` (the point
+    where no future right row could still match) — possibly a micro-batch
+    later, since outer results ride the state-eviction pass. Both
+    watermarks are REQUIRED for outer mode; that requirement is Spark's,
+    not ours (state for the outer side must be boundable).
     """
     l = left.withWatermark(ts_col, left_watermark).select(
         F.col(key).alias("l_key"),
@@ -136,6 +146,7 @@ def interval_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select("l_key", "l_event_id", "l_ts", "r_event_id", "r_ts")
 
 

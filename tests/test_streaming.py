@@ -374,3 +374,89 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path, event_rows):
         for r in enrich_with_dim(batch_df, dim, "user_id").groupBy("tier").count().collect()
     }
     assert got == want
+
+
+def test_interval_join_left_outer_emits_on_watermark_expiry(spark, tmp_path):
+    """Left-outer stream-stream interval join: a click with no view inside
+    its 30-minute window must eventually emit NULL-padded — but only after
+    the watermark passes click_ts + 30min, i.e. once no future view could
+    still match. Run availableNow passes against one checkpoint, feeding
+    progressively later events to advance the watermark; the outer row
+    rides the state-eviction pass (possibly a micro-batch late — Spark's
+    contract, which is why the loop below feeds dummy batches until it
+    lands)."""
+    from clashroyale_datapipeline_agent_spark.streaming.events import interval_join
+
+    src = tmp_path / "src_outer"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_outer")
+    # user 0 converts in-window; user 1 never converts
+    _write_batch(src, [
+        {"event_id": 0, "ts": "2024-01-01T00:00:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "user_id": 0,
+         "event_type": "view", "value": 1.0},
+        {"event_id": 10, "ts": "2024-01-01T00:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+    ], "b0")
+
+    out_dir = str(tmp_path / "out_outer")
+    out_schema = (
+        "l_key long, l_event_id long, l_ts timestamp, "
+        "r_event_id long, r_ts timestamp"
+    )
+    collected: dict[int, object] = {}
+
+    def run_pass() -> None:
+        # memory sinks can't recover a checkpoint across restarts, so each
+        # pass restarts a FILE-sink query on the same checkpoint (exactly
+        # the stop/redeploy cycle a production job goes through)
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        out = interval_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "view"),
+            within="30 minutes",
+            left_watermark="1 minute",
+            right_watermark="1 minute",
+            how="left_outer",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        collected.clear()
+        for r in spark.read.schema(out_schema).parquet(out_dir).collect():
+            collected[r["l_event_id"]] = r["r_event_id"]
+
+    run_pass()
+    # the matched pair emits promptly; the unmatched click must NOT have
+    # null-emitted yet (its window could still be filled by a late view)
+    assert collected.get(0) == 1
+    assert 10 not in collected
+
+    # feed later-and-later dummy events until the watermark clears
+    # 00:30 + slack and the outer row is evicted (bounded: 3 passes).
+    # NB: the dummies must advance BOTH sides' watermarks — the global
+    # watermark is the MIN across watermark nodes, and the click filter
+    # means only click events move the left one — so each pass ships a
+    # matching click+view pair (which also emits as a normal match).
+    dummy_clicks = set()
+    for n in range(1, 4):
+        _write_batch(src, [
+            {"event_id": 900 + n, "ts": f"2024-01-01T{2 + n:02d}:00:00.000Z",
+             "user_id": 99, "event_type": "click", "value": 1.0},
+            {"event_id": 950 + n, "ts": f"2024-01-01T{2 + n:02d}:01:00.000Z",
+             "user_id": 99, "event_type": "view", "value": 1.0},
+        ], f"b{n}")
+        dummy_clicks.add(900 + n)
+        run_pass()
+        if 10 in collected:
+            break
+    assert collected.get(10, "missing") is None  # null-padded outer row
+    # only real rows and matched dummy pairs ever emit in LEFT outer
+    assert all(k in {0, 10} | dummy_clicks for k in collected)
