@@ -83,8 +83,10 @@ _FIRST = [
     "q11_important_part_value",
     "q20_promotion_suppliers",
     # Round-4 additions (no driver row exists yet) slot in here, inside
-    # the 50-row window (slots 44-49).
-    "dedup_lsh_band_sweep_xx",
+    # the 50-row window (slots 44-49). The xx LSH twin is rows-only by
+    # design (a driver row would only prove rows>=0), so it yields its
+    # window slot to the hash-checkable filter funnel.
+    "docs_filter_funnel",
     "e2e_user_context_render",
     "semantic_dedup_cluster_stats",
     "docs_perplexity_buckets",
@@ -94,7 +96,7 @@ _FIRST = [
     # (pending rotation next round; verified locally via
     # tools/oracle_check.py, integer-arithmetic twins so lowest
     # divergence risk of the round-4 additions).
-    "docs_filter_funnel",
+    "dedup_lsh_band_sweep_xx",
     "docs_mixture_plan",
     "ann_signlsh_recall",
     "customer_kanonymity_audit",
