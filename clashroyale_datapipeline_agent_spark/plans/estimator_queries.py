@@ -239,13 +239,16 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_if_narrow(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     )
+    # The tokenize/shingle lineage feeds FOUR branches (both sides of the
+    # shingle self-join and both sides of the stats join) — checkpoint it
+    # once so the regexp tokenization runs once, not 4x (the same
+    # materialize-narrow-lineage discipline as ``dedup_lsh_band_sweep``).
     shl = d.select(
         "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     sh = shl.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(
@@ -268,26 +271,30 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("shingles", lambda s: F.md5(F.concat(s, salt)))
         )
 
-    sig = shl.filter(F.size("shingles") > 0).select(
+    # ONE per-doc stats projection (set size is just len(shingles) —
+    # shingles_col already dedups — and the signature rides along), so the
+    # pair table joins doc stats twice, not four times.
+    stats = shl.filter(F.size("shingles") > 0).select(
         "doc_id",
+        F.size("shingles").alias("n"),
         F.array(*[_salted_minhash(k) for k in range(16)]).alias("sig"),
     )
     union_n = F.col("na") + F.col("nb") - F.col("n_shared")
     pairs = (
         shared.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            stats.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("n").alias("na"),
+                F.col("sig").alias("sig_a"),
+            ),
             "id_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
-            "id_b",
-        )
-        .join(
-            sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
-            "id_a",
-        )
-        .join(
-            sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            stats.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("n").alias("nb"),
+                F.col("sig").alias("sig_b"),
+            ),
             "id_b",
         )
         .select(
