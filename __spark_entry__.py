@@ -108,6 +108,7 @@ _FIRST = [
     "ann_pq_adc_topk",
     "dedup_minhash_estimate_error",
     "events_interval_join_conversion",
+    "events_quantile_sketch_audit",  # rows-only by design (GK sketch)
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

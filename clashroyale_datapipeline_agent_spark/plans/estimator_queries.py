@@ -387,3 +387,67 @@ def events_interval_join_conversion(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_bucket")
     )
+
+
+@register("events_quantile_sketch_audit", None)
+def events_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity audit for the mergeable quantile sketch — rows-only BY
+    DESIGN (Spark's ``percentile_approx`` is the Greenwald-Khanna sketch;
+    DuckDB has no replayable twin), with the GK guarantee pinned in
+    ``tests/test_estimator_queries.py`` instead.
+
+    Per event_type and target percentile p ∈ {0.5, 0.9, 0.99}: the exact
+    percentile, the sketch estimate at accuracy=100 (ε = 1%), and the
+    MEASURED rank error — computed relationally by broadcasting the
+    15-row estimate table back over the events scan and counting values
+    ≤ the estimate. GK promises |rank(q̂)/n − p| ≤ ε; the audit turns
+    that promise into a number per group.
+
+    Scale shape: exact ``percentile`` is the expensive truth (per-group
+    sort) affordable only because this is an audit; the sketch is the
+    production path — partial sketches merge associatively map-side, so
+    a 100 TB scan aggregates without a global sort. The rank probe is
+    one more scan with a broadcast of sketch-estimate rows (plan: no
+    shuffle of events beyond the group agg)."""
+    ps = [0.5, 0.9, 0.99]
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    plit = F.array(*[F.lit(p) for p in ps])
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", plit).alias("exact_qs"),
+        F.percentile_approx("value", plit, F.lit(100)).alias("approx_qs"),
+    )
+    quantiles = agg.select(
+        "event_type",
+        "n",
+        F.posexplode(F.arrays_zip("exact_qs", "approx_qs")).alias("i", "qq"),
+    ).select(
+        "event_type",
+        "n",
+        F.element_at(plit, F.col("i") + 1).alias("p"),
+        F.col("qq.exact_qs").alias("exact_q"),
+        F.col("qq.approx_qs").alias("approx_q"),
+    )
+    probed = (
+        ev.join(F.broadcast(quantiles), "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("exact_q").alias("exact_q"),
+            F.first("approx_q").alias("approx_q"),
+            (
+                F.sum((F.col("value") <= F.col("approx_q")).cast("long"))
+                / F.first("n")
+            ).alias("rank_at_approx"),
+        )
+    )
+    return probed.select(
+        "event_type",
+        F.col("p").cast("double").alias("p"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("exact_q", 6).alias("exact_q"),
+        F.round("approx_q", 6).alias("approx_q"),
+        F.round(F.abs(F.col("rank_at_approx") - F.col("p")), 6).alias(
+            "rank_err"
+        ),
+    ).orderBy("event_type", "p")

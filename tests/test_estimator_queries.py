@@ -85,3 +85,12 @@ def test_interval_join_conversion_gaps_bounded(spark, sf_dir):
     for r in EQ.events_interval_join_conversion(spark, sf_dir).collect():
         assert 0 <= r["sum_gap_us"] <= r["n_pairs"] * 30 * 60 * 1_000_000
         assert r["n_views_converted"] <= r["n_pairs"]
+
+
+def test_quantile_sketch_rank_error_within_gk_bound(spark, sf_dir):
+    """percentile_approx(accuracy=100) guarantees rank error ≤ 1% — the
+    audit's measured rank_err must honor it (plus 1/n discreteness)."""
+    rows = EQ.events_quantile_sketch_audit(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 event types x 3 percentiles
+    for r in rows:
+        assert r["rank_err"] <= 0.01 + 1.0 / r["n"], r.asDict()
