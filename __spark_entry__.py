@@ -109,6 +109,7 @@ _FIRST = [
     "dedup_minhash_estimate_error",
     "events_interval_join_conversion",
     "events_quantile_sketch_audit",  # rows-only by design (GK sketch)
+    "events_user_temporal_holdout",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -451,3 +451,69 @@ def events_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_err"
         ),
     ).orderBy("event_type", "p")
+
+
+@register(
+    "events_user_temporal_holdout",
+    """
+    WITH w AS (
+        SELECT event_type, ts, user_id,
+               max(ts) OVER (PARTITION BY user_id) AS last_ts
+        FROM events
+    ), labeled AS (
+        SELECT event_type,
+               CASE
+                   WHEN ts >= last_ts - INTERVAL '3 days' THEN 'test'
+                   WHEN ts >= last_ts - INTERVAL '4 days' THEN 'embargo'
+                   ELSE 'train'
+               END AS split,
+               user_id
+        FROM w
+    )
+    SELECT event_type, split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM labeled
+    GROUP BY event_type, split
+    ORDER BY event_type, split
+    """,
+)
+def events_user_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity temporal holdout with an embargo gap — the
+    leakage-safe TIME split for training pipelines (the group-identity
+    counterpart is ``docs_leakage_safe_split_counts``): each user's final
+    3 days of activity are test, the day before that is EMBARGOED
+    (dropped — rolling-window features computed there would straddle the
+    boundary and leak test-period signal into train), everything earlier
+    trains. Anchoring on each user's own last-activity timestamp instead
+    of one global cutoff keeps sparse users represented in test.
+
+    Plan: ONE shuffle (the per-user max-ts window), label via timestamp
+    interval arithmetic (exact integer microseconds in both engines),
+    then a 15-key aggregate. At 100 TB the window is the same shape as
+    any per-user sessionization; AQE handles user skew."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    last_ts = F.max("ts").over(w)
+    labeled = ev.select(
+        "event_type",
+        "user_id",
+        F.when(
+            F.col("ts") >= last_ts - F.expr("INTERVAL 3 DAYS"), "test"
+        )
+        .when(
+            F.col("ts") >= last_ts - F.expr("INTERVAL 4 DAYS"), "embargo"
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    return (
+        labeled.groupBy("event_type", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type", "split")
+    )

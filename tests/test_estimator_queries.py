@@ -94,3 +94,26 @@ def test_quantile_sketch_rank_error_within_gk_bound(spark, sf_dir):
     assert len(rows) == 15  # 5 event types x 3 percentiles
     for r in rows:
         assert r["rank_err"] <= 0.01 + 1.0 / r["n"], r.asDict()
+
+
+def test_temporal_holdout_partitions_completely(spark, sf_dir):
+    """Every event lands in exactly one split, and per event_type the
+    split counts sum to the type's total (no row dropped or doubled)."""
+    from pyspark.sql import functions as F2
+
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        load_star_table,
+    )
+
+    ev = load_star_table(spark, sf_dir, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F2.count(F2.lit(1)).alias("n")).collect()
+    }
+    got: dict[str, int] = {}
+    seen_splits = set()
+    for r in EQ.events_user_temporal_holdout(spark, sf_dir).collect():
+        got[r["event_type"]] = got.get(r["event_type"], 0) + r["n_events"]
+        seen_splits.add(r["split"])
+    assert got == totals
+    assert seen_splits == {"train", "embargo", "test"}
