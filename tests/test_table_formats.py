@@ -1,0 +1,66 @@
+"""Format-generic table I/O (sources/sinks.py:write_table/read_table):
+round-trip fidelity per format and the pushdown contract that decides
+which formats may back an analytics zone."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.sources.sinks import (
+    TABLE_FORMATS,
+    read_table,
+    write_table,
+)
+
+SCHEMA = "doc_id long, lang string, score double"
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], i / 7.0) for i in range(300)], SCHEMA
+    )
+
+
+@pytest.mark.parametrize("fmt", TABLE_FORMATS)
+def test_round_trip_preserves_rows_and_schema(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / f"t_{fmt}")
+    write_table(sample, path, format=fmt)
+    back = read_table(spark, path, SCHEMA, format=fmt)
+    assert back.schema == sample.schema
+    assert sorted(back.collect()) == sorted(sample.collect())
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_columnar_formats_push_filters_down(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / f"p_{fmt}")
+    write_table(sample, path, format=fmt)
+    plan = (
+        read_table(spark, path, SCHEMA, format=fmt)
+        .filter(F.col("doc_id") > 250)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(doc_id,250)" in plan
+
+
+def test_partitioned_write_prunes_across_formats(spark, sample, tmp_path):
+    for fmt in ("parquet", "orc"):
+        path = str(tmp_path / f"part_{fmt}")
+        write_table(sample, path, format=fmt, partition_by=["lang"])
+        df = read_table(spark, path, SCHEMA, format=fmt).filter(
+            F.col("lang") == "en"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert df.count() == 100
+
+
+def test_unknown_format_rejected(spark, sample, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_table(sample, str(tmp_path / "x"), format="avro")
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(spark, str(tmp_path / "x"), SCHEMA, format="avro")
