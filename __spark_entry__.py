@@ -110,6 +110,7 @@ _FIRST = [
     "events_interval_join_conversion",
     "events_quantile_sketch_audit",  # rows-only by design (GK sketch)
     "events_user_temporal_holdout",
+    "docs_contrastive_pairs_stats",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

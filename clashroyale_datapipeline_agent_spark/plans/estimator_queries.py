@@ -517,3 +517,193 @@ def events_user_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "split")
     )
+
+
+@register(
+    "docs_contrastive_pairs_stats",
+    """
+    WITH d AS (
+        SELECT doc_id, {toks} AS t
+        FROM documents
+    ), shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+        FROM d
+    ), sh AS (
+        SELECT doc_id, md5(unnest(shingles)) AS h FROM shl
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pos_pairs AS (
+        SELECT s.id_a, s.id_b,
+               CAST(s.n_shared AS DOUBLE)
+                   / CAST(len(sa.shingles) + len(sb.shingles) - s.n_shared
+                          AS DOUBLE) AS jacc
+        FROM shared s
+        JOIN shl sa ON sa.doc_id = s.id_a
+        JOIN shl sb ON sb.doc_id = s.id_b
+        WHERE 2 * s.n_shared
+              >= len(sa.shingles) + len(sb.shingles) - s.n_shared
+    ), cand AS (
+        SELECT id_a AS anchor, id_b AS pos, jacc FROM pos_pairs
+        UNION ALL
+        SELECT id_b AS anchor, id_a AS pos, jacc FROM pos_pairs
+    ), top1 AS (
+        SELECT anchor, pos FROM (
+            SELECT anchor, pos,
+                   row_number() OVER (
+                       PARTITION BY anchor
+                       ORDER BY jacc DESC, pos ASC) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ), ring AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               md5(CAST(doc_id AS VARCHAR) || '#neg') AS rk
+        FROM d
+    ), negs AS (
+        SELECT doc_id AS anchor, neg FROM (
+            SELECT doc_id,
+                   lead(doc_id, 1) OVER w AS n1,
+                   lead(doc_id, 2) OVER w AS n2
+            FROM ring
+            WINDOW w AS (PARTITION BY bucket ORDER BY rk ASC, doc_id ASC)
+        ), unnest([n1, n2]) AS u(neg)
+        WHERE neg IS NOT NULL
+    ), false_negs AS (
+        SELECT n.anchor, n.neg
+        FROM negs n
+        JOIN pos_pairs p
+          ON p.id_a = least(n.anchor, n.neg)
+         AND p.id_b = greatest(n.anchor, n.neg)
+    )
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_anchors,
+           CAST((SELECT count(*) FROM top1) AS BIGINT) AS n_with_positive,
+           CAST((SELECT count(*) FROM negs) AS BIGINT) AS n_negative_pairs,
+           CAST((SELECT count(*) FROM false_negs) AS BIGINT)
+               AS n_false_negatives
+    """.format(toks=_TOKS),
+)
+def docs_contrastive_pairs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (SimCSE/E5-style data prep):
+    POSITIVES are each anchor's best near-duplicate (top-1 by shingle
+    Jaccard ≥ 0.5 over shared-shingle candidates, both directions of
+    each pair); NEGATIVES are a deterministic hash-ring draw — 2 per
+    anchor, the next doc_ids in salted-md5 order WITHIN the anchor's
+    md5-prefix bucket — plus a FALSE-NEGATIVE audit (drawn negatives
+    that are secretly near-dups poison the loss, so count them).
+
+    Scale shape: positives ride the md5(shingle)-keyed equi-join (never
+    a cross product); the negative ring partitions by a 16-way hash
+    bucket so the lead-window sorts bounded slices, not the corpus (the
+    last ≤2 docs of each bucket draw fewer negatives — documented
+    no-wrap); the audit is an equi-join on the unordered pair key. The
+    Jaccard threshold compare is INTEGER arithmetic
+    (2·|A∩B| ≥ |A∪B| ⇔ J ≥ 0.5) so no float decides membership."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+    from pyspark.sql import Window
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    shl = d.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sh = shl.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = shl.select("doc_id", F.size("shingles").alias("n"))
+    union_n = F.col("na") + F.col("nb") - F.col("n_shared")
+    pos_pairs = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(F.lit(2) * F.col("n_shared") >= union_n)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_shared").cast("double") / union_n.cast("double")).alias(
+                "jacc"
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds top-1 AND the audit join
+    )
+    cand = pos_pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("pos"), "jacc"
+    ).unionByName(
+        pos_pairs.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("pos"), "jacc"
+        )
+    )
+    wtop = Window.partitionBy("anchor").orderBy(F.desc("jacc"), F.asc("pos"))
+    top1 = (
+        cand.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("anchor", "pos")
+    )
+    ring = d.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+            "bucket"
+        ),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#neg"))).alias(
+            "rk"
+        ),
+    )
+    wring = Window.partitionBy("bucket").orderBy(F.asc("rk"), F.asc("doc_id"))
+    negs = (
+        ring.select(
+            F.col("doc_id").alias("anchor"),
+            F.lead("doc_id", 1).over(wring).alias("n1"),
+            F.lead("doc_id", 2).over(wring).alias("n2"),
+        )
+        .select("anchor", F.explode(F.array("n1", "n2")).alias("neg"))
+        .filter(F.col("neg").isNotNull())
+        .localCheckpoint(eager=True)  # feeds the count AND the audit join
+    )
+    false_negs = negs.join(
+        pos_pairs,
+        (F.col("id_a") == F.least("anchor", "neg"))
+        & (F.col("id_b") == F.greatest("anchor", "neg")),
+    )
+    return (
+        d.agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"))
+        .crossJoin(
+            top1.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_with_positive")
+            )
+        )
+        .crossJoin(
+            negs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_negative_pairs")
+            )
+        )
+        .crossJoin(
+            false_negs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_false_negatives")
+            )
+        )
+    )

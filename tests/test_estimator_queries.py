@@ -117,3 +117,15 @@ def test_temporal_holdout_partitions_completely(spark, sf_dir):
         seen_splits.add(r["split"])
     assert got == totals
     assert seen_splits == {"train", "embargo", "test"}
+
+
+def test_contrastive_pairs_ring_arithmetic(spark, sf_dir):
+    """The no-wrap hash ring emits exactly 2 negatives per anchor except
+    the last two docs of each of the 16 buckets (1 and 0), so the total
+    sits in [2N - 3*16, 2N]; positives never exceed anchors."""
+    r = EQ.docs_contrastive_pairs_stats(spark, sf_dir).collect()[0]
+    n = r["n_anchors"]
+    assert n > 0
+    assert 2 * n - 3 * 16 <= r["n_negative_pairs"] <= 2 * n
+    assert 0 <= r["n_with_positive"] <= n
+    assert 0 <= r["n_false_negatives"] <= r["n_negative_pairs"]
