@@ -129,3 +129,25 @@ def test_contrastive_pairs_ring_arithmetic(spark, sf_dir):
     assert 2 * n - 3 * 16 <= r["n_negative_pairs"] <= 2 * n
     assert 0 <= r["n_with_positive"] <= n
     assert 0 <= r["n_false_negatives"] <= r["n_negative_pairs"]
+
+
+def test_temporal_holdout_single_window_shuffle(spark, sf_dir):
+    """One hashpartitioning exchange on user_id (the max-ts window);
+    no join, no Python eval."""
+    import re
+
+    plan = _plan(spark, EQ.events_user_temporal_holdout(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L, \d+\)", plan)) == 1, plan
+    assert "Join" not in plan
+
+
+def test_contrastive_pairs_no_cartesian_no_udf(spark, sf_dir):
+    """Positives ride the shingle equi-join, negatives the bucketed ring
+    window, the audit an equi-join — nothing may plan as a cartesian
+    product or Python eval (the scalar summary crossJoins are 1-row
+    broadcast loops, which Spark plans as BroadcastNestedLoopJoin over
+    single rows, not CartesianProduct)."""
+    plan = _plan(spark, EQ.docs_contrastive_pairs_stats(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
