@@ -111,6 +111,7 @@ _FIRST = [
     "events_quantile_sketch_audit",  # rows-only by design (GK sketch)
     "events_user_temporal_holdout",
     "docs_contrastive_pairs_stats",
+    "docs_hybrid_rrf_topk",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

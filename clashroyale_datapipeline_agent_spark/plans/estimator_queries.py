@@ -707,3 +707,139 @@ def docs_contrastive_pairs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "docs_hybrid_rrf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x != '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tc GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(dl AS DOUBLE)) AS avgdl
+        FROM dl
+    ),
+    postings AS (
+        SELECT doc_id, term, tf FROM tc
+        WHERE term IN ('spark', 'join', 'window')
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    bm AS (
+        SELECT p.doc_id,
+               ROUND(SUM(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+               ), 4) AS s
+        FROM postings p
+        JOIN dl l USING (doc_id)
+        JOIN dfreq d USING (term), stats s
+        GROUP BY p.doc_id
+    ),
+    bmr AS (
+        SELECT doc_id, rank_bm FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank_bm
+            FROM bm
+        ) WHERE rank_bm <= 50
+    ),
+    corpus AS (SELECT term, SUM(tf) AS corpus_cnt FROM tc GROUP BY term),
+    total AS (SELECT SUM(corpus_cnt) AS corpus_total FROM corpus),
+    lm AS (
+        SELECT tc.doc_id,
+               ROUND(-SUM(tc.tf * ln(c.corpus_cnt / t.corpus_total))
+                         / SUM(tc.tf), 4) AS q
+        FROM tc JOIN corpus c ON c.term = tc.term, total t
+        GROUP BY tc.doc_id
+    ),
+    lmr AS (
+        SELECT doc_id, rank_lm FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY q ASC, doc_id ASC) AS rank_lm
+            FROM lm
+        ) WHERE rank_lm <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               a.rank_bm, b.rank_lm
+        FROM bmr a FULL JOIN lmr b ON a.doc_id = b.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + rank_bm), 0)
+                 + COALESCE(1.0 / (60 + rank_lm), 0), 6) AS rrf,
+           CAST(rank_bm AS INT) AS rank_bm25,
+           CAST(rank_lm AS INT) AS rank_fluency
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the BM25 relevance ranking for the fixed query terms with the
+    corpus-LM fluency ranking (lowest mean negative log-prob first — a
+    quality prior), score = Σ 1/(60 + rank) over the two top-50 lists,
+    top-20 out. RRF is THE standard way RAG stacks combine lexical and
+    secondary signals without score calibration — only ranks matter.
+
+    Scale shape: each ranking is a global top-50 via
+    ``TakeOrderedAndProject`` on its ROUNDED score (never a global sort);
+    the rank assignment then windows a BOUNDED 50-row set (the
+    unpartitioned window is safe exactly because the input is the top-k,
+    not the corpus), and the fusion is a 50x50 full outer join. The
+    oracle replays both rankings with full-set row_number + rank≤50 —
+    mechanically different, identical under the shared deterministic
+    total order (rounded score, then doc_id)."""
+    from pyspark.sql import Window
+
+    from clashroyale_datapipeline_agent_spark.operators.text import (
+        bm25_scores,
+        unigram_logprob_scores,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    bm = (
+        bm25_scores(d, ["spark", "join", "window"])
+        .select("doc_id", F.round("bm25", 4).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(50)
+    )
+    wa = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wa).alias("rank_bm")
+    )
+    lm = (
+        unigram_logprob_scores(d)
+        .select("doc_id", F.round("mean_neg_logprob", 4).alias("q"))
+        .orderBy(F.asc("q"), F.asc("doc_id"))
+        .limit(50)
+    )
+    wb = Window.orderBy(F.asc("q"), F.asc("doc_id"))
+    lmr = lm.select(
+        "doc_id", F.row_number().over(wb).alias("rank_lm")
+    )
+    fused = bmr.join(lmr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_bm")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lm")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            rrf.alias("rrf"),
+            F.col("rank_bm").cast("int").alias("rank_bm25"),
+            F.col("rank_lm").cast("int").alias("rank_fluency"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -151,3 +151,22 @@ def test_contrastive_pairs_no_cartesian_no_udf(spark, sf_dir):
     plan = _plan(spark, EQ.docs_contrastive_pairs_stats(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_rank_consistency(spark, sf_dir):
+    """RRF output invariants: scores decrease with rank, every row keeps
+    at least one source rank, and a doc ranked 1 in BOTH lists would
+    dominate — concretely, rrf is bounded by 2/61 and every present rank
+    is within [1, 50]."""
+    rows = EQ.docs_hybrid_rrf_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    prev = None
+    for r in rows:
+        assert r["rank_bm25"] is not None or r["rank_fluency"] is not None
+        for rk in (r["rank_bm25"], r["rank_fluency"]):
+            if rk is not None:
+                assert 1 <= rk <= 50
+        assert r["rrf"] <= round(2 / 61, 6) + 1e-9
+        if prev is not None:
+            assert r["rrf"] <= prev + 1e-12  # sorted descending
+        prev = r["rrf"]
