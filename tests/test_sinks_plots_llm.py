@@ -149,3 +149,78 @@ def test_ivf_topk_matches_bruteforce_for_probed_ids(spark, sf_dir):
         assert r["cosine"] == pytest.approx(exact_scores[r["vec_id"]])
     # self vector must be found (its own centroid is always probed first)
     assert small[0]["vec_id"] == 3
+
+
+def test_generate_synthetic_validates_and_enriches(spark):
+    from clashroyale_datapipeline_agent_spark.operators.llm_batch import (
+        generate_synthetic,
+    )
+
+    seeds = spark.createDataFrame(
+        [
+            (1, "rewrite: alpha beta"),
+            (2, "rewrite: FAIL now"),
+            (3, "rewrite: too short"),
+        ],
+        "seed_id long, prompt string",
+    ).coalesce(1)
+
+    def make_client():
+        def client(prompt: str) -> str:
+            if "FAIL" in prompt:
+                raise RuntimeError("LLM API error 500")
+            # deterministic fake generator: echo payload twice
+            payload = prompt.split("rewrite: ", 1)[1]
+            return f"{payload} {payload}" if "short" not in payload else "x"
+
+        return client
+
+    def validate(out: str) -> str | None:
+        return "too_few_tokens" if len(out.split()) < 2 else None
+
+    rows = {
+        r["seed_id"]: r
+        for r in generate_synthetic(
+            seeds, make_client, validate=validate
+        ).collect()
+    }
+    ok = rows[1]
+    assert ok["parsed_ok"] and ok["reject_reason"] is None
+    assert ok["output"] == "alpha beta alpha beta"
+    assert ok["n_tokens"] == 4
+    assert ok["content_hash"] is not None and len(ok["content_hash"]) == 32
+    # llm failure: per-row reject, batch survives
+    assert not rows[2]["parsed_ok"]
+    assert rows[2]["reject_reason"].startswith("llm_error:RuntimeError")
+    assert rows[2]["output"] is None and rows[2]["n_tokens"] == 0
+    # validator rejection is distinct from llm error
+    assert rows[3]["reject_reason"] == "too_few_tokens"
+
+
+def test_generate_synthetic_composes_with_exact_dedup(spark):
+    """A repetitive generator's output flows straight into the exact-dedup
+    keep-first policy on content_hash — the generate -> dedup -> train
+    curation chain."""
+    from clashroyale_datapipeline_agent_spark.operators.llm_batch import (
+        generate_synthetic,
+    )
+
+    seeds = spark.createDataFrame(
+        [(i, f"say: {'same' if i % 2 else 'uniq' + str(i)}") for i in range(6)],
+        "seed_id long, prompt string",
+    )
+
+    def make_client():
+        return lambda p: p.split("say: ", 1)[1]
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gen = generate_synthetic(seeds, make_client).filter("parsed_ok")
+    w = Window.partitionBy("content_hash").orderBy("seed_id")
+    kept = (
+        gen.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .count()
+    )
+    assert gen.count() == 6 and kept == 4  # 3x 'same' collapse to 1
