@@ -112,6 +112,7 @@ _FIRST = [
     "events_user_temporal_holdout",
     "docs_contrastive_pairs_stats",
     "docs_hybrid_rrf_topk",
+    "graph_triangle_counts",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -189,3 +189,72 @@ def pagerank(
     return ranks.join(deg, ranks.node == deg.src, "left").select(
         "node", "rank", F.coalesce("outdeg", F.lit(0)).cast("bigint").alias("outdeg")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts via the degree-ordered edge orientation.
+
+    Triangles measure local clustering — in dedup/link graphs they
+    separate tight near-dup cliques from incidental chains. The naive
+    three-way edge self-join explodes on hub nodes (a degree-d node
+    spawns d² wedge candidates); the classical fix (Schank-Wagner /
+    Cohen's MapReduce formulation) orients every undirected edge from
+    its LOWER-degree endpoint to the higher (ties by id), which bounds
+    per-node out-degree by O(sqrt(m)) and the wedge join by the graph's
+    arboricity — the difference between hours and minutes at 100 TB.
+
+    Input edges are treated as UNDIRECTED (direction and duplicates are
+    normalized away; self-loops dropped). Three shuffles: degree agg,
+    wedge join on the middle node, closure join on the (src, dst) pair.
+    Every triangle credits all 3 corners once.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # orient low-(degree, id) -> high-(degree, id)
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    adj = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    a, b, c = adj.alias("a"), adj.alias("b"), adj.alias("c")
+    triangles = (
+        a.join(b, F.col("a.t") == F.col("b.s"))
+        .join(
+            c,
+            (F.col("c.s") == F.col("a.s")) & (F.col("c.t") == F.col("b.t")),
+        )
+        .select(
+            F.col("a.s").alias("x"), F.col("a.t").alias("y"), F.col("b.t").alias("z")
+        )
+    )
+    corners = (
+        triangles.select(F.col("x").alias("node"))
+        .unionAll(triangles.select(F.col("y").alias("node")))
+        .unionAll(triangles.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

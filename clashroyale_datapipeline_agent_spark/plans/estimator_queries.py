@@ -843,3 +843,86 @@ def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "graph_triangle_counts",
+    """
+    WITH base AS (SELECT doc_id FROM documents),
+    e0 AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM base a JOIN base b ON b.doc_id = a.doc_id + 2
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM base a JOIN base b
+          ON b.doc_id = a.doc_id + 3 AND a.doc_id % 3 = 0
+    ),
+    e AS (
+        SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        FROM e0 WHERE u <> v
+    ),
+    deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+        ) GROUP BY n
+    ),
+    adj AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS s,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS t
+        FROM e JOIN deg da ON da.n = e.u JOIN deg db ON db.n = e.v
+    ),
+    tri AS (
+        SELECT a.s AS x, a.t AS y, b.t AS z
+        FROM adj a
+        JOIN adj b ON b.s = a.t
+        JOIN adj c ON c.s = a.s AND c.t = b.t
+    ),
+    corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, node ASC
+    LIMIT 10
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (``operators/graph.py:
+    triangle_counts``) over the deterministic doc-chain graph the CC /
+    PageRank rows use (+1, +2 edges, plus +3 spokes from every third
+    node so counts vary by position): top-10 nodes by triangle
+    participation. The orientation trick (low-(degree,id) → high) gives
+    each triangle exactly one (source, middle, sink) representation, so
+    the wedge join's fan-out is bounded by arboricity instead of hub
+    degree² — the property that keeps the operator alive on power-law
+    graphs at 100 TB. The oracle replays orientation and both joins."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+
+    def chain(k: int, every_third: bool = False) -> DataFrame:
+        cond = F.col("b.doc_id") == F.col("a.doc_id") + k
+        if every_third:
+            cond = cond & (F.col("a.doc_id") % 3 == 0)
+        return a.join(b, cond).select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+
+    edges = chain(1).unionAll(chain(2)).unionAll(chain(3, every_third=True))
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").cast("bigint").alias("node"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(10)
+    )

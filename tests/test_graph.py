@@ -95,3 +95,18 @@ def test_pagerank_mass_conserved_without_sinks(spark):
     )
     rows = pagerank(edges, iterations=4).collect()
     assert abs(sum(r.rank for r in rows) - 3.0) < 1e-9
+
+
+def test_triangle_counts_hand_fixture(spark):
+    """One triangle {1,2,3} plus a tail 3-4-5; duplicates, reversed
+    edges, and a self-loop must normalize away; K4 on {10..13} gives 4
+    triangles with every node in 3."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (2, 1), (3, 1), (3, 4), (4, 5), (4, 4)]
+    k4 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    df = spark.createDataFrame(edges + k4, "id_a long, id_b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3, 13: 3}
