@@ -64,3 +64,23 @@ def test_unknown_format_rejected(spark, sample, tmp_path):
         write_table(sample, str(tmp_path / "x"), format="avro")
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, str(tmp_path / "x"), SCHEMA, format="avro")
+
+
+def test_schema_evolution_added_column_backfills_null(spark, tmp_path):
+    """A zone written before a column existed must read cleanly under the
+    evolved schema: the pinned read schema is the contract, old files
+    backfill the new column with NULL (no mergeSchema inference pass)."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    v1.write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [(2, "de", 0.9)], "doc_id long, lang string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+    evolved = "doc_id long, lang string, score double"
+    rows = {
+        r["doc_id"]: r
+        for r in read_table(spark, path, evolved, format="parquet").collect()
+    }
+    assert rows[1]["score"] is None  # pre-evolution file backfills
+    assert rows[2]["score"] == 0.9
