@@ -22,6 +22,21 @@ account cross-engine:
   ``tests/test_streaming.py``; this row gives the same join DRIVER
   oracle evidence (gap sums in exact integer microseconds).
 
+Second wave (same discipline):
+
+- ``events_quantile_sketch_audit`` — percentile_approx (mergeable GK)
+  vs exact percentiles with a relational rank-error probe; rows-only by
+  design, GK ε-bound pinned in pytest.
+- ``events_user_temporal_holdout`` — per-entity time split with an
+  embargo band (the leakage-safe TIME counterpart of the group split).
+- ``docs_contrastive_pairs_stats`` — contrastive pair mining: top-1
+  Jaccard positives, 16-bucket hash-ring negatives, false-negative
+  audit.
+- ``docs_hybrid_rrf_topk`` — reciprocal-rank fusion of BM25 relevance
+  and LM-fluency rankings (calibration-free hybrid retrieval).
+- ``graph_triangle_counts`` — degree-ordered triangle counting
+  (arboricity-bounded wedge join).
+
 House cross-engine rules apply: md5-only hashing where the oracle must
 replay a hash, ROUND before float output, integer arithmetic for bucket
 boundaries and time gaps, deterministic total orders under LIMIT.

@@ -84,3 +84,15 @@ def test_schema_evolution_added_column_backfills_null(spark, tmp_path):
     }
     assert rows[1]["score"] is None  # pre-evolution file backfills
     assert rows[2]["score"] == 0.9
+
+
+def test_max_records_per_file_bounds_output_files(spark, sample, tmp_path):
+    """Write-path file sizing: maxRecordsPerFile splits a single task's
+    output so no downstream scan inherits monolithic files — the knob
+    that pairs with maxPartitionBytes on the read side (SCALE.md)."""
+    import os
+
+    path = str(tmp_path / "sized")
+    sample.repartition(1).write.option("maxRecordsPerFile", 100).parquet(path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 3  # 300 rows / 100 per file
