@@ -1,19 +1,22 @@
 """As-of (point-in-time) join — an operator Spark lacks natively.
 
 For each left row, attach the columns of the most recent right row of the
-same key with ``right.ts <= left.ts`` (backward as-of). The classic uses
-are point-in-time feature lookup (latest profile/price as of an event) and
-conversion attribution (most recent view before a purchase).
+same key with ``right.ts <= left.ts`` (backward as-of, the default) or the
+earliest right row with ``right.ts >= left.ts`` (forward). The classic
+uses are point-in-time feature lookup (latest profile/price as of an
+event) and conversion attribution (most recent view before a purchase).
 
 Spark-first design: instead of a per-key merge join in Python, the two
 sides are UNIONED with a side marker and the right columns are carried
-forward with ``last(col, ignorenulls=True)`` over a (key, ts)-ordered
+with ``last``/``first(col, ignorenulls=True)`` over a (key, ts)-ordered
 running window — ONE shuffle on the key, one in-partition sort, no UDF,
 no state. At 100 TB this is the plan you want: the same shape as any
 windowed aggregation over the key, and AQE handles key skew.
 
 Cross-engine: DuckDB has a native ``ASOF JOIN``; the oracle query pairs
-this operator against it directly (``events_asof_attribution``).
+this operator against it directly (``events_asof_attribution``). The
+``direction``/``tolerance`` parameters mirror ``pandas.merge_asof`` and
+are differentially tested against it (``tests/test_asof.py``).
 """
 
 from __future__ import annotations
@@ -30,20 +33,26 @@ def as_of_join(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     inner: bool = True,
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join: left rows pick up ``right_cols`` from the
-    latest right row with the same ``key`` and ``right.ts <= left.ts``.
+    """As-of join: left rows pick up ``right_cols`` from the matched
+    right row of the same ``key``.
+
+    ``direction='backward'`` (default) matches the LATEST right row with
+    ``right.ts <= left.ts``; ``'forward'`` matches the EARLIEST right row
+    with ``right.ts >= left.ts`` — both include exact-timestamp matches
+    (the ``allow_exact_matches=True`` convention of DuckDB ASOF JOIN and
+    ``pandas.merge_asof``). ``tolerance`` (an SQL interval string like
+    ``'30 minutes'``) voids matches farther than that from the left
+    timestamp, exactly like merge_asof's ``tolerance``.
 
     ``right_cols`` are the right-side value columns to carry (they must
     not clash with left column names; pre-alias on the right if needed).
     Right rows should be unique per (key, ts) — pre-aggregate otherwise,
     or the carried row among equal timestamps is the last in sort order.
-    ``inner=False`` keeps left rows with no prior right row (nulls),
-    matching ``ASOF LEFT JOIN``.
-
-    Ordering puts right rows BEFORE left rows at equal timestamps
-    (``_side`` 0 < 1), so a right row at exactly ``left.ts`` matches —
-    the ``>=`` convention of DuckDB/pandas ``merge_asof``.
+    ``inner=False`` keeps left rows with no match (nulls), matching
+    ``ASOF LEFT JOIN``.
     """
     rcols = right_cols or [c for c in right.columns if c not in (key, ts_col)]
     l = left.withColumn("_side", F.lit(1))
@@ -54,20 +63,49 @@ def as_of_join(
     # carried values come from the SAME right row even when some value
     # columns are NULL, and makes struct-nullness the correct "matched"
     # marker for inner semantics (DuckDB ASOF JOIN / pandas merge_asof).
+    # The matched right timestamp rides along as ``_rts`` so tolerance can
+    # compare against it without a second pass over the right side.
     r = right.select(
-        F.col(key), F.col(ts_col), F.struct(*rcols).alias("_rstruct")
+        F.col(key),
+        F.col(ts_col),
+        F.struct(F.col(ts_col).alias("_rts"), *rcols).alias("_rstruct"),
     ).withColumn("_side", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.asc(ts_col), F.asc("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal timestamps
+        # (``_side`` 0 < 1), so an exact-ts right row is inside the
+        # preceding-inclusive frame.
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.asc(ts_col), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried_expr = F.last("_rstruct", ignorenulls=True).over(w)
+    elif direction == "forward":
+        # mirror image: left rows sort BEFORE right rows at equal
+        # timestamps, so an exact-ts right row is inside the
+        # following-inclusive frame.
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.asc(ts_col), F.desc("_side"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried_expr = F.first("_rstruct", ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carried = u.select(
         *[c for c in u.columns if c != "_rstruct"],
-        F.last("_rstruct", ignorenulls=True).over(w).alias("_rstruct"),
+        carried_expr.alias("_rstruct"),
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        gap_ok = (
+            (F.col(ts_col) - F.col("_rstruct._rts")) <= tol
+            if direction == "backward"
+            else (F.col("_rstruct._rts") - F.col(ts_col)) <= tol
+        )
+        out = out.withColumn("_rstruct", F.when(gap_ok, F.col("_rstruct")))
     if inner:
         out = out.filter(F.col("_rstruct").isNotNull())
     return out.select(

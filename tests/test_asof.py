@@ -116,3 +116,66 @@ def test_as_of_join_null_values_come_from_one_right_row(spark):
     # carrying that row's NULL values — not 7/"old" from 09:00.
     assert len(rows) == 1
     assert rows[0]["view_id"] is None and rows[0]["tag"] is None
+
+
+def test_as_of_join_forward_and_tolerance_match_pandas(spark):
+    """Differential vs pandas.merge_asof for direction='forward' and for
+    tolerance in BOTH directions, on the same seeded random fixture as
+    the backward check."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(13)
+    lrows = [
+        (rng.randrange(6), rng.randrange(0, 10_000) * 1_000_000, i)
+        for i in range(300)
+    ]
+    rrows_raw = {
+        (rng.randrange(6), rng.randrange(0, 10_000) * 1_000_000): 1
+        for _ in range(200)
+    }
+    rrows = [(u, ts, 1000 + j) for j, (u, ts) in enumerate(sorted(rrows_raw))]
+
+    left = spark.createDataFrame(
+        [(u, ts, i) for u, ts, i in lrows], "user_id int, ts_us long, lid int"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    right = spark.createDataFrame(
+        [(u, ts, v) for u, ts, v in rrows], "user_id int, ts_us long, rid int"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+
+    lp = pd.DataFrame(
+        [(u, pd.Timestamp(ts, unit="us"), i) for u, ts, i in lrows],
+        columns=["user_id", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(u, pd.Timestamp(ts, unit="us"), v) for u, ts, v in rrows],
+        columns=["user_id", "ts", "rid"],
+    ).sort_values("ts", kind="stable")
+
+    cases = [
+        ({"direction": "forward"}, {"direction": "forward"}),
+        (
+            {"direction": "forward", "tolerance": "1 hour"},
+            {"direction": "forward", "tolerance": pd.Timedelta(hours=1)},
+        ),
+        (
+            {"direction": "backward", "tolerance": "1 hour"},
+            {"direction": "backward", "tolerance": pd.Timedelta(hours=1)},
+        ),
+    ]
+    for spark_kw, pd_kw in cases:
+        got = {
+            r["lid"]: r["rid"]
+            for r in as_of_join(
+                left, right, key="user_id", inner=False, **spark_kw
+            ).collect()
+        }
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", allow_exact_matches=True, **pd_kw
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+        assert got == want and len(got) == 300, spark_kw
