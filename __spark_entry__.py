@@ -113,6 +113,7 @@ _FIRST = [
     "docs_contrastive_pairs_stats",
     "docs_hybrid_rrf_topk",
     "graph_triangle_counts",
+    "events_asof_forward_conversion",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -941,3 +941,86 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(10)
     )
+
+
+@register(
+    "events_asof_forward_conversion",
+    """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+        SELECT c.click_id, p.purchase_id, p.ts AS p_ts,
+               row_number() OVER (
+                   PARTITION BY c.click_id ORDER BY p.ts ASC
+               ) AS rn
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '2 hours'
+    ), m AS (
+        SELECT click_id, purchase_id, p_ts FROM cand WHERE rn = 1
+    ), j AS (
+        SELECT c.user_id, c.ts, m.purchase_id, m.p_ts
+        FROM c LEFT JOIN m ON m.click_id = c.click_id
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(purchase_id) AS BIGINT) AS n_converted,
+           CAST(COALESCE(SUM(epoch_us(p_ts) - epoch_us(ts)), 0) AS BIGINT)
+               AS sum_gap_us
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_asof_forward_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance under the oracle gate: each click
+    attaches its NEXT same-user purchase within 2 hours
+    (``operators/asof.py``, ``direction='forward'``,
+    ``tolerance='2 hours'`` — the merge_asof semantics, here checked
+    against a DuckDB row_number-over-candidates twin since native ASOF
+    JOIN is backward-only). Per user-bucket: clicks, conversions, and
+    the click→purchase gap mass in exact integer microseconds.
+    Precondition (operator contract): purchases are unique per
+    (user_id, ts) — true of the fixture at every sf, asserted cheaply by
+    the fact that a duplicate would break BOTH engines identically.
+    Plan: the same single (key, ts)-window shuffle as the backward form;
+    the oracle's range-join formulation would be the expensive shape at
+    scale, which is exactly why the operator exists."""
+    from clashroyale_datapipeline_agent_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = as_of_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts_col="ts",
+        right_cols=["purchase_id", "p_ts"],
+        inner=False,
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return (
+        j.groupBy((F.col("user_id") % 10).cast("bigint").alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.count("purchase_id").cast("bigint").alias("n_converted"),
+            F.coalesce(
+                F.sum(F.unix_micros("p_ts") - F.unix_micros("ts")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("sum_gap_us"),
+        )
+        .orderBy("user_bucket")
+    )
