@@ -114,6 +114,7 @@ _FIRST = [
     "docs_hybrid_rrf_topk",
     "graph_triangle_counts",
     "events_asof_forward_conversion",
+    "events_decayed_counts",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

@@ -1024,3 +1024,55 @@ def events_asof_forward_conversion(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "events_decayed_counts",
+    """
+    WITH anchor AS (SELECT max(ts) AS a FROM events),
+    w AS (
+        SELECT event_type,
+               pow(0.5, (epoch_us(anchor.a) - epoch_us(ts))
+                        / 604800000000.0) AS wt
+        FROM events, anchor
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(wt), 4) AS decayed_n,
+           ROUND(SUM(wt) / COUNT(*), 4) AS freshness
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed counts (half-life 7 days): the
+    recency-weighted popularity statistic streaming dashboards keep —
+    here in its deterministic batch form, anchored at the corpus max
+    timestamp (a 1-row broadcast, so reruns over the same data are
+    reproducible — anchoring at wall-clock 'now' would break both the
+    oracle and any cache). ``freshness`` = decayed/raw ratio ∈ (0, 1],
+    ~1 when a type's events cluster near the anchor.
+
+    Scale shape: one scan, the weight is a codegen ``pow`` on exact
+    integer-microsecond gaps, one 5-key aggregate. The streaming
+    equivalent folds the same weight into ``foreachBatch`` counter
+    merges (multiply stored counters by the decay since last merge —
+    the counters stay mergeable)."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("a"))
+    halflife_us = F.lit(604_800_000_000.0)  # 7 days
+    w = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.pow(
+            F.lit(0.5),
+            (F.unix_micros("a") - F.unix_micros("ts")) / halflife_us,
+        ).alias("wt"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("wt"), 4).alias("decayed_n"),
+            F.round(F.sum("wt") / F.count(F.lit(1)), 4).alias("freshness"),
+        )
+        .orderBy("event_type")
+    )
