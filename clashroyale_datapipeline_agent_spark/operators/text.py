@@ -199,6 +199,7 @@ def unigram_logprob_scores(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    term_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Perplexity-style quality score from a corpus unigram LM
     (CCNet/Gopher-family filtering: drop documents whose tokens are
@@ -212,12 +213,16 @@ def unigram_logprob_scores(
     on the pair; the corpus term table is a re-agg of that same table (no
     second scan); the 1-row corpus total joins in as a broadcast — no
     driver collect. Every expression is codegen; at 100 TB the (doc,
-    term) shuffle is the cost.
+    term) shuffle is the cost. ``term_counts`` optionally injects a
+    precomputed :func:`term_count_table` (columns renamed internally) so
+    several scorers share one word-count shuffle.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
-    )
-    term_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    if term_counts is None:
+        term_counts = term_count_table(
+            docs, text_col=text_col, id_col=id_col
+        ).withColumnRenamed("tf", "cnt")
+    else:
+        term_counts = term_counts.withColumnRenamed("tf", "cnt")
     corpus_counts = term_counts.groupBy("term").agg(
         F.sum("cnt").alias("corpus_cnt")
     )
@@ -242,6 +247,21 @@ def unigram_logprob_scores(
     )
 
 
+def term_count_table(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The (doc, term, tf) table every lexical scorer re-aggregates from
+    — compute it ONCE (and ``localCheckpoint`` it) when feeding several
+    scorers, e.g. the BM25 + unigram-LM pair behind
+    ``docs_hybrid_rrf_topk``: the word-count shuffle is the dominant
+    cost and it is identical across them."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+    )
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -250,6 +270,7 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    term_counts: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 retrieval scoring against a fixed term list (the retrieval
     step of a RAG data pipeline, as a relational plan).
@@ -263,11 +284,13 @@ def bm25_scores(
     scoring join, so only |query| terms' postings ever move. Docs
     matching no query term score 0 and are omitted (retrieval
     convention).
+
+    ``term_counts`` optionally injects a precomputed
+    :func:`term_count_table` so several scorers share one word-count
+    shuffle.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
-    )
-    term_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if term_counts is None:
+        term_counts = term_count_table(docs, text_col=text_col, id_col=id_col)
     doc_len = term_counts.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = doc_len.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

@@ -815,6 +815,7 @@ def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clashroyale_datapipeline_agent_spark.operators.text import (
         bm25_scores,
+        term_count_table,
         unigram_logprob_scores,
     )
     from clashroyale_datapipeline_agent_spark.sources.readers import (
@@ -822,8 +823,11 @@ def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    # both scorers re-aggregate the same (doc, term, tf) table — pay the
+    # word-count shuffle once and share it
+    tc = term_count_table(d).localCheckpoint(eager=True)
     bm = (
-        bm25_scores(d, ["spark", "join", "window"])
+        bm25_scores(d, ["spark", "join", "window"], term_counts=tc)
         .select("doc_id", F.round("bm25", 4).alias("s"))
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(50)
@@ -833,7 +837,7 @@ def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(wa).alias("rank_bm")
     )
     lm = (
-        unigram_logprob_scores(d)
+        unigram_logprob_scores(d, term_counts=tc)
         .select("doc_id", F.round("mean_neg_logprob", 4).alias("q"))
         .orderBy(F.asc("q"), F.asc("doc_id"))
         .limit(50)
