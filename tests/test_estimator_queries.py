@@ -170,3 +170,12 @@ def test_rrf_fusion_rank_consistency(spark, sf_dir):
         if prev is not None:
             assert r["rrf"] <= prev + 1e-12  # sorted descending
         prev = r["rrf"]
+
+
+def test_decayed_counts_bounded_by_raw(spark, sf_dir):
+    """Half-life weights live in (0, 1] (anchor = max ts), so the
+    decayed count is positive and never exceeds the raw count, and
+    freshness is their ratio."""
+    for r in EQ.events_decayed_counts(spark, sf_dir).collect():
+        assert 0 < r["decayed_n"] <= r["n_events"]
+        assert abs(r["freshness"] - round(r["decayed_n"] / r["n_events"], 4)) < 2e-4
