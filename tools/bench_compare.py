@@ -1,0 +1,91 @@
+"""Diff two bench artifacts (BENCH_*.json / BENCH_local.json).
+
+The shared bench host shows ±2-10× single-shot noise (SCALE.md), so the
+artifacts carry per-query MIN-of-N timings; this tool compares those
+minimums and flags real movement: regressions/improvements beyond a
+ratio threshold AND an absolute floor (tiny queries bounce ±50 ms from
+JIT/GC without meaning anything).
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [ratio=2.0] [floor_s=0.5]
+
+Exit 0 always (informational — round gating is the judge's job); prints
+one line per flagged query plus add/drop lists and the common-subset
+totals, which are the only totals comparable across registries of
+different sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    """Accept either bench.py's own one-line JSON (has a ``queries``
+    map) or the driver's BENCH_r*.json wrapper, whose ``tail`` field is
+    a front-TRUNCATED string of that line — per-query pairs are
+    recovered by regex, so a cut-off first pair is simply dropped."""
+    raw = json.load(open(path))
+    if "queries" in raw:
+        return raw["queries"]
+    text = raw.get("tail", "")
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', text)
+    skip = {"value", "sf", "reps", "n", "rc", "cpus"}
+    return {k: float(v) for k, v in pairs if k not in skip}
+
+
+def compare(old: dict, new: dict, ratio: float, floor_s: float) -> dict:
+    oq, nq = old, new
+    common = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    dropped = sorted(set(oq) - set(nq))
+    regressions, improvements = [], []
+    for name in common:
+        a, b = oq[name], nq[name]
+        if max(a, b) < floor_s:
+            continue
+        if b >= a * ratio:
+            regressions.append((name, a, b))
+        elif a >= b * ratio:
+            improvements.append((name, a, b))
+    return {
+        "common": common,
+        "added": added,
+        "dropped": dropped,
+        "regressions": sorted(regressions, key=lambda t: -t[2] / max(t[1], 1e-9)),
+        "improvements": sorted(improvements, key=lambda t: -t[1] / max(t[2], 1e-9)),
+        "old_total_common": round(sum(oq[n] for n in common), 2),
+        "new_total_common": round(sum(nq[n] for n in common), 2),
+    }
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 3:
+        print(__doc__)
+        return 2
+    old = load_queries(argv[1])
+    new = load_queries(argv[2])
+    ratio = float(argv[3]) if len(argv) > 3 else 2.0
+    floor_s = float(argv[4]) if len(argv) > 4 else 0.5
+    r = compare(old, new, ratio, floor_s)
+    print(
+        f"common subset: {len(r['common'])} queries | "
+        f"old {r['old_total_common']}s -> new {r['new_total_common']}s"
+    )
+    if r["added"]:
+        print(f"added ({len(r['added'])}): {', '.join(r['added'])}")
+    if r["dropped"]:
+        print(f"dropped ({len(r['dropped'])}): {', '.join(r['dropped'])}")
+    for name, a, b in r["regressions"]:
+        print(f"REGRESSION  {name}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)")
+    for name, a, b in r["improvements"]:
+        print(f"improved    {name}: {a:.2f}s -> {b:.2f}s ({a / b:.1f}x faster)")
+    if not r["regressions"]:
+        print(f"no regressions beyond {ratio}x (floor {floor_s}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
