@@ -115,6 +115,7 @@ _FIRST = [
     "graph_triangle_counts",
     "events_asof_forward_conversion",
     "events_decayed_counts",
+    "lineitem_join_size_preflight",
 ]
 
 #: Hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json —

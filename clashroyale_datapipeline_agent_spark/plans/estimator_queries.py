@@ -1080,3 +1080,67 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "lineitem_join_size_preflight",
+    """
+    WITH k AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (
+        SELECT 'total' AS scope, CAST(-1 AS BIGINT) AS partkey,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(n_rows * n_rows) AS BIGINT) AS join_pairs
+        FROM k
+    ),
+    top5 AS (
+        SELECT 'key' AS scope, CAST(l_partkey AS BIGINT) AS partkey,
+               n_rows, CAST(n_rows * n_rows AS BIGINT) AS join_pairs
+        FROM k ORDER BY n_rows DESC, l_partkey ASC LIMIT 5
+    )
+    SELECT * FROM total
+    UNION ALL
+    SELECT * FROM top5
+    ORDER BY scope DESC, join_pairs DESC, partkey ASC
+    """,
+)
+def lineitem_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size pre-flight: the EXACT output cardinality of a
+    lineitem⋈lineitem equi-join on l_partkey is Σ_k cnt(k)² — computable
+    from one cheap per-key aggregate BEFORE shipping the join. This is
+    the planning companion to ``orders_key_skew_topk``: the total says
+    whether the join is affordable at all, the top-5 key rows say
+    whether its cost is concentrated in a few keys (→ salt or pre-agg
+    those) or spread thin (→ just run it). Pure integer arithmetic; one
+    shuffle on the key, TakeOrderedAndProject for the top keys, and the
+    1-row total unions in without a second scan (re-agg of the same
+    per-key table)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    k = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).localCheckpoint(eager=True)  # feeds the total AND the top-5
+    total = k.agg(
+        F.lit("total").alias("scope"),
+        F.lit(-1).cast("bigint").alias("partkey"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).cast("bigint").alias(
+            "join_pairs"
+        ),
+    ).select("scope", "partkey", "n_rows", "join_pairs")
+    top5 = (
+        k.orderBy(F.desc("n_rows"), F.asc("l_partkey"))
+        .limit(5)
+        .select(
+            F.lit("key").alias("scope"),
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            "n_rows",
+            (F.col("n_rows") * F.col("n_rows")).cast("bigint").alias(
+                "join_pairs"
+            ),
+        )
+    )
+    return total.unionByName(top5).orderBy(
+        F.desc("scope"), F.desc("join_pairs"), F.asc("partkey")
+    )
