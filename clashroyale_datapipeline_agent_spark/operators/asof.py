@@ -21,8 +21,16 @@ are differentially tested against it (``tests/test_asof.py``).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Interval strings accepted for ``tolerance``: one or more
+#: ``<number> <unit>`` terms (``30 minutes``, ``1 day 2 hours``).
+_TOLERANCE_RE = re.compile(
+    r"^\s*\d+\s+[A-Za-z]+(\s+\d+\s+[A-Za-z]+)*\s*$"
+)
 
 
 def as_of_join(
@@ -54,6 +62,14 @@ def as_of_join(
     ``inner=False`` keeps left rows with no match (nulls), matching
     ``ASOF LEFT JOIN``.
     """
+    if tolerance is not None and not _TOLERANCE_RE.match(tolerance):
+        # validated up front: the string is interpolated into F.expr(),
+        # so anything else would surface as an opaque AnalysisException
+        # deep in the plan (or smuggle arbitrary SQL into it)
+        raise ValueError(
+            "tolerance must look like '<n> <unit>' (e.g. '30 minutes', "
+            f"'1 day 2 hours'), got {tolerance!r}"
+        )
     rcols = right_cols or [c for c in right.columns if c not in (key, ts_col)]
     l = left.withColumn("_side", F.lit(1))
     # The carried payload is ONE struct, built on the right side BEFORE the

@@ -165,8 +165,14 @@ def compute_user_deck_matchups(
         .filter(F.col("games") >= min_games)
     )
     if isinstance(overall_win_rate, DataFrame):
+        # 1-row contract: the ref frame is a scalar carrier (overall WR).
+        # limit(1) enforces it structurally — a multi-row frame would
+        # otherwise silently duplicate every stats row through the
+        # crossJoin and corrupt both threshold lists.
         ref = F.broadcast(
-            overall_win_rate.select(F.col("win_rate").alias("_overall_wr"))
+            overall_win_rate.select(
+                F.col("win_rate").alias("_overall_wr")
+            ).limit(1)
         )
         stats = stats.crossJoin(ref)
         overall = F.col("_overall_wr")

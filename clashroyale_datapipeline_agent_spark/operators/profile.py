@@ -16,8 +16,8 @@ columns. No value is ever cast number→string (double formatting is
 engine-specific; numbers stay numbers).
 
 Parity: reference has no profiler; nearest behavior is the ad-hoc
-``df.describe()`` dumps in `phase1_data_pipeline.py` — this is the
-scale-shaped replacement.
+pandas inspection inside `src/analytics/meta_analytics.py` /
+`user_analytics.py` — this is the scale-shaped replacement.
 """
 
 from __future__ import annotations

@@ -653,7 +653,13 @@ def pq_adc_scores(
     """
     n_sub = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    assert len(query) == n_sub * sub_dim
+    if len(query) != n_sub * sub_dim:
+        # not an assert: under ``python -O`` an assert is stripped and a
+        # mis-sized query would silently score wrong slices
+        raise ValueError(
+            f"query dimension {len(query)} != n_sub*sub_dim "
+            f"({n_sub}*{sub_dim}={n_sub * sub_dim})"
+        )
     lut = [
         [
             sum(

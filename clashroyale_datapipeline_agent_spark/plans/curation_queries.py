@@ -3,8 +3,9 @@ between raw crawl and tokenizer — semantic dedup, perplexity bucketing,
 sequential filter attrition, duplicated-span audit, keep-best dedup
 policy, and source-mixture planning.
 
-These extend the beyond-parity surface (the reference pipeline,
-`phase1_data_pipeline.py`, curates a few thousand battle rows in pandas
+These extend the beyond-parity surface (the reference pipeline —
+`src/workflows/meta_workflow.py` / `user_workflow.py` driving the pandas
+code in `src/analytics/` — curates a few thousand battle rows in pandas
 and has no corpus-curation notion at all). House cross-engine rules
 apply: md5-only hashing where the oracle must replay a hash, ROUND
 before every float threshold compare or output, BIGINT casts on counts,

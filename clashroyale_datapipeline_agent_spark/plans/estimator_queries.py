@@ -548,20 +548,24 @@ def events_user_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     ), sh AS (
         SELECT doc_id, md5(unnest(shingles)) AS h FROM shl
+    ), shp AS (
+        SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sh
+        ) WHERE df BETWEEN 2 AND 50
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id
     ), shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM shp a JOIN shp b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ), pos_pairs AS (
         SELECT s.id_a, s.id_b,
                CAST(s.n_shared AS DOUBLE)
-                   / CAST(len(sa.shingles) + len(sb.shingles) - s.n_shared
-                          AS DOUBLE) AS jacc
+                   / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) AS jacc
         FROM shared s
-        JOIN shl sa ON sa.doc_id = s.id_a
-        JOIN shl sb ON sb.doc_id = s.id_b
-        WHERE 2 * s.n_shared
-              >= len(sa.shingles) + len(sb.shingles) - s.n_shared
+        JOIN sizes sa ON sa.doc_id = s.id_a
+        JOIN sizes sb ON sb.doc_id = s.id_b
+        WHERE 2 * s.n_shared >= sa.n + sb.n - s.n_shared
     ), cand AS (
         SELECT id_a AS anchor, id_b AS pos, jacc FROM pos_pairs
         UNION ALL
@@ -612,7 +616,17 @@ def docs_contrastive_pairs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that are secretly near-dups poison the loss, so count them).
 
     Scale shape: positives ride the md5(shingle)-keyed equi-join (never
-    a cross product); the negative ring partitions by a 16-way hash
+    a cross product) over the PAIRABLE vocabulary — shingles with
+    ``2 <= doc_freq <= 50``. The DF ceiling is the scale lever (same
+    rule as ``operators/text.py:cosine_pairs``): the join fan-out is
+    Σ_s df(s)² over shingle document frequencies, so one stop-shingle
+    ("in the end"-class 3-gram) appearing in d docs would alone emit
+    O(d²) pairs; capping df bounds every posting list, and stop-shingles
+    carry no similarity signal anyway. df=1 shingles are pruned too
+    (they cannot pair). Jaccard — and the doc sizes in its
+    denominator — is computed over that same pruned vocabulary, so the
+    measure stays internally consistent and both engines see identical
+    sets. The negative ring partitions by a 16-way hash
     bucket so the lead-window sorts bounded slices, not the corpus (the
     last ≤2 docs of each bucket draw fewer negatives — documented
     no-wrap); the audit is an equi-join on the unordered pair key. The
@@ -633,7 +647,19 @@ def docs_contrastive_pairs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shl.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    # DF ceiling on the postings BEFORE the self-join: a shingle in d
+    # docs contributes d^2 join pairs, so df>50 (stop-shingles) would be
+    # the classic skewed-key blow-up at corpus scale; df=1 cannot pair.
+    pairable = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("h")
+    )
+    shp = sh.join(pairable, "h", "left_semi").localCheckpoint(
+        eager=True
+    )  # feeds the self-join (both sides) AND the per-doc sizes
+    a, b = shp.alias("a"), shp.alias("b")
     shared = (
         a.join(
             b,
@@ -645,7 +671,9 @@ def docs_contrastive_pairs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sizes = shl.select("doc_id", F.size("shingles").alias("n"))
+    # sizes over the SAME pruned vocabulary the join sees, so Jaccard's
+    # denominator matches its numerator's universe
+    sizes = shp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     union_n = F.col("na") + F.col("nb") - F.col("n_shared")
     pos_pairs = (
         shared.join(
@@ -1036,14 +1064,15 @@ def events_asof_forward_conversion(spark: SparkSession, sf_dir: str) -> DataFram
     WITH anchor AS (SELECT max(ts) AS a FROM events),
     w AS (
         SELECT event_type,
-               pow(0.5, (epoch_us(anchor.a) - epoch_us(ts))
-                        / 604800000000.0) AS wt
+               CAST(ROUND(pow(0.5, (epoch_us(anchor.a) - epoch_us(ts))
+                                   / 604800000000.0) * 1000000)
+                    AS BIGINT) AS wt_u
         FROM events, anchor
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(wt), 4) AS decayed_n,
-           ROUND(SUM(wt) / COUNT(*), 4) AS freshness
+           ROUND(SUM(wt_u) / 1000000.0, 4) AS decayed_n,
+           ROUND(SUM(wt_u) / 1000000.0 / COUNT(*), 4) AS freshness
     FROM w GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1060,23 +1089,38 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-microsecond gaps, one 5-key aggregate. The streaming
     equivalent folds the same weight into ``foreachBatch`` counter
     merges (multiply stored counters by the decay since last merge —
-    the counters stay mergeable)."""
+    the counters stay mergeable).
+
+    Determinism: the per-row weight is rounded to 1e-6 and summed as a
+    BIGINT, so the aggregate is EXACT and addition-order-independent —
+    a raw double SUM(pow(...)) depends on Spark's partial-agg order vs
+    DuckDB's and can flip the 4th output decimal at a rounding
+    boundary. The only residual cross-engine exposure is a per-row
+    ``pow`` landing within one ulp of a 5e-7 boundary (~1e-10 odds per
+    row), not the order-dependent sum."""
     ev = _t(spark, sf_dir, "events")
     anchor = ev.agg(F.max("ts").alias("a"))
     halflife_us = F.lit(604_800_000_000.0)  # 7 days
     w = ev.crossJoin(F.broadcast(anchor)).select(
         "event_type",
-        F.pow(
-            F.lit(0.5),
-            (F.unix_micros("a") - F.unix_micros("ts")) / halflife_us,
-        ).alias("wt"),
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                (F.unix_micros("a") - F.unix_micros("ts")) / halflife_us,
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("wt_u"),
     )
     return (
         w.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum("wt"), 4).alias("decayed_n"),
-            F.round(F.sum("wt") / F.count(F.lit(1)), 4).alias("freshness"),
+            F.round(F.sum("wt_u") / F.lit(1_000_000.0), 4).alias("decayed_n"),
+            F.round(
+                F.sum("wt_u") / F.lit(1_000_000.0) / F.count(F.lit(1)), 4
+            ).alias("freshness"),
         )
         .orderBy("event_type")
     )

@@ -1,9 +1,9 @@
 """Scale-tooling queries: sketch composability, heavy hitters, data
 contracts, CDC intervals, and equi-depth histograms.
 
-Round-3 additions beyond the reference's own surface (reference
-`phase1_data_pipeline.py` audits data with ad-hoc pandas dumps and has
-no sketching/CDC at all). Everything here follows the house
+Round-3 additions beyond the reference's own surface (the reference's
+pandas analytics in `src/analytics/` audit data with ad-hoc dumps and
+have no sketching/CDC at all). Everything here follows the house
 cross-engine rules: md5-only hashing, integer sketch state, ROUND on
 double outputs, BIGINT casts on counts, deterministic total orders
 before any LIMIT.

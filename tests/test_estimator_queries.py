@@ -179,3 +179,28 @@ def test_decayed_counts_bounded_by_raw(spark, sf_dir):
     for r in EQ.events_decayed_counts(spark, sf_dir).collect():
         assert 0 < r["decayed_n"] <= r["n_events"]
         assert abs(r["freshness"] - round(r["decayed_n"] / r["n_events"], 4)) < 2e-4
+
+
+def test_contrastive_pairs_stop_shingle_bounded(spark, tmp_path):
+    """The DF ceiling on the positives join: a 60-doc corpus whose ONLY
+    shared shingle is a stop-shingle (doc_freq 60 > the 50 cap) must
+    produce ZERO positives — uncapped, that single skewed key would pump
+    60·59/2 Jaccard-1 pairs through the shingle self-join (the quadratic
+    blow-up the cap exists to prevent; at corpus scale d reaches
+    millions). Docs sharing only RARE shingles (doc_freq 2) still pair."""
+    rows = [(i, "in the end", "en", "syn", 10) for i in range(60)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon", "en", "syn", 30),
+        (1001, "alpha beta gamma delta epsilon", "en", "syn", 30),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = EQ.docs_contrastive_pairs_stats(spark, str(tmp_path)).collect()[0]
+    assert r["n_anchors"] == 62
+    # only the rare-shingle twins pair; the stop-shingle crowd does not
+    assert r["n_with_positive"] == 2

@@ -25,15 +25,48 @@ import sys
 def load_queries(path: str) -> dict[str, float]:
     """Accept either bench.py's own one-line JSON (has a ``queries``
     map) or the driver's BENCH_r*.json wrapper, whose ``tail`` field is
-    a front-TRUNCATED string of that line — per-query pairs are
-    recovered by regex, so a cut-off first pair is simply dropped."""
+    a front-TRUNCATED string of that line.
+
+    For a tail, first try to locate and json-parse the ``"queries"``
+    sub-object (robust to any surrounding wrapper fields); only when
+    the truncation cut into the map itself fall back to pair-regex
+    recovery, with recovered keys intersected against the repo's query
+    registry names when importable — so a numeric wrapper field can
+    never masquerade as a query timing."""
     raw = json.load(open(path))
-    if "queries" in raw:
-        return raw["queries"]
+    if isinstance(raw.get("queries"), dict):
+        return {k: float(v) for k, v in raw["queries"].items()}
     text = raw.get("tail", "")
+    m = re.search(r'"queries"\s*:\s*\{', text)
+    if m:
+        start = m.end() - 1
+        end = text.find("}", start)
+        if end != -1:
+            try:
+                return {
+                    k: float(v)
+                    for k, v in json.loads(text[start : end + 1]).items()
+                }
+            except ValueError:
+                pass
     pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', text)
     skip = {"value", "sf", "reps", "n", "rc", "cpus"}
-    return {k: float(v) for k, v in pairs if k not in skip}
+    out = {k: float(v) for k, v in pairs if k not in skip}
+    known = _registry_names()
+    if known:
+        out = {k: v for k, v in out.items() if k in known}
+    return out
+
+
+def _registry_names() -> set[str] | None:
+    """Names of every registered query, or None when the package (and
+    its pyspark dependency) is not importable in this interpreter."""
+    try:
+        import __spark_entry__ as entry
+
+        return set(entry.queries())
+    except Exception:
+        return None
 
 
 def compare(old: dict, new: dict, ratio: float, floor_s: float) -> dict:
