@@ -31,6 +31,10 @@ deterministic total orders under LIMIT.
 - ``docs_mixture_plan`` — per-source token targets / sampling epochs
   under a corpus-fraction budget (``operators/sampling.py:
   plan_source_mixture``).
+- ``docs_exact_substring_coverage`` (round 5) — the EXACT companion of
+  ``docs_ngram_coverage_topk``: char-level L=40 window hashes stand in
+  for the suffix array (equal windows ⇔ LCP ≥ L), merged-interval span
+  coverage per doc, no pair join anywhere.
 """
 
 from __future__ import annotations
@@ -941,4 +945,125 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs",
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "docs_exact_substring_coverage",
+    """
+    WITH d AS (
+        SELECT doc_id, text AS t FROM documents
+    ), g AS (
+        SELECT doc_id, i, md5(substr(t, CAST(i AS INT), 40)) AS h
+        FROM d, unnest(generate_series(1, greatest(len(t) - 39, 0))) AS u(i)
+    ), dup AS (
+        SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+    ), dpos AS (
+        SELECT g.doc_id, g.i FROM g JOIN dup USING (h)
+    ), cov AS (
+        SELECT doc_id,
+               SUM(CASE WHEN prev IS NULL THEN 40
+                        ELSE least(40, i - prev) END) AS dup_chars
+        FROM (
+            SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM dpos
+        )
+        GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(cov.dup_chars AS BIGINT) AS dup_chars,
+           CAST(len(d.t) AS BIGINT) AS n_chars,
+           ROUND(CAST(cov.dup_chars AS DOUBLE) / len(d.t), 4) AS dup_frac
+    FROM cov JOIN d USING (doc_id)
+    ORDER BY dup_frac DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def docs_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring coverage at fixed span length L=40
+    chars — the Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") exact-substring measure, where the
+    suffix-array step is replaced by a distributed equality test: two
+    suffixes share a prefix of length >= L iff their L-char windows are
+    EQUAL, so every char position emits md5(substr(text, i, L)) and a
+    position is duplicated iff its window hash occurs >= 2 times in the
+    corpus (cross-doc or within-doc, both count, as in the paper). Per
+    doc, overlapping duplicated windows [i, i+L-1] are merged into true
+    span coverage via one lag window (first position contributes L,
+    each next min(L, gap)); top-20 docs by covered fraction. Completes
+    the token-n-gram APPROXIMATION ``docs_ngram_coverage_topk`` with
+    the exact-character semantics.
+
+    Scale shape: NO pair join anywhere — the posting explode is linear
+    in corpus characters (~L bytes hashed per position, the price of
+    exactness; a stride-s variant detects only spans >= L+s-1 and cuts
+    it s-fold), duplicate detection is a map-side-combinable groupBy
+    count on the window hash, the postings->dup filter is an equi-join
+    AQE can skew-split (a hot window like a boilerplate header lands on
+    ONE reducer under the window-count alternative, which is why the
+    join form is used), and coverage is one per-doc lag window. At
+    100 TB this is three bounded shuffles over linear data: h-agg,
+    h-semi-join, doc_id window.
+
+    Integer arithmetic throughout (positions, gaps, char counts); the
+    single ROUND happens on the final ratio of two exact BIGINTs."""
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    L = 40
+    d = spread_if_narrow(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    npos = F.greatest(F.length("text") - F.lit(L - 1), F.lit(0))
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id", "i", F.md5(F.substring(F.col("text"), F.col("i"), F.lit(L))).alias("h")
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    dpos = g.join(dup, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cov = (
+        dpos.withColumn("prev", F.lag("i").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("prev").isNull(), F.lit(L)).otherwise(
+                    F.least(F.lit(L), F.col("i") - F.col("prev"))
+                )
+            )
+            .cast("bigint")
+            .alias("dup_chars")
+        )
+    )
+    return (
+        cov.join(
+            d.select(
+                "doc_id", F.length("text").cast("bigint").alias("n_chars")
+            ),
+            "doc_id",
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "dup_chars",
+            "n_chars",
+            F.round(F.col("dup_chars") / F.col("n_chars"), 4).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
+        .limit(20)
     )

@@ -76,3 +76,48 @@ def test_ann_recall_probe_set_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 16-row probe side
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substring_coverage_known_span(spark, tmp_path):
+    """Exactness of the merged-interval math: two docs share one exact
+    60-char substring and nothing else, so with L=40 each doc has 21
+    duplicated window positions (60-40+1) that must merge to EXACTLY 60
+    covered chars — overcounting (21*40) or undercounting (40) would
+    both show. A third doc with no 40-char overlap reports no row."""
+    import string
+
+    shared = (string.ascii_lowercase + string.digits)[:30] * 2  # 60 chars
+    assert len(shared) == 60
+    pre = "".join(chr(ord("A") + (i * 7) % 26) for i in range(50))
+    post = "".join(chr(ord("a") + (i * 11) % 26) for i in range(50))
+    rows = [
+        (1, pre + shared + post, "en", "syn", 160),
+        (2, "x" * 0 + shared + "QQ" + pre[::-1], "en", "syn", 112),
+        (3, "entirely different text with no forty char overlap at all",
+         "en", "syn", 57),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in CQ.docs_exact_substring_coverage(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["dup_chars"] == 60 and got[2]["dup_chars"] == 60
+    assert got[1]["n_chars"] == 160
+    assert abs(got[1]["dup_frac"] - round(60 / 160, 4)) < 1e-9
+
+
+def test_exact_substring_coverage_no_pair_join(spark, sf_dir):
+    """Duplicate detection is a groupBy count + semi-join on the window
+    hash — never a postings self-join (doc x doc) and never a UDF."""
+    plan = _plan(spark, CQ.docs_exact_substring_coverage(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan
