@@ -460,3 +460,124 @@ def test_interval_join_left_outer_emits_on_watermark_expiry(spark, tmp_path):
     assert collected.get(10, "missing") is None  # null-padded outer row
     # only real rows and matched dummy pairs ever emit in LEFT outer
     assert all(k in {0, 10} | dummy_clicks for k in collected)
+
+
+def test_pipeline_landed_jsonl_interval_join_decayed_counts(spark, tmp_path):
+    """Composition test (the round-4 operators wired end-to-end): a
+    landed-JSONL raw zone drives a watermarked stream-stream interval
+    join (view -> purchase within 30 min) whose output folds into
+    time-decayed per-user conversion counters via foreachBatch — three
+    micro-batches (maxFilesPerTrigger=1), one per day of data.
+
+    Asserts BOTH semantics and state bounds:
+
+    - the accumulated decayed counters equal the one-shot batch
+      recompute of the identical plan (the counters are mergeable by
+      construction: per-row integer-scaled weights against a fixed
+      anchor, summed);
+    - the join's state store EVICTS under the 1-hour watermarks: rows
+      are removed as days roll over, and the final state retains less
+      than the full ingested history (unbounded state is the failure
+      mode the event-time bounds exist to prevent).
+    """
+    from clashroyale_datapipeline_agent_spark.streaming.events import interval_join
+
+    src = tmp_path / "landed"
+    src.mkdir()
+    # 3 days x 3 users: view at T, converting purchase at T+10min,
+    # non-converting purchase at T+45min (outside the 30-min window)
+    for day in (1, 2, 3):
+        rows = []
+        for u in range(3):
+            base = day * 100 + u * 10
+            rows.append({"event_id": base, "ts": f"2024-01-{day:02d}T06:00:00.000Z",
+                         "user_id": u, "event_type": "view", "value": 1.0})
+            rows.append({"event_id": base + 1, "ts": f"2024-01-{day:02d}T06:10:00.000Z",
+                         "user_id": u, "event_type": "purchase", "value": 1.0})
+            rows.append({"event_id": base + 2, "ts": f"2024-01-{day:02d}T06:45:00.000Z",
+                         "user_id": u, "event_type": "purchase", "value": 1.0})
+        _write_batch(src, rows, f"day{day}")
+        # the file source orders micro-batches by modification time; the
+        # landing zone must arrive in event-time order or the watermark
+        # (correctly) drops the out-of-order day as late data
+        import os
+
+        t = 1_700_000_000 + day * 60
+        os.utime(f"{src}/day{day}.json", (t, t))
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    # decayed weight: integer-scaled against a FIXED anchor (mergeable
+    # across batches; same discipline as events_decayed_counts)
+    anchor = F.to_timestamp(F.lit("2024-01-03T12:00:00"))
+    halflife_us = 604_800_000_000.0  # 7 days
+
+    def decayed_by_user(joined_df):
+        return joined_df.groupBy("l_key").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(
+                    F.pow(
+                        F.lit(0.5),
+                        (F.unix_micros(anchor) - F.unix_micros("r_ts"))
+                        / F.lit(halflife_us),
+                    )
+                    * F.lit(1_000_000)
+                ).cast("bigint")
+            ).alias("wt_u"),
+        )
+
+    counters: dict[int, list[int]] = {}
+
+    def fold(batch_df, epoch_id):
+        for r in decayed_by_user(batch_df).collect():
+            c = counters.setdefault(r["l_key"], [0, 0])
+            c[0] += r["n"]
+            c[1] += r["wt_u"]
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = interval_join(
+        *split(stream),
+        within="30 minutes",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+    )
+    q = (
+        out.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= 3  # one per landed file
+    # watermark eviction: state rows were REMOVED as days rolled over,
+    # and the final buffer holds less than the full ingested history
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+    )
+    final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    ingested = 27  # 3 days x 9 rows
+    assert removed > 0
+    assert final_total < ingested
+
+    # stream-accumulated counters == one-shot batch recompute
+    batch = spark.read.schema(SCHEMA).json(str(src))
+    want = {
+        r["l_key"]: [r["n"], r["wt_u"]]
+        for r in decayed_by_user(
+            interval_join(*split(batch), within="30 minutes")
+        ).collect()
+    }
+    assert counters == want
+    assert set(counters) == {0, 1, 2}
+    assert all(c[0] == 3 for c in counters.values())  # 1 conversion/day
