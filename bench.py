@@ -72,6 +72,17 @@ def main() -> None:
         except ValueError:
             pass
 
+    # The driver stores only a front-TRUNCATED tail of this line, so the
+    # END of the queries map is what survives each round. Emit it in
+    # REVERSED registry order: the registry leads with the least-
+    # evidenced queries (this round's additions + the correctness
+    # window), so reversing puts exactly those at the retained end.
+    # BENCH_local.json always carries the full map regardless.
+    registry_order = list(qs)
+    timings = {
+        name: timings[name] for name in reversed(registry_order) if name in timings
+    }
+
     line = json.dumps(
         {
             "metric": (

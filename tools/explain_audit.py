@@ -1,49 +1,149 @@
-"""Physical-plan audit: per registered query, report the plan facts that
-matter at 100 TB — scan pushdown, join strategies, shuffle count, codegen
-coverage. Usage: python tools/explain_audit.py [sf_dir] [names,csv]
+"""Per-query physical-plan audit — turns the repo's scale claims into
+recorded plan FACTS.
+
+For every registered query, the plan is EXECUTED at a small sf (default
+/root/testdata/sf0.01) and the FINAL adaptive plan (post-AQE) is parsed
+into a fact row:
+
+- ``joins``: strategy counts actually chosen at runtime
+  (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin /
+  BroadcastNestedLoopJoin / CartesianProduct);
+- ``aqe_coalesced``: AQE collapsed post-shuffle partitions
+  (``AQEShuffleRead ... coalesced`` nodes);
+- ``aqe_skew_handled``: AQE split a skewed join partition
+  (``skew=true``);
+- ``n_exchanges``: hash-partitioning shuffle count;
+- ``codegen_spans``: distinct WholeStageCodegen regions (wider = more
+  of the query fused into generated code);
+- ``python_eval``: Arrow/batch Python eval nodes (should appear ONLY in
+  the documented mapInPandas operators — the no-per-row-UDF rule);
+- ``pushed_filters``: scans whose parquet pushdown list is non-empty;
+- ``final_plan``: the plan string carried ``isFinalPlan=true``.
+
+Output: one JSON object per query in ``EXPLAIN_AUDIT.json`` (repo root)
+plus a printed summary of rule violations (cartesian products,
+unexpected python eval). Usage::
+
+    python tools/explain_audit.py [sf_dir] [name1,name2,...]
 """
 
 from __future__ import annotations
 
+import json
 import re
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+#: Queries whose plan is EXPECTED to carry Python eval nodes — the two
+#: documented Arrow-batched mapInPandas boundaries in the engine
+#: (multimodal decode plumbing, partition-local FFD packing; see
+#: ``operators/packing.py:1-10``).
+EXPECTED_PYTHON_EVAL = {
+    "multimodal_feature_stats",
+    "docs_pack_stats",
+    "docs_pack_stats_det",
+}
 
-def audit(sf_dir: str, names: list[str] | None = None) -> None:
-    import __spark_entry__ as entrymod
+
+def plan_facts(plan: str) -> dict:
+    joins = {
+        k: len(re.findall(rf"\b{k}\b", plan))
+        for k in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
+    }
+    return {
+        "joins": {k: v for k, v in joins.items() if v},
+        # formatted plans put the node name and its "Arguments:" detail
+        # on separate lines — match the detail lines directly
+        "aqe_coalesced": len(re.findall(r"Arguments: coalesced", plan)),
+        "aqe_skew_handled": "skew=true" in plan,
+        "n_exchanges": len(
+            re.findall(r"Arguments: hashpartitioning\(", plan)
+        ),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "python_eval": len(
+            re.findall(
+                r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
+                plan,
+            )
+        ),
+        "pushed_filters": len(
+            [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()]
+        ),
+        "final_plan": "isFinalPlan=true" in plan,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    import __spark_entry__ as entry
     from clashroyale_datapipeline_agent_spark.session import get_spark
 
-    spark = get_spark("explain-audit")
-    qs = entrymod.queries()
-    for name, fn in sorted(qs.items()):
+    spark = get_spark("explain_audit")
+    jvm = spark.sparkContext._jvm
+    qs = entry.queries()
+    out: dict[str, dict] = {}
+    for name in sorted(qs):
         if names and name not in names:
             continue
-        df = fn(spark, sf_dir)
-        plan = spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-        pushed_n = sum(1 for p in pushed if p.strip())
-        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        read_cols = sum(s.count(":") for s in schemas)
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
-        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
-        n_smj = len(re.findall(r"SortMergeJoin", plan))
-        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-        n_wsc = len(re.findall(r"WholeStageCodegen", plan))
-        n_scan = len(re.findall(r"Scan parquet", plan))
-        top_k = "TakeOrderedAndProject" in plan
-        print(
-            f"{name:36s} scans={n_scan} pushedFilters={pushed_n} readCols={read_cols} "
-            f"exchanges={n_exchange} BHJ={n_bhj} SMJ={n_smj} BNLJ={n_bnlj} "
-            f"codegenSpans={n_wsc} topK={top_k}"
-        )
+        try:
+            df = qs[name](spark, sf_dir)
+            # collect() executes THIS DataFrame's queryExecution so AQE
+            # finalizes it in place — count() would execute a derived
+            # plan and leave the audited one unfinalized (no
+            # AQEShuffleRead nodes, isFinalPlan=false). Outputs are
+            # top-k/aggregates, small at audit sf.
+            df.collect()
+            plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            out[name] = plan_facts(plan)
+        except Exception as exc:  # keep auditing the rest
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    path = Path(__file__).resolve().parents[1] / "EXPLAIN_AUDIT.json"
+    path.write_text(json.dumps({"sf_dir": sf_dir, "queries": out}, indent=1))
+
+    ok = [n for n, f in out.items() if "error" not in f]
+    cartesian = [
+        n for n in ok if out[n]["joins"].get("CartesianProduct")
+    ]
+    stray_python = [
+        n
+        for n in ok
+        if out[n]["python_eval"] and n not in EXPECTED_PYTHON_EVAL
+    ]
+    coalesced = sum(1 for n in ok if out[n]["aqe_coalesced"])
+    broadcasts = sum(
+        out[n]["joins"].get("BroadcastHashJoin", 0) for n in ok
+    )
+    print(
+        f"{len(ok)}/{len(out)} queries audited at {sf_dir}: "
+        f"{broadcasts} broadcast joins, {coalesced} queries AQE-coalesced, "
+        f"{sum(out[n]['n_exchanges'] for n in ok)} exchanges total"
+    )
+    status = 0
+    if cartesian:
+        print(f"VIOLATION cartesian product: {cartesian}")
+        status = 1
+    if stray_python:
+        print(f"VIOLATION undocumented python eval: {stray_python}")
+        status = 1
+    errs = [n for n in out if "error" in out[n]]
+    if errs:
+        print(f"errors: {errs}")
+        status = 1
+    return status
 
 
 if __name__ == "__main__":
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    audit(sf_dir, names)
+    sys.exit(main())
