@@ -39,8 +39,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Round-5 rotation, generated from the r01-r04 driver artifacts: the
 #: 50-slot correctness window leads with every query that has NO driver
 #: row yet — the 16 oracle-able round-4 additions (judge-verified green
-#: at sf0.01 in round 4), the round-5 addition
-#: ``docs_exact_substring_coverage``, and the 4 rows-only-by-design
+#: at sf0.01 in round 4), the round-5 additions
+#: (``docs_exact_substring_coverage``, ``docs_importance_weights_ess``,
+#: ``docs_quality_calibration_bins``), and the 4 rows-only-by-design
 #: queries — then fills the remaining slots with the oldest
 #: single-round-evidenced queries (r1-only first) so they collect a
 #: second round of driver evidence.
@@ -62,6 +63,8 @@ _FIRST = [
     "events_decayed_counts",
     "lineitem_join_size_preflight",
     "docs_exact_substring_coverage",
+    "docs_importance_weights_ess",
+    "docs_quality_calibration_bins",
     "dedup_lsh_band_sweep_xx",
     "events_quantile_sketch_audit",
     "a_approx_count_distinct",
@@ -93,9 +96,9 @@ _FIRST = [
     "docs_equidepth_by_source",
     "docs_equidepth_histogram",
     "docs_fightin_words_topk",
+    # --- end of the 50-slot correctness window ---
     "docs_incremental_dedup_counts",
     "docs_lang_cap_counts",
-    # --- end of the 50-slot correctness window ---
     # Single-driver-round queries that didn't fit the window, oldest
     # evidence first; they queue for future windows and (with the
     # window) lead the registry so the driver's truncated BENCH tail —

@@ -37,6 +37,15 @@ Second wave (same discipline):
 - ``graph_triangle_counts`` — degree-ordered triangle counting
   (arboricity-bounded wedge join).
 
+Round-5 wave:
+
+- ``docs_importance_weights_ess`` — importance weights for a uniform
+  target mixture + the Kish effective-sample-size diagnostic (the
+  reweight-vs-resample decision input).
+- ``docs_quality_calibration_bins`` — reliability diagram of a cheap
+  quality/language scorer vs gold labels over equi-depth score deciles
+  (boundary-broadcast binning, no global window).
+
 House cross-engine rules apply: md5-only hashing where the oracle must
 replay a hash, ROUND before float output, integer arithmetic for bucket
 boundaries and time gaps, deterministic total orders under LIMIT.
@@ -1187,4 +1196,189 @@ def lineitem_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return total.unionByName(top5).orderBy(
         F.desc("scope"), F.desc("join_pairs"), F.asc("partkey")
+    )
+
+
+@register(
+    "docs_importance_weights_ess",
+    """
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS k_sources,
+               CAST(SUM(CAST(ROUND(1000000000000.0 / n_docs) AS BIGINT))
+                    AS BIGINT) AS recip_u
+        FROM per
+    )
+    SELECT per.source,
+           per.n_docs,
+           ROUND(CAST(per.n_docs AS DOUBLE) / tot.n_total, 6) AS p_frac,
+           ROUND(CAST(tot.n_total AS DOUBLE)
+                 / (tot.k_sources * per.n_docs), 6) AS weight,
+           ROUND(tot.k_sources * tot.k_sources * 1000000000000.0
+                 / tot.recip_u, 2) AS ess,
+           ROUND(tot.k_sources * tot.k_sources * 1000000000000.0
+                 / tot.recip_u / tot.n_total, 6) AS ess_frac
+    FROM per CROSS JOIN tot
+    ORDER BY per.source
+    """,
+)
+def docs_importance_weights_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for a UNIFORM target source mixture, with the
+    effective-sample-size diagnostic — the standard check before
+    reweighting a training corpus instead of resampling it: per-source
+    w_s = q_s/p_s = N/(k*n_s) (normalized so sum of w over docs = N), and
+    ESS = (sum w)^2 / sum w^2 = k^2 / sum_s (1/n_s) (Kish). ess_frac
+    near 1 means reweighting is cheap; near k*min(n_s)/N means one tiny
+    source dominates the variance and the plan should RESAMPLE (or cap
+    epochs — ``docs_mixture_plan``) rather than reweight.
+
+    Determinism: the only float reduction, sum_s 1/n_s, is summed as
+    per-source 1e12-scaled BIGINTs (exact, order-independent — same
+    discipline as ``events_decayed_counts``); everything else is a
+    ratio of two exact integers rounded once at output.
+
+    Scale shape: one map-side-combinable aggregate to source grain
+    (sources-many rows), a 1-row broadcast total, zero windows."""
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k_sources"),
+        F.sum(
+            F.round(F.lit(1_000_000_000_000.0) / F.col("n_docs")).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("recip_u"),
+    )
+    ess = (
+        F.col("k_sources")
+        * F.col("k_sources")
+        * F.lit(1_000_000_000_000.0)
+        / F.col("recip_u")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("p_frac"),
+            F.round(
+                F.col("n_total")
+                / (F.col("k_sources") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("weight"),
+            F.round(ess, 2).alias("ess"),
+            F.round(ess / F.col("n_total"), 6).alias("ess_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_quality_calibration_bins",
+    """
+    WITH s AS (
+        SELECT lang,
+               CAST(ROUND(1000000.0 * len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> x IN ('the','and','of','to','in','is','you',
+                                   'that','it','for')))
+                    / greatest(len({toks}), 1)) AS BIGINT) AS score_u
+        FROM documents
+    ), b AS (
+        SELECT quantile_cont(score_u,
+                   [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        FROM s
+    ), assigned AS (
+        SELECT s.score_u, s.lang,
+               (CASE WHEN CAST(s.score_u AS DOUBLE) > bs[1] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(s.score_u AS DOUBLE) > bs[2] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(s.score_u AS DOUBLE) > bs[3] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(s.score_u AS DOUBLE) > bs[4] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(s.score_u AS DOUBLE) > bs[5] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(s.score_u AS DOUBLE) > bs[6] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(s.score_u AS DOUBLE) > bs[7] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(s.score_u AS DOUBLE) > bs[8] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(s.score_u AS DOUBLE) > bs[9] THEN 1 ELSE 0 END)
+                   AS bucket
+        FROM s CROSS JOIN b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(score_u) / 1000000.0 / COUNT(*), 4) AS mean_score,
+           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS frac_en
+    FROM assigned GROUP BY bucket ORDER BY bucket
+    """.format(toks=_TOKS),
+)
+def docs_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a cheap quality/language classifier —
+    the calibration audit a filtering pipeline runs before trusting a
+    scorer's threshold: score = English-stopword fraction of tokens (a
+    10-word probe list), label = the gold ``lang == 'en'``; the corpus
+    splits into equi-depth score deciles and each bin reports its mean
+    score vs empirical P(label) — the per-bin gap IS the calibration
+    error (summing n/N-weighted gaps gives ECE).
+
+    No global-order window: decile boundaries come from one interpolated
+    percentile pass over the integer-scaled score and broadcast back for
+    map-side bucket assignment (the ``docs_equidepth_histogram``
+    pattern), so both passes distribute. Scores are per-row
+    1e6-scaled BIGINTs: the bucket compare and the mean's sum are exact
+    integer arithmetic, the percentile interpolation is the same
+    closed-form both engines implement, and ROUND happens once at
+    output. Heavy score ties (non-English docs pile at 0) collapse
+    deciles identically in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+
+    probe = ("the", "and", "of", "to", "in", "is", "you", "that", "it", "for")
+    toks = tokens_col(F.lower(F.trim(F.col("text"))))
+    sw = F.size(F.filter(toks, lambda t: t.isin(*probe)))
+    score_u = (
+        F.round(
+            F.lit(1_000_000.0)
+            * sw
+            / F.greatest(F.size(tokens_col(F.col("text"))), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("score_u")
+    )
+    s = d.select("lang", score_u)
+    bounds = s.agg(
+        F.percentile(
+            F.col("score_u"),
+            F.array(*[F.lit(round(0.1 * i, 1)) for i in range(1, 10)]),
+        ).alias("bs")
+    )
+    bucket = sum(
+        F.when(
+            F.col("score_u").cast("double") > F.element_at("bs", i), 1
+        ).otherwise(0)
+        for i in range(1, 10)
+    ).alias("bucket")
+    return (
+        s.join(F.broadcast(bounds))
+        .select(bucket, "score_u", "lang")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("score_u") / F.lit(1_000_000.0) / F.count(F.lit(1)), 4
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("frac_en"),
+        )
+        .orderBy("bucket")
     )
