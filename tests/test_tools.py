@@ -1,0 +1,74 @@
+"""Pure-Python tests for the repo tools (no Spark jobs): bench-artifact
+recovery in tools/bench_compare.py and plan-fact parsing in
+tools/explain_audit.py."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+import bench_compare  # noqa: E402
+from explain_audit import plan_facts  # noqa: E402
+
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+def test_load_queries_full_map(tmp_path):
+    p = _write(tmp_path, "full.json", {"queries": {"a": 1.5, "b": 0.25}, "sf": 0.1})
+    assert bench_compare.load_queries(p) == {"a": 1.5, "b": 0.25}
+
+
+def test_load_queries_tail_with_intact_map(tmp_path):
+    """A front-truncated wrapper whose tail still contains the whole
+    queries sub-object must be json-parsed — wrapper numerics like
+    "value"/"sf" never leak in as query timings."""
+    line = json.dumps(
+        {"metric": "m", "value": 9.9, "queries": {"q1": 1.0, "q2": 2.0}, "sf": 0.1}
+    )
+    p = _write(tmp_path, "tail.json", {"tail": line[20:]})
+    assert bench_compare.load_queries(p) == {"q1": 1.0, "q2": 2.0}
+
+
+def test_load_queries_tail_cut_into_map(tmp_path):
+    """Truncation into the map itself falls back to regex recovery
+    intersected with the real registry names: a fabricated name and the
+    trailing wrapper fields are both dropped."""
+    tail = '_fake": 1.0, "flagship_pricing_summary": 0.5}, "sf": 0.1, "reps": 3}'
+    p = _write(tmp_path, "cut.json", {"tail": tail})
+    got = bench_compare.load_queries(p)
+    assert got == {"flagship_pricing_summary": 0.5}
+
+
+_PLAN = """AdaptiveSparkPlan isFinalPlan=true
+(9) BroadcastHashJoin [codegen id : 2]
+(10) SortMergeJoin
+(12) Exchange
+Arguments: hashpartitioning(l_returnflag#8, 32), ENSURE_REQUIREMENTS
+(14) AQEShuffleRead
+Input [2]: [x, y]
+Arguments: coalesced
+(15) HashAggregate [codegen id : 3]
+(16) Scan parquet
+PushedFilters: [IsNotNull(l_orderkey)]
+(17) Scan parquet
+PushedFilters: []
+"""
+
+
+def test_plan_facts_parses_formatted_layout():
+    f = plan_facts(_PLAN)
+    assert f["joins"] == {"BroadcastHashJoin": 1, "SortMergeJoin": 1}
+    assert f["n_exchanges"] == 1  # counted via the Arguments: line
+    assert f["aqe_coalesced"] == 1
+    assert f["codegen_spans"] == 2
+    assert f["pushed_filters"] == 1  # the empty [] does not count
+    assert f["python_eval"] == 0
+    assert f["final_plan"] is True
+    assert f["aqe_skew_handled"] is False
