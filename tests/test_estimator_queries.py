@@ -204,3 +204,45 @@ def test_contrastive_pairs_stop_shingle_bounded(spark, tmp_path):
     assert r["n_anchors"] == 62
     # only the rare-shingle twins pair; the stop-shingle crowd does not
     assert r["n_with_positive"] == 2
+
+
+def test_importance_weights_ess_hand_corpus(spark, tmp_path):
+    """Kish ESS on a hand-computable 2-source corpus: 8 docs from A, 2
+    from B -> w_A = 10/(2*8) = 0.625, w_B = 10/(2*2) = 2.5,
+    ESS = k^2/(1/8 + 1/2) = 4/0.625 = 6.4, ess_frac = 0.64. Also the
+    structural invariants: sum of n_docs*w = N and ESS <= N."""
+    rows = [(i, f"doc {i}", "en", "A" if i < 8 else "B", 5) for i in range(10)]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["source"]: r
+        for r in EQ.docs_importance_weights_ess(spark, str(tmp_path)).collect()
+    }
+    assert got["A"]["weight"] == 0.625 and got["B"]["weight"] == 2.5
+    assert got["A"]["ess"] == 6.4
+    assert got["A"]["ess_frac"] == 0.64
+    n_total = sum(r["n_docs"] for r in got.values())
+    assert abs(sum(r["n_docs"] * r["weight"] for r in got.values()) - n_total) < 1e-6
+    assert got["A"]["ess"] <= n_total
+
+
+def test_quality_calibration_bins_partition_corpus(spark, sf_dir):
+    """The decile bins PARTITION the corpus (sum of n_docs equals the
+    table count — a doc on a boundary lands in exactly one bin), scores
+    and label fractions are valid, and bins come out ordered."""
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        load_star_table,
+    )
+
+    rows = EQ.docs_quality_calibration_bins(spark, sf_dir).collect()
+    n = load_star_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == sorted(buckets) and 0 <= buckets[0] <= buckets[-1] <= 9
+    for r in rows:
+        assert 0.0 <= r["frac_en"] <= 1.0
+        assert 0.0 <= r["mean_score"] <= 1.0
