@@ -235,10 +235,14 @@ def triangle_counts(
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # checkpoint the oriented adjacency: it feeds all THREE sides of the
+    # wedge/closure joins, and without the lineage cut each alias
+    # re-prints (and partially re-executes) the whole dedup+degree+join
+    # pipeline — the same O(1)-plan discipline as connected_components
     adj = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     a, b, c = adj.alias("a"), adj.alias("b"), adj.alias("c")
     triangles = (
         a.join(b, F.col("a.t") == F.col("b.s"))
@@ -250,10 +254,10 @@ def triangle_counts(
             F.col("a.s").alias("x"), F.col("a.t").alias("y"), F.col("b.t").alias("z")
         )
     )
-    corners = (
-        triangles.select(F.col("x").alias("node"))
-        .unionAll(triangles.select(F.col("y").alias("node")))
-        .unionAll(triangles.select(F.col("z").alias("node")))
+    # one explode credits all 3 corners in a single pass over the
+    # triangle set (a 3-way union would read the closure join 3 times)
+    corners = triangles.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
