@@ -277,3 +277,29 @@ def test_fk_audit_dimension_edges_broadcast(spark, sf_dir):
 
     plan = _plan(spark, SCQ.fk_integrity_audit(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3  # supplier/customer/nation edges
+
+
+def test_registry_wide_no_cartesian_no_stray_python(spark):
+    """The two audit rules (tools/explain_audit.py), codified over the
+    ENTIRE registry as built plans: no query may plan a CartesianProduct,
+    and Python-eval nodes may appear only in the documented
+    Arrow-batched operators. A new query that violates either fails here
+    before any driver round sees it."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import __spark_entry__ as entry
+    from explain_audit import EXPECTED_PYTHON_EVAL, plan_facts
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad_cartesian, bad_python = [], []
+    for name, fn in entry.queries().items():
+        plan = _plan(spark, fn(spark, sf_dir))
+        facts = plan_facts(plan)
+        if facts["joins"].get("CartesianProduct"):
+            bad_cartesian.append(name)
+        if facts["python_eval"] and name not in EXPECTED_PYTHON_EVAL:
+            bad_python.append(name)
+    assert bad_cartesian == [], bad_cartesian
+    assert bad_python == [], bad_python

@@ -47,35 +47,63 @@ EXPECTED_PYTHON_EVAL = {
 }
 
 
+_JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+#: Detail-section node header: ``(14) AQEShuffleRead [codegen id : 2]``.
+_NODE_RE = re.compile(r"^\((\d+)\) ([A-Za-z]+)", re.M)
+
+
+def _nodes(plan: str) -> dict[int, tuple[str, str]]:
+    """Unique plan nodes {id: (name, detail_block)} from the formatted
+    detail sections. Deduping by node id matters: adaptive plans print
+    reused query-stage subtrees repeatedly, so raw substring counts
+    overstate join/exchange counts several-fold (triangle counting
+    showed 308 'BroadcastHashJoin' strings for a plan with far fewer
+    distinct join nodes)."""
+    out: dict[int, tuple[str, str]] = {}
+    matches = list(_NODE_RE.finditer(plan))
+    for i, m in enumerate(matches):
+        nid, name = int(m.group(1)), m.group(2)
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(plan)
+        if nid not in out:
+            out[nid] = (name, plan[m.start() : end])
+    return out
+
+
 def plan_facts(plan: str) -> dict:
-    joins = {
-        k: len(re.findall(rf"\b{k}\b", plan))
-        for k in (
-            "BroadcastHashJoin",
-            "SortMergeJoin",
-            "ShuffledHashJoin",
-            "BroadcastNestedLoopJoin",
-            "CartesianProduct",
-        )
-    }
+    nodes = _nodes(plan)
+    names = [name for name, _ in nodes.values()]
+    joins = {k: names.count(k) for k in _JOIN_NODES}
     return {
         "joins": {k: v for k, v in joins.items() if v},
-        # formatted plans put the node name and its "Arguments:" detail
-        # on separate lines — match the detail lines directly
-        "aqe_coalesced": len(re.findall(r"Arguments: coalesced", plan)),
+        "aqe_coalesced": sum(
+            1
+            for name, detail in nodes.values()
+            if name == "AQEShuffleRead" and "Arguments: coalesced" in detail
+        ),
         "aqe_skew_handled": "skew=true" in plan,
-        "n_exchanges": len(
-            re.findall(r"Arguments: hashpartitioning\(", plan)
-        ),
+        "n_exchanges": names.count("Exchange"),
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
-        "python_eval": len(
-            re.findall(
-                r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
-                plan,
-            )
+        "python_eval": sum(
+            1
+            for name, _ in nodes.values()
+            if name
+            in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                "FlatMapGroupsInPandas")
         ),
-        "pushed_filters": len(
-            [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()]
+        "pushed_filters": sum(
+            1
+            for _, detail in nodes.values()
+            if any(
+                m.strip()
+                for m in re.findall(r"PushedFilters: \[([^\]]*)\]", detail)
+            )
         ),
         "final_plan": "isFinalPlan=true" in plan,
     }
