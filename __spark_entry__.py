@@ -65,6 +65,7 @@ _FIRST = [
     "docs_exact_substring_coverage",
     "docs_importance_weights_ess",
     "docs_quality_calibration_bins",
+    "docs_shard_plan",
     "dedup_lsh_band_sweep_xx",
     "events_quantile_sketch_audit",
     "a_approx_count_distinct",
@@ -95,8 +96,8 @@ _FIRST = [
     "docs_chunk_stats",
     "docs_equidepth_by_source",
     "docs_equidepth_histogram",
-    "docs_fightin_words_topk",
     # --- end of the 50-slot correctness window ---
+    "docs_fightin_words_topk",
     "docs_incremental_dedup_counts",
     "docs_lang_cap_counts",
     # Single-driver-round queries that didn't fit the window, oldest

@@ -35,6 +35,9 @@ deterministic total orders under LIMIT.
   ``docs_ngram_coverage_topk``: char-level L=40 window hashes stand in
   for the suffix array (equal windows ⇔ LCP ≥ L), merged-interval span
   coverage per doc, no pair join anywhere.
+- ``docs_shard_plan`` (round 5) — the file-layout step between packing
+  and the mixture plan: per-source running token offsets assign docs to
+  ~512-token output shards before any data moves.
 """
 
 from __future__ import annotations
@@ -997,8 +1000,11 @@ def docs_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: NO pair join anywhere — the posting explode is linear
     in corpus characters (~L bytes hashed per position, the price of
-    exactness; a stride-s variant detects only spans >= L+s-1 and cuts
-    it s-fold), duplicate detection is a map-side-combinable groupBy
+    exactness; NOTE a naive fixed stride-s emit does NOT soundly cut
+    this — strided windows in two copies only align when the copy
+    offsets agree mod s, so the robust cheap variant is content-defined
+    anchoring, i.e. the winnowing fingerprints already in
+    ``operators/dedup.py``), duplicate detection is a map-side-combinable groupBy
     count on the window hash, the postings->dup filter is an equi-join
     AQE can skew-split (a hot window like a boilerplate header lands on
     ONE reducer under the window-count alternative, which is why the
@@ -1066,4 +1072,88 @@ def docs_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+@register(
+    "docs_shard_plan",
+    """
+    WITH t AS (
+        SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), run AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start_off
+        FROM t
+    ), sharded AS (
+        SELECT source,
+               CAST(floor(start_off / 512.0) AS BIGINT) AS shard,
+               n_tokens
+        FROM run
+    )
+    SELECT source, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_tokens) / 512.0, 4) AS fill
+    FROM sharded GROUP BY source, shard
+    ORDER BY source, shard
+    """.format(toks=_TOKS),
+)
+def docs_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment plan for training-data export: within each
+    source (docs in doc_id order — the deterministic write order), docs
+    are packed into ~512-token shards by their RUNNING token offset —
+    ``shard = floor(start_offset / target)`` — so a shard closes as soon
+    as a doc starts past its boundary; per-(source, shard) doc/token
+    counts and fill factor. This is the file-layout planning step
+    between packing (``docs_pack_stats``) and the mixture plan: it says
+    how many output files a sink writes per source and how even they
+    are, BEFORE any data moves.
+
+    Scale shape: one scan to token counts, one per-source running-sum
+    window (bounded partitions — at 100 TB a giant source is salted
+    into sub-streams exactly like the salted aggs, or offsets come from
+    a range-partitioned prefix-sum), one (source, shard) aggregate.
+    All integer arithmetic; the single ROUND is the fill ratio of two
+    exact BIGINTs."""
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+
+    target = 512
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.lower(F.trim(F.col("text")))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = t.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    return (
+        run.select(
+            "source",
+            F.floor(F.col("start_off") / F.lit(target))
+            .cast("bigint")
+            .alias("shard"),
+            "n_tokens",
+        )
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(target)), 4).alias(
+                "fill"
+            ),
+        )
+        .orderBy("source", "shard")
     )

@@ -121,3 +121,47 @@ def test_exact_substring_coverage_no_pair_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "LeftSemi" in plan
+
+
+def test_shard_plan_partitions_corpus(spark, sf_dir):
+    """Shards partition the corpus exactly: per source the shard ids are
+    contiguous from 0, token/doc totals across shards equal the source
+    totals, and every shard but the last starts because the previous one
+    reached its boundary (its start offset = cumulative tokens before it
+    >= shard * target)."""
+    from pyspark.sql import functions as F2
+
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        load_star_table,
+    )
+
+    target = 512
+    rows = CQ.docs_shard_plan(spark, sf_dir).collect()
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+    d = load_star_table(spark, sf_dir, "documents")
+    want = {
+        r["source"]: (r["n"], r["tok"])
+        for r in d.groupBy("source")
+        .agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum(
+                F2.size(tokens_col(F2.lower(F2.trim(F2.col("text")))))
+            ).alias("tok"),
+        )
+        .collect()
+    }
+    assert set(per_source) == set(want)
+    for src, shards in per_source.items():
+        ids = [s["shard"] for s in shards]
+        assert ids == list(range(len(ids)))  # contiguous from 0
+        assert sum(s["n_docs"] for s in shards) == want[src][0]
+        assert sum(s["n_tokens"] for s in shards) == want[src][1]
+        # shard k>0 exists only because tokens before it crossed k*target
+        cum = 0
+        for s in shards:
+            if s["shard"] > 0:
+                assert cum >= s["shard"] * target
+            cum += s["n_tokens"]
