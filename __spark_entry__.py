@@ -41,8 +41,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: row yet — the 16 oracle-able round-4 additions (judge-verified green
 #: at sf0.01 in round 4), the round-5 additions
 #: (``docs_exact_substring_coverage``, ``docs_importance_weights_ess``,
-#: ``docs_quality_calibration_bins``), and the 4 rows-only-by-design
-#: queries — then fills the remaining slots with the oldest
+#: ``docs_quality_calibration_bins``, ``docs_shard_plan``,
+#: ``lang_id_kappa``, ``events_markov_transitions``), and the 4
+#: rows-only-by-design queries — then fills the remaining slots with the oldest
 #: single-round-evidenced queries (r1-only first) so they collect a
 #: second round of driver evidence.
 _FIRST = [
@@ -66,6 +67,8 @@ _FIRST = [
     "docs_importance_weights_ess",
     "docs_quality_calibration_bins",
     "docs_shard_plan",
+    "lang_id_kappa",
+    "events_markov_transitions",
     "dedup_lsh_band_sweep_xx",
     "events_quantile_sketch_audit",
     "a_approx_count_distinct",
@@ -94,9 +97,9 @@ _FIRST = [
     "docs_bm25_topk",
     "docs_bpe_first_merges",
     "docs_chunk_stats",
+    # --- end of the 50-slot correctness window ---
     "docs_equidepth_by_source",
     "docs_equidepth_histogram",
-    # --- end of the 50-slot correctness window ---
     "docs_fightin_words_topk",
     "docs_incremental_dedup_counts",
     "docs_lang_cap_counts",

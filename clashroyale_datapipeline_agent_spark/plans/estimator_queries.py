@@ -45,6 +45,10 @@ Round-5 wave:
 - ``docs_quality_calibration_bins`` — reliability diagram of a cheap
   quality/language scorer vs gold labels over equi-depth score deciles
   (boundary-broadcast binning, no global window).
+- ``lang_id_kappa`` — Cohen's chance-corrected agreement for the
+  lang-ID heuristic, derived from the confusion matrix it grades.
+- ``events_markov_transitions`` — first-order user-journey transition
+  matrix with a total (ts, event_id) sequence order.
 
 House cross-engine rules apply: md5-only hashing where the oracle must
 replay a hash, ROUND before float output, integer arithmetic for bucket
@@ -1381,4 +1385,150 @@ def docs_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("frac_en"),
         )
         .orderBy("bucket")
+    )
+
+
+from clashroyale_datapipeline_agent_spark.plans import text_queries as _tq  # noqa: E402
+from clashroyale_datapipeline_agent_spark.plans.star_queries import (  # noqa: E402
+    oracle_sql as _all_oracle_sql,
+)
+
+#: The lang-ID confusion query's own oracle SQL, reused verbatim as a CTE
+#: so the kappa audit can never drift from the confusion matrix it grades.
+_CONF_SQL = _all_oracle_sql()["lang_id_confusion"]
+
+
+@register(
+    "lang_id_kappa",
+    """
+    WITH conf AS ({conf}),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM conf),
+    agree AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN lang = lang_guess
+                                      THEN n_docs END), 0) AS BIGINT) AS a
+        FROM conf
+    ),
+    rows_ AS (SELECT lang, SUM(n_docs) AS r FROM conf GROUP BY lang),
+    cols AS (
+        SELECT lang_guess, SUM(n_docs) AS c FROM conf GROUP BY lang_guess
+    ),
+    pe AS (
+        SELECT CAST(COALESCE(SUM(r * c), 0) AS BIGINT) AS rc
+        FROM rows_ JOIN cols ON cols.lang_guess = rows_.lang
+    )
+    SELECT tot.n AS n_docs,
+           agree.a AS n_agree,
+           ROUND(agree.a / CAST(tot.n AS DOUBLE), 6) AS p_observed,
+           ROUND(pe.rc / (CAST(tot.n AS DOUBLE) * tot.n), 6) AS p_chance,
+           ROUND((agree.a / CAST(tot.n AS DOUBLE)
+                  - pe.rc / (CAST(tot.n AS DOUBLE) * tot.n))
+                 / (1 - pe.rc / (CAST(tot.n AS DOUBLE) * tot.n)),
+                 6) AS kappa
+    FROM tot, agree, pe
+    """.format(conf=_CONF_SQL),
+)
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the stopword-vote language-ID heuristic against
+    the gold ``lang`` label — chance-corrected agreement, the honest
+    summary a weak-labeler audit wants (raw accuracy flatters any
+    classifier on a skewed language mix): kappa = (p_o - p_e)/(1 - p_e)
+    with p_e from the row/column marginals of the confusion matrix.
+    Built ON the ``lang_id_confusion`` output (the Spark side calls that
+    query, the oracle inlines its SQL as a CTE), so this audit can never
+    drift from the matrix it grades; 'unknown' guesses count as a class
+    that never agrees.
+
+    Scale shape: everything downstream of the confusion matrix touches
+    (langs × guesses) rows — a broadcast-scalar combine of three 1-row
+    aggregates. All inputs are exact BIGINT counts; the three output
+    ratios are single fixed-shape double expressions rounded once."""
+    conf = _tq.lang_id_confusion(spark, sf_dir).localCheckpoint(eager=True)
+    tot = conf.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    agree = conf.filter(F.col("lang") == F.col("lang_guess")).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("a")
+    )
+    rows = conf.groupBy("lang").agg(F.sum("n_docs").alias("r"))
+    cols = conf.groupBy("lang_guess").agg(F.sum("n_docs").alias("c"))
+    pe = (
+        rows.join(cols, rows["lang"] == cols["lang_guess"])
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)))
+        .selectExpr("CAST(`coalesce(sum((r * c)), 0)` AS BIGINT) AS rc")
+    )
+    n = F.col("n").cast("double")
+    po = F.col("a") / n
+    pc = F.col("rc") / (n * F.col("n"))
+    return (
+        tot.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("a").alias("n_agree"),
+            F.round(po, 6).alias("p_observed"),
+            F.round(pc, 6).alias("p_chance"),
+            F.round((po - pc) / (F.lit(1) - pc), 6).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    totals AS (
+        SELECT prev_type, SUM(n) AS tot FROM counts GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           ROUND(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+    FROM counts c JOIN totals t USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the user-journey model behind next-action features and
+    behavioral-cohort analysis: for each (prev, next) event-type bigram,
+    its count and the row-conditional probability P(next | prev).
+    Sequence order is (ts, event_id) — the event_id tie-break makes the
+    per-user order TOTAL, so both engines see identical bigrams even
+    when timestamps collide.
+
+    Scale shape: one per-user lag window (the sessionization shuffle),
+    one (prev, next) aggregate over at most |event types|² rows, and the
+    row-normalizing totals join back at event-type grain (broadcast).
+    Counts are exact BIGINTs; the probability is a single division
+    rounded once."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
     )

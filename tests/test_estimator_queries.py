@@ -246,3 +246,44 @@ def test_quality_calibration_bins_partition_corpus(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["frac_en"] <= 1.0
         assert 0.0 <= r["mean_score"] <= 1.0
+
+
+def test_lang_id_kappa_consistent_with_confusion(spark, sf_dir):
+    """Kappa must be recomputable from the confusion matrix it grades:
+    replay p_o/p_e from lang_id_confusion's rows and match, and the
+    bounds hold (p_e in (0,1), kappa <= 1, kappa <= p_o when p_e > 0)."""
+    from clashroyale_datapipeline_agent_spark.plans.text_queries import (
+        lang_id_confusion,
+    )
+
+    r = EQ.lang_id_kappa(spark, sf_dir).collect()[0]
+    conf = lang_id_confusion(spark, sf_dir).collect()
+    n = sum(c["n_docs"] for c in conf)
+    agree = sum(c["n_docs"] for c in conf if c["lang"] == c["lang_guess"])
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for c in conf:
+        rows[c["lang"]] = rows.get(c["lang"], 0) + c["n_docs"]
+        cols[c["lang_guess"]] = cols.get(c["lang_guess"], 0) + c["n_docs"]
+    pe = sum(rows[k] * cols.get(k, 0) for k in rows) / (n * n)
+    po = agree / n
+    assert r["n_docs"] == n and r["n_agree"] == agree
+    assert abs(r["p_observed"] - round(po, 6)) < 1e-9
+    assert abs(r["p_chance"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-6
+    assert 0 < r["p_chance"] < 1 and r["kappa"] <= 1
+
+
+def test_markov_transitions_row_stochastic(spark, sf_dir):
+    """Per prev_type the transition probabilities sum to ~1 (row-
+    stochastic up to per-cell rounding) and counts are positive."""
+    rows = EQ.events_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    cells: dict[str, int] = {}
+    for r in rows:
+        assert r["n"] > 0 and 0 < r["p"] <= 1
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+        cells[r["prev_type"]] = cells.get(r["prev_type"], 0) + 1
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) <= cells[prev] * 5e-7  # rounding slack
