@@ -55,16 +55,24 @@ def test_mixture_plan_is_aggregate_only(spark, sf_dir):
 def test_s7_env_config_source(spark):
     """S7 — the session IS the env/config source: get_spark is
     idempotent (getOrCreate) and the scale-relevant confs from
-    session.py survive into the live session."""
-    again = get_spark("s7-reuse")
+    session.py survive into the live session.
+
+    The reuse call passes the session's CURRENT shuffle-partition count
+    back in: getOrCreate applies builder configs to an existing
+    session's runtime conf, so a bare ``get_spark()`` here would
+    silently flip the shared test session from the conftest's 8
+    partitions to the 32 default MID-SUITE — every later test would
+    then run under different partial-aggregation partitioning than it
+    does in isolation (a flake vector, not a hypothetical)."""
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    again = get_spark("s7-reuse", shuffle_partitions=before)
     assert again is spark  # same JVM session, not a second context
     conf = spark.conf
     assert conf.get("spark.sql.adaptive.enabled") == "true"
     assert conf.get("spark.sql.parquet.filterPushdown") == "true"
     assert int(conf.get("spark.sql.files.maxPartitionBytes")) == 128 * 1024 * 1024
-    # shuffle partitions honor $SPARK_GRAFT_CPUS (default 32)
-    expect = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
-    assert int(conf.get("spark.sql.shuffle.partitions")) == expect
+    # the reuse call left the live session's partitioning untouched
+    assert int(conf.get("spark.sql.shuffle.partitions")) == before
 
 
 def test_ann_recall_probe_set_broadcasts(spark, sf_dir):
