@@ -1,11 +1,15 @@
-"""Scaling probe: time the flagship aggregation AND the MinHash-LSH dedup
-pipeline at 1x/4x/16x the sf0.1 volume (duplicated with perturbed keys into
-/tmp parquet) and report rows/sec. Linear wall-clock growth (flat rows/sec)
-demonstrates the plans have no super-linear term — the local proxy for the
-100 TB claim. The dedup probe matters separately: its candidate self-join
-is the one plan whose cost COULD go quadratic if banding were wrong.
+"""Scaling probe: time the flagship aggregation, the MinHash-LSH dedup
+pipeline, and the exact-substring span-coverage pipeline at 1x/4x/16x the
+sf0.1 volume (duplicated with perturbed keys into /tmp parquet) and report
+rows/sec. Linear wall-clock growth (flat rows/sec) demonstrates the plans
+have no super-linear term — the local proxy for the 100 TB claim. The
+dedup and substring probes matter separately: their duplicate-detection
+paths are the plans whose cost COULD go quadratic if the banding (dedup)
+or the no-pair-join shape (substring) were wrong — the substring probe
+replicates docs EXACTLY, so every window is duplicated mult-fold and
+duplicate handling carries its worst-case load.
 
-    python tools/scale_probe.py [flagship|dedup]
+    python tools/scale_probe.py [flagship|dedup|substring]
 """
 
 from __future__ import annotations
@@ -118,9 +122,56 @@ def main_dedup() -> None:
     )
 
 
+def main_substring() -> None:
+    from pyspark.sql import functions as F
+
+    from clashroyale_datapipeline_agent_spark.plans.curation_queries import (
+        docs_exact_substring_coverage,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+    from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+    spark = get_spark("scale-probe-substring")
+    base = load_star_table(spark, "/root/testdata/sf0.1", "documents")
+
+    tmp = Path(tempfile.mkdtemp(prefix="scale_probe_substr_"))
+    results = []
+    for mult in (1, 4, 16):
+        path = tmp / f"x{mult}" / "documents.parquet"
+        (
+            base.crossJoin(spark.range(mult).select(F.col("id").alias("_rep")))
+            .withColumn("doc_id", F.col("doc_id") * mult + F.col("_rep"))
+            # EXACT replicas: every 40-char window becomes duplicated, so
+            # the dup-detection agg and semi-join carry worst-case load
+            .drop("_rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(str(path))
+        )
+        sf_dir = str(tmp / f"x{mult}")
+        n = spark.read.parquet(str(path)).count()
+        docs_exact_substring_coverage(spark, sf_dir).count()  # warm
+        t0 = time.perf_counter()
+        docs_exact_substring_coverage(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        results.append((mult, n, dt, int(n / dt)))
+        print(
+            f"x{mult:<3d} docs={n:>8,d}  wall={dt:6.2f}s"
+            f"  docs/sec={int(n/dt):,}"
+        )
+
+    r1, r16 = results[0][3], results[-1][3]
+    print(
+        f"\nthroughput ratio x16/x1 = {r16 / r1:.2f} "
+        "(>= ~0.7 means the no-pair-join span pipeline stayed near-linear)"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "flagship"
     if which == "dedup":
         main_dedup()
+    elif which == "substring":
+        main_substring()
     else:
         main()
