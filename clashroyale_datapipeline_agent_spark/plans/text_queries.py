@@ -2437,7 +2437,7 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.source,
            t.n AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_langs,
-           ROUND(1.0 - SUM((CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n)),
+           ROUND(1.0 - SUM(c * c) / (CAST(t.n AS DOUBLE) * t.n),
                  4) AS gini_impurity
     FROM cl JOIN tot t ON t.source = cl.source
     GROUP BY t.source, t.n
@@ -2450,7 +2450,14 @@ def docs_source_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is libm-dependent cross-engine, Gini is pure multiply/add). The mix
     report a training-data pipeline checks before weighting sources.
     Scale shape: one (source, lang) count shuffle (map-side combined),
-    then a bounded re-agg; totals join as a broadcast."""
+    then a bounded re-agg; totals join as a broadcast.
+
+    Determinism: Σ pᵢ² is computed as exact-BIGINT Σ cᵢ² divided ONCE by
+    n² — the earlier float form SUM((c/n)²) was addition-order-dependent
+    and flipped the 4th output decimal between runs whenever the true
+    value sat near a rounding boundary (caught by the gnarly-whitespace
+    differential as a ~1-in-3 flake). Exact while per-(source, lang)
+    counts stay below ~3·10⁹ (c² within BIGINT)."""
     d = _t(spark, sf_dir, "documents")
     cl = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -2458,13 +2465,17 @@ def docs_source_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cl.groupBy(F.col("source").alias("t_source")).agg(
         F.sum("c").cast("bigint").alias("n")
     )
-    p = F.col("c").cast("double") / F.col("n")
     return (
         cl.join(F.broadcast(tot), F.col("t_source") == F.col("source"))
         .groupBy("source", "n")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_langs"),
-            F.round(F.lit(1.0) - F.sum(p * p), 4).alias("gini_impurity"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("c") * F.col("c"))
+                / (F.col("n").cast("double") * F.col("n")),
+                4,
+            ).alias("gini_impurity"),
         )
         .select(
             "source",
