@@ -69,6 +69,7 @@ _FIRST = [
     "docs_shard_plan",
     "lang_id_kappa",
     "events_markov_transitions",
+    "lineitem_open_census_topk",
     "dedup_lsh_band_sweep_xx",
     "events_quantile_sketch_audit",
     "a_approx_count_distinct",
@@ -96,8 +97,8 @@ _FIRST = [
     "dedup_lsh_band_sweep",
     "docs_bm25_topk",
     "docs_bpe_first_merges",
-    "docs_chunk_stats",
     # --- end of the 50-slot correctness window ---
+    "docs_chunk_stats",
     "docs_equidepth_by_source",
     "docs_equidepth_histogram",
     "docs_fightin_words_topk",

@@ -888,3 +888,102 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .orderBy(F.asc("s_name"), F.asc("s_suppkey"))
     )
+
+
+@register(
+    "lineitem_open_census_topk",
+    """
+    WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS sd,
+               CAST(l.l_shipdate AS DATE) AS ed
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+          AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+    ), deltas AS (
+        SELECT d,
+               CAST(SUM(starts) AS BIGINT) AS n_started,
+               CAST(SUM(ships) AS BIGINT) AS n_shipped
+        FROM (
+            SELECT sd AS d, 1 AS starts, 0 AS ships FROM iv
+            UNION ALL
+            SELECT ed AS d, 0 AS starts, 1 AS ships FROM iv
+        ) GROUP BY d
+    ), census AS (
+        SELECT d, n_started, n_shipped,
+               CAST(SUM(n_started - n_shipped) OVER (
+                   ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_open
+        FROM deltas
+    )
+    SELECT d AS census_date, n_started, n_shipped, n_open
+    FROM census
+    ORDER BY n_open DESC, census_date ASC
+    LIMIT 10
+    """,
+)
+def lineitem_open_census_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval census via boundary prefix-sums: for every calendar day,
+    how many order lines are OPEN (ordered but not yet shipped) — the
+    top-10 backlog-peak days. A line is open on day d iff
+    o_orderdate <= d and l_shipdate > d (inverted ship-before-order
+    rows are excluded as data errors), so each interval contributes
+    two boundary events (+1 at its start date, -1 at its ship date) and
+    the running sum of per-day deltas IS the census — no day-by-interval
+    range join anywhere.
+
+    This is the scalable alternative to the range-join formulation
+    (date spine x intervals): the event aggregate is map-side
+    combinable over the fact table, and the cumulative window runs over
+    the DATE DOMAIN (~2.5k rows for 7 years) rather than the data — an
+    unpartitioned window bounded by the calendar, not the corpus. Same
+    trick as concurrent-sessions / max-overlap census at any scale.
+    Same-day order+ship counts as closed by end of day (n_open is the
+    end-of-day census). All integer arithmetic; ties in the top-10
+    break by date."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.to_date("o_orderdate").alias("sd"),
+            F.to_date("l_shipdate").alias("ed"),
+        )
+        # inverted intervals (shipped before ordered — present in the
+        # synthetic fixture) would push their -1 boundary ahead of the
+        # +1 and corrupt the running census; they are data errors and
+        # are excluded identically in both engines
+        .filter(F.col("ed") >= F.col("sd"))
+    )
+    deltas = (
+        iv.select(F.col("sd").alias("d"), F.lit(1).alias("starts"), F.lit(0).alias("ships"))
+        .unionAll(
+            iv.select(F.col("ed").alias("d"), F.lit(0), F.lit(1))
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("starts").cast("bigint").alias("n_started"),
+            F.sum("ships").cast("bigint").alias("n_shipped"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    census = deltas.select(
+        "d",
+        "n_started",
+        "n_shipped",
+        F.sum(F.col("n_started") - F.col("n_shipped"))
+        .over(w)
+        .cast("bigint")
+        .alias("n_open"),
+    )
+    return (
+        census.select(
+            F.col("d").alias("census_date"), "n_started", "n_shipped", "n_open"
+        )
+        .orderBy(F.desc("n_open"), F.asc("census_date"))
+        .limit(10)
+    )

@@ -65,3 +65,33 @@ def test_q2_window_ranks_inside_broadcast_candidates(spark, sf_dir):
     plan = _plan(spark, TQ.q2_best_supplier_per_part(spark, sf_dir))
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_open_census_matches_direct_count(spark, sf_dir):
+    """The boundary prefix-sum census must equal the direct definition:
+    for the reported peak day d, n_open == count of lines with
+    o_orderdate <= d AND l_shipdate > d (same-day ship counts closed).
+    The census computes this WITHOUT a day-by-interval range join; the
+    direct count here is the (unscalable) ground truth."""
+    from pyspark.sql import functions as F2
+
+    from clashroyale_datapipeline_agent_spark.plans import tpch_extra as TE
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        load_star_tables,
+    )
+
+    rows = TE.lineitem_open_census_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["n_open"] >= rows[-1]["n_open"] for r in rows)
+    t = load_star_tables(spark, sf_dir, "lineitem", "orders")
+    iv = t["lineitem"].join(
+        t["orders"],
+        t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"],
+    ).filter(F2.to_date("l_shipdate") >= F2.to_date("o_orderdate"))
+    for r in rows[:3]:
+        d = r["census_date"]
+        direct = iv.filter(
+            (F2.to_date("o_orderdate") <= F2.lit(d))
+            & (F2.to_date("l_shipdate") > F2.lit(d))
+        ).count()
+        assert direct == r["n_open"], (d, direct, r["n_open"])
