@@ -303,3 +303,38 @@ def test_registry_wide_no_cartesian_no_stray_python(spark):
             bad_python.append(name)
     assert bad_cartesian == [], bad_cartesian
     assert bad_python == [], bad_python
+
+
+def test_float_rounded_queries_stable_across_reruns(spark):
+    """Determinism insurance for the source-Gini flake class: every
+    query whose oracle SQL ROUNDs a SUM/AVG (the shape where Spark's
+    partial-aggregation merge order can flip a stored decimal) is run
+    twice and must produce identical values. tools/determinism_sweep.py
+    is the full-registry, higher-rep version; this keeps the guard in
+    the default test run."""
+    import re
+
+    import __spark_entry__ as entry
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            out.append(tuple((k, repr(d[k])) for k in sorted(d)))
+        return sorted(out)
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    risky = [
+        n
+        for n, sql in entry.oracle_sql().items()
+        if re.search(r"ROUND\(\s*-?\s*(SUM|AVG)\(", sql)
+    ]
+    assert len(risky) >= 10  # the guard covers a real population
+    unstable = []
+    for name in risky:
+        a = canon(qs[name](spark, sf_dir).collect())
+        b = canon(qs[name](spark, sf_dir).collect())
+        if a != b:
+            unstable.append(name)
+    assert unstable == [], unstable
