@@ -145,3 +145,75 @@ def session_aggregator(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+TRANSITION_OUT_SCHEMA = "user_id bigint, prev_type string, next_type string"
+TRANSITION_STATE_SCHEMA = "last_ms bigint, last_id bigint, last_type string"
+
+
+def transition_emitter(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user event-bigram emitter — the streaming twin of
+    ``events_markov_transitions``'s lag window (which cannot stream:
+    ``lag`` needs the whole partition). Each user's LAST
+    (ts, event_id, event_type) lives in the state store; every
+    micro-batch sorts the user's new events by (ts, event_id), stitches
+    the stored last event in front, and emits one
+    (user_id, prev_type, next_type) row per adjacency. Downstream, an
+    ordinary streaming ``groupBy(prev, next).count`` (or a foreachBatch
+    counter merge — bigram counts are trivially mergeable) maintains the
+    transition matrix incrementally.
+
+    State is ONE row per user (three scalars), not a buffer — bounded by
+    the user population regardless of event volume. Cross-batch
+    correctness needs per-user event-time-ordered arrival (the landed
+    raw zone's contract, same as the interval-join composition); within
+    a batch any order is fine because the batch is sorted before
+    stitching. Equivalence to the batch lag window is pinned in
+    ``tests/test_streaming.py`` over multiple micro-batches."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # NoTimeout configured; defensive
+            return
+        df = pd.concat(list(pdfs))
+        if df.empty:
+            return
+        df = df.sort_values([ts_col, "event_id"])
+        if state.exists:
+            _last_ms, _last_id, last_type = state.get
+        else:
+            last_type = None
+        rows: list[dict] = []
+        last_ms = last_id = 0
+        for t, eid, et in zip(df[ts_col], df["event_id"], df["event_type"]):
+            if last_type is not None:
+                rows.append(
+                    {
+                        "user_id": key[0],
+                        "prev_type": last_type,
+                        "next_type": et,
+                    }
+                )
+            last_type = et
+            last_ms = int(pd.Timestamp(t).value // 1_000_000)
+            last_id = int(eid)
+        state.update((last_ms, last_id, last_type))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return events.select("user_id", ts_col, "event_id", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_OUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

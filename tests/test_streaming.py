@@ -581,3 +581,77 @@ def test_pipeline_landed_jsonl_interval_join_decayed_counts(spark, tmp_path):
     assert counters == want
     assert set(counters) == {0, 1, 2}
     assert all(c[0] == 3 for c in counters.values())  # 1 conversion/day
+
+
+def test_transition_emitter_stream_matches_batch_lag(spark, tmp_path):
+    """The stateful bigram emitter must reproduce the batch lag window's
+    (prev, next) counts exactly across micro-batch boundaries — the
+    stitch between a user's last event in batch k and first event in
+    batch k+1 is the case a naive per-batch lag silently drops."""
+    import os
+
+    from pyspark.sql import Window
+
+    from clashroyale_datapipeline_agent_spark.streaming.stateful import (
+        transition_emitter,
+    )
+
+    src = tmp_path / "landed_mk"
+    src.mkdir()
+    kinds = ["view", "click", "purchase"]
+    eid = 0
+    for day in (1, 2, 3):
+        rows = []
+        for u in range(4):
+            for j in range(5):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": f"2024-02-{day:02d}T0{j}:0{u}:00.000Z",
+                        "user_id": u,
+                        "event_type": kinds[(u + j + day) % 3],
+                        "value": 1.0,
+                    }
+                )
+                eid += 1
+        _write_batch(src, rows, f"day{day}")
+        t = 1_710_000_000 + day * 60
+        os.utime(f"{src}/day{day}.json", (t, t))
+
+    got: dict[tuple, int] = {}
+
+    def fold(batch_df, epoch_id):
+        for r in batch_df.collect():
+            k = (r["prev_type"], r["next_type"])
+            got[k] = got.get(k, 0) + 1
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        transition_emitter(stream)
+        .writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = spark.read.schema(SCHEMA).json(str(src))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want_rows = (
+        batch.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .count()
+        .collect()
+    )
+    want = {(r["prev_type"], r["next_type"]): r["count"] for r in want_rows}
+    assert got == want
+    # 4 users x (15 events - 1) adjacencies each = 56 bigrams total,
+    # including the 8 batch-boundary stitches a per-batch lag would drop
+    assert sum(got.values()) == 4 * 14
