@@ -59,6 +59,26 @@ def main() -> int:
         except Exception as exc:
             unstable[name] = f"ERROR {type(exc).__name__}: {exc}"[:300]
     checked = len(names) if names else len(qs)
+    # record the run as an artifact: each sweep appends its verdict so
+    # the stability evidence accumulates across sf dirs / rep counts
+    import json
+
+    art = Path(__file__).resolve().parents[1] / "DETERMINISM.json"
+    runs = []
+    if art.exists():
+        try:
+            runs = json.loads(art.read_text()).get("runs", [])
+        except ValueError:
+            runs = []
+    runs.append(
+        {
+            "sf_dir": sf_dir,
+            "reps": reps,
+            "checked": checked,
+            "unstable": unstable,
+        }
+    )
+    art.write_text(json.dumps({"runs": runs[-20:]}, indent=1))
     if unstable:
         for n, d in unstable.items():
             print(f"UNSTABLE {n} :: {d}")
