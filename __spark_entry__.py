@@ -70,6 +70,7 @@ _FIRST = [
     "lang_id_kappa",
     "events_markov_transitions",
     "lineitem_open_census_topk",
+    "orders_brand_basket_lift_topk",
     "dedup_lsh_band_sweep_xx",
     "events_quantile_sketch_audit",
     "a_approx_count_distinct",
@@ -96,8 +97,8 @@ _FIRST = [
     "decontaminate_ngram_overlap",
     "dedup_lsh_band_sweep",
     "docs_bm25_topk",
-    "docs_bpe_first_merges",
     # --- end of the 50-slot correctness window ---
+    "docs_bpe_first_merges",
     "docs_chunk_stats",
     "docs_equidepth_by_source",
     "docs_equidepth_histogram",

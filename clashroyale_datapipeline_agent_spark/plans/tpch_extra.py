@@ -987,3 +987,92 @@ def lineitem_open_census_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_open"), F.asc("census_date"))
         .limit(10)
     )
+
+
+@register(
+    "orders_brand_basket_lift_topk",
+    """
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM b
+    ), freq AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, c.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
+        GROUP BY a.brand, c.brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_both,
+           fa.c AS n_a, fb.c AS n_b,
+           ROUND(CAST(n.n_orders AS DOUBLE) * p.n_both / (fa.c * fb.c), 4)
+               AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.brand = p.brand_a
+    JOIN freq fb ON fb.brand = p.brand_b
+    CROSS JOIN n
+    ORDER BY p.n_both DESC, p.brand_a ASC, p.brand_b ASC
+    LIMIT 20
+    """,
+)
+def orders_brand_basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the itemset-mining shape
+    the registry lacked: top-20 part-BRAND pairs appearing in the same
+    order, with lift = N·c_ab/(c_a·c_b) (>1 ⇔ the brands co-occur more
+    than independence predicts). Brand grain keeps the pair vocabulary
+    bounded (25 brands → ≤300 pair keys) where raw part pairs would be
+    sparse noise.
+
+    Scale shape: the dimension join broadcasts; the basket table is
+    DISTINCT (order, brand) — ≤ brands-per-order rows per order; the
+    pair generator self-joins ON THE ORDER KEY, so fan-out per order is
+    C(brands_in_order, 2) ≤ C(7,2), bounded by order width, never by
+    corpus size (the same bounded-bucket rule as every dedup pair join).
+    Counts are exact BIGINTs; lift is one fixed-shape ratio rounded at
+    output; top-20 ties break on the pair key."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds N, freq, and both join sides
+    )
+    n = b.agg(F.countDistinct("okey").cast("bigint").alias("n_orders"))
+    freq = b.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.okey") == F.col("c.okey"))
+            & (F.col("a.brand") < F.col("c.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("c.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    fa = freq.select(F.col("brand").alias("brand_a"), F.col("c").alias("n_a"))
+    fb = freq.select(F.col("brand").alias("brand_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_orders").cast("double")
+                * F.col("n_both")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(20)
+    )
