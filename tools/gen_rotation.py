@@ -1,0 +1,83 @@
+"""Regenerate the registry rotation lists from the driver artifact union.
+
+The driver's CORRECTNESS window records exactly the first 50 registered
+queries each round, and its truncated BENCH tail retains the reversed
+head — so registry order decides which queries gather fresh evidence.
+This tool reads every ``CORRECTNESS_r*.json`` and prints the
+``_FIRST`` / ``_LAST`` python literals for ``__spark_entry__.py``:
+
+- ``_FIRST`` leads with queries that have NO driver row yet (new this
+  round), then single-round-evidenced queries oldest-round-first, so
+  the 50-slot window re-evidences the stalest claims.
+- ``_LAST`` is everything evidenced in >= 2 driver rounds.
+
+A rows-only record (``err == 'no_oracle'`` with ``spark_rows > 0``)
+counts as evidence: the driver executed the query on that round's code.
+
+Usage:  python tools/gen_rotation.py [--new name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def evidence_rounds(repo: str) -> dict[str, list[int]]:
+    ev: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, rec in data.items():
+            green = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
+            )
+            if green:
+                ev.setdefault(name, []).append(rnd)
+    return ev
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--new", nargs="*", default=[], help="names with no driver row yet, forced to the window head")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ev = evidence_rounds(repo)
+
+    import __spark_entry__ as e  # noqa: PLC0415
+
+    reg = list(e.queries().keys())
+    zero = [n for n in reg if not ev.get(n)]
+    # honor --new ordering first, then any other zero-evidence names
+    head = [n for n in args.new if n in reg] + sorted(n for n in zero if n not in args.new)
+    one = sorted((n for n in reg if len(ev.get(n, [])) == 1), key=lambda n: (ev[n][0], n))
+    multi = sorted(n for n in reg if len(ev.get(n, [])) >= 2)
+
+    first = head + one
+    window = first[:50]
+    print(f"# window of 50: {len([n for n in window if not ev.get(n)])} no-row, "
+          f"{len(window) - len([n for n in window if not ev.get(n)])} single-round "
+          f"(oldest round {min((ev[n][0] for n in window if ev.get(n)), default='-')})", file=sys.stderr)
+
+    def emit(name: str, names: list[str], marker: int | None = None) -> None:
+        print(f"{name} = [")
+        for i, n in enumerate(names):
+            if marker is not None and i == marker:
+                print("    # --- end of the 50-slot correctness window ---")
+            print(f'    "{n}",')
+        print("]")
+
+    emit("_FIRST", first, marker=50)
+    print()
+    emit("_LAST", multi)
+
+
+if __name__ == "__main__":
+    main()
