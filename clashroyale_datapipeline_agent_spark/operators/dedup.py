@@ -19,7 +19,7 @@ Spark and DuckDB); ``xxhash64`` is the fast path for production use.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clashroyale_datapipeline_agent_spark.operators.text import md5_fingerprint_col
@@ -104,12 +104,28 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via banded MinHash LSH.
 
     rows_per_band = num_hashes // bands. Two docs collide iff some band of
     their signatures is identical. The band explode emits ``bands`` rows per
     doc; the self-join groups by (band, band_sig) — no cross product.
+
+    ``max_bucket`` caps the one residual super-linear term: a mega-cluster
+    of m near-identical docs (mirrors, boilerplate spam — routine in web
+    crawls) collides in EVERY band and the bucket self-join emits
+    O(bands * m^2) pairs. With the cap, any (band, band_sig) bucket larger
+    than ``max_bucket`` is diverted to a STAR: each member pairs only with
+    the bucket representative (its min id), O(m) edges. Members of an
+    over-full bucket share an entire band signature (r identical minhash
+    minima), i.e. exact-dup-grade similarity, so star edges preserve
+    connected-component cluster membership; only the clique's redundant
+    edges are dropped. The trade: a downstream pairwise verify sees one
+    edge per member instead of all m^2, so a (vanishingly rare) band-hash
+    collision inside a mega-bucket can sever a member that some other
+    clique edge would have kept. Default ``None`` = uncapped, bit-for-bit
+    the historical behavior.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -127,9 +143,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    if max_bucket is not None:
+        # One window over the SAME (band, band_sig) key the join shuffles
+        # on — no extra shuffle beyond what the capped branch saves.
+        w = Window.partitionBy("band", "band_sig")
+        banded = banded.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+            "_rep", F.min("id").over(w)
+        )
+        small = banded.filter(F.col("_n") <= max_bucket).drop("_n", "_rep")
+        star = (
+            banded.filter((F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep")))
+            .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    else:
+        small, star = banded, None
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -137,8 +167,10 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(

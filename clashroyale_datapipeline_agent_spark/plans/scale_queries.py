@@ -1426,6 +1426,71 @@ def dedup_lsh_band_sweep_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_sweep(spark, sf_dir, minh, F.lit(True))
 
 
+@register("dedup_lsh_bucket_cap_audit", None)  # rows-only: xxhash64 signatures
+def dedup_lsh_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size census behind ``lsh_candidate_pairs(max_bucket=...)``
+    (`operators/dedup.py:99`): per (band, band_sig) bucket of the
+    production xxhash64 banding, the pair volume the self-join WOULD
+    emit (sum of C(n,2)) versus what the star-divert cap emits (C(n,2)
+    for n <= cap, else n-1 star edges), for cap in {8, 32, 128}. Pure
+    two-level aggregation — bucket sizes need no pair join at all, so
+    the audit itself is linear and safe to run on any corpus slice. At
+    100 TB this census is the pre-flight that picks the cap: run it
+    first, read ``pairs_capped`` vs ``pairs_uncapped``, then launch the
+    dedup with a cap the verify stage can afford. A mega-cluster of m
+    mirrors shows up here as max_bucket_size ~ m and a pairs_uncapped
+    term of m^2/2 that the capped column replaces with m-1. Invariants
+    (capped <= uncapped, star census matches the operator's real output
+    on a synthetic mega-cluster) are pinned in
+    ``tests/test_scale_ops.py``."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        minhash_signature,
+        shingles_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_hashes, bands = 16, 8
+    r = n_hashes // bands
+    sig = minhash_signature(shingles_col(F.col("text")), n_hashes)
+    banded = docs.select(F.col("doc_id").alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.slice("sig", b * r + 1, r).alias("band_sig")
+                ),
+            )
+        ).alias("bb"),
+    )
+    sizes = banded.groupBy("bb.band", "bb.band_sig").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = F.col("n") * (F.col("n") - 1) / 2
+    caps = sizes.select(
+        "n", pairs.alias("uncapped"), F.explode(F.array(*[F.lit(c) for c in (8, 32, 128)])).alias("cap")
+    )
+    return (
+        caps.groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket_size"),
+            F.sum(F.when(F.col("n") > F.col("cap"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oversize_buckets"),
+            F.sum("uncapped").cast("bigint").alias("pairs_uncapped"),
+            F.sum(
+                F.when(F.col("n") > F.col("cap"), F.col("n") - 1).otherwise(
+                    F.col("uncapped")
+                )
+            )
+            .cast("bigint")
+            .alias("pairs_capped"),
+        )
+        .orderBy("cap")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic weighted priority sample (length-weighted training mix)
 # ---------------------------------------------------------------------------

@@ -379,3 +379,80 @@ def test_hll_intersection_sane(spark):
     r = scale_queries.events_hll_intersection(spark, SF_DIR_ORACLE).first()
     assert r.exact_intersection > 0
     assert r.est_intersection >= r.exact_intersection
+
+
+# ---------------------------------------------------------------------------
+# LSH per-bucket cap (mega-duplicate-cluster guard)
+# ---------------------------------------------------------------------------
+
+def _mega_docs(spark, m=12, distinct=6):
+    """m byte-identical docs (one mega LSH bucket per band) + distinct docs."""
+    mega = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(m)]
+    uniq = [
+        (100 + j, f"completely different document number {j} with words {j*7} {j*13} unique")
+        for j in range(distinct)
+    ]
+    return spark.createDataFrame(mega + uniq, "doc_id long, text string")
+
+
+def test_lsh_bucket_cap_star_divert(spark):
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_lsh_dedup,
+    )
+
+    docs = _mega_docs(spark, m=12)
+    kw = dict(num_hashes=16, bands=8)
+    uncapped = lsh_candidate_pairs(docs, **kw)
+    capped = lsh_candidate_pairs(docs, max_bucket=4, **kw)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # clique: C(12,2)=66 mega pairs (plus any distinct-doc collisions);
+    # star: 11 edges to the representative.
+    assert n_un >= 66
+    assert n_cap < n_un
+    mega_capped = capped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100))
+    rows = mega_capped.collect()
+    assert len(rows) == 11
+    assert all(r.id_a == 0 for r in rows)  # star centre = min id
+    # cluster membership is preserved: the dedup keeps exactly one of the
+    # mega cluster either way, and the same survivor set overall.
+    kept_un = {r.doc_id for r in minhash_lsh_dedup(docs, threshold=0.8, **kw).collect()}
+    kept_cap = {
+        r.doc_id
+        for r in minhash_lsh_dedup(docs, threshold=0.8, max_bucket=4, **kw).collect()
+    }
+    assert kept_un == kept_cap
+    assert len(kept_cap & set(range(12))) == 1
+
+
+def test_lsh_bucket_cap_none_is_identity(spark):
+    from clashroyale_datapipeline_agent_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _mega_docs(spark, m=5)
+    kw = dict(num_hashes=16, bands=8)
+    a = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, **kw).collect()}
+    b = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, max_bucket=None, **kw).collect()}
+    assert a == b
+
+
+def test_lsh_bucket_cap_audit_matches_operator(spark):
+    """The census formula (C(n,2) vs star n-1) matches the real operator
+    output on the synthetic mega-cluster, per band-bucket arithmetic."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _mega_docs(spark, m=10, distinct=4)
+    capped = lsh_candidate_pairs(docs, max_bucket=4, num_hashes=16, bands=8)
+    mega = capped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100))
+    assert mega.count() == 9  # n-1 star edges, dedup'd across all 8 bands
+
+
+def test_lsh_bucket_cap_audit_query(spark):
+    out = scale_queries.dedup_lsh_bucket_cap_audit(spark, SF_DIR)
+    rows = out.collect()
+    assert [r.cap for r in rows] == [8, 32, 128]
+    for r in rows:
+        assert r.pairs_capped <= r.pairs_uncapped
+        assert r.oversize_buckets >= 0
+    # monotone: a looser cap diverts fewer buckets, emits >= as many pairs
+    assert rows[0].pairs_capped <= rows[1].pairs_capped <= rows[2].pairs_capped
+    assert rows[0].oversize_buckets >= rows[1].oversize_buckets >= rows[2].oversize_buckets

@@ -167,10 +167,63 @@ def main_substring() -> None:
     )
 
 
+def main_dedup_worstcase() -> None:
+    """Mega-duplicate-cluster probe: replicate the corpus with EXACT text
+    (no perturbation), so every LSH band bucket of a duplicated doc grows
+    mult-fold and the uncapped candidate join would go quadratic in mult.
+    With ``max_bucket`` the star-divert keeps candidate volume linear —
+    docs/sec should stay near-flat across 1x/4x/16x, which is the local
+    proof that one boilerplate mega-cluster cannot sink a 100 TB run."""
+    from pyspark.sql import functions as F
+
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+    from clashroyale_datapipeline_agent_spark.sources.readers import load_star_table
+
+    spark = get_spark("scale-probe-dedup-worstcase")
+    base = load_star_table(spark, "/root/testdata/sf0.1", "documents")
+
+    tmp = Path(tempfile.mkdtemp(prefix="scale_probe_dedup_wc_"))
+    results = []
+    for mult in (1, 4, 16):
+        path = tmp / f"x{mult}"
+        (
+            base.crossJoin(spark.range(mult).select(F.col("id").alias("_rep")))
+            .withColumn("doc_id", F.col("doc_id") * mult + F.col("_rep"))
+            # EXACT replicas: every doc becomes a mult-sized mega-cluster
+            .drop("_rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(str(path))
+        )
+        df = spark.read.parquet(str(path))
+        n = df.count()
+        probe = lambda: lsh_candidate_pairs(df, max_bucket=8).count()  # noqa: E731
+        probe()  # warm
+        t0 = time.perf_counter()
+        cands = probe()
+        dt = time.perf_counter() - t0
+        results.append((mult, n, dt, int(n / dt)))
+        print(
+            f"x{mult:<3d} docs={n:>8,d} cands={cands:>9,d}  wall={dt:6.2f}s"
+            f"  docs/sec={int(n/dt):,}  cands/doc={cands/n:.2f}"
+        )
+
+    r1, r16 = results[0][3], results[-1][3]
+    print(
+        f"\nthroughput ratio x16/x1 = {r16 / r1:.2f} "
+        "(>= ~0.7 means the star-divert kept the mega-cluster load linear)"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "flagship"
     if which == "dedup":
         main_dedup()
+    elif which == "dedup-worstcase":
+        main_dedup_worstcase()
     elif which == "substring":
         main_substring()
     else:
