@@ -1207,6 +1207,79 @@ def events_salted_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AQE_SKEW_SQL = """
+    WITH ev AS (
+        SELECT CASE WHEN user_id % 4 <> 0 THEN 1 ELSE user_id END AS skew_key,
+               value, props
+        FROM events
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars
+    FROM ev JOIN customer c ON ev.skew_key = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+#: Scale dials that make AQE's OptimizeSkewedJoin fire on this query at
+#: test sf (the 256MB production default is the same rule at 1000x the
+#: data). Used by ``tests/test_skew_pruning.py`` and
+#: ``tools/explain_audit.py`` so ``aqe_skew_handled`` is a recorded plan
+#: FACT, not a config-on-faith claim.
+AQE_SKEW_CONF = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+}
+
+
+@register("events_aqe_skew_split_join", _AQE_SKEW_SQL)
+def events_aqe_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join testbed: ~75% of events collapse onto one hot
+    customer key, then a merge-hinted SMJ joins the skewed fact to the
+    customer dim. Under ``AQE_SKEW_CONF`` the audited final plan carries
+    ``skew=true`` — OptimizeSkewedJoin splits the hot reduce partition
+    into map-range chunks and replicates the matching dim partition —
+    while the RESULT is conf-invariant (the oracle and the default-conf
+    run agree; integer sums only, no float-order sensitivity). Three
+    non-obvious preconditions, each load-bearing and pinned by the
+    pytest: (1) multiple MAP tasks (the ``repartition(16)`` — a skewed
+    reduce partition is split at map-output granularity, so one mapper
+    = unsplittable; real clusters always have many), (2) incompressible
+    payload through the shuffle (``value``/``props`` — a lone constant
+    key lz4-compresses to ~2KB and byte-based skew detection sees
+    nothing), (3) a plain scan on BOTH shuffle sides (an aggregate
+    reusing its grouping partitioning breaks the
+    SMJ(Sort(Shuffle),Sort(Shuffle)) pattern the rule matches).
+    Complements the salted fallbacks in `operators/skew.py` which cover
+    the shapes AQE does NOT fix."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .repartition(16)
+        .select(
+            F.when(F.col("user_id") % 4 != 0, F.lit(1))
+            .otherwise(F.col("user_id"))
+            .alias("skew_key"),
+            "value",
+            "props",
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.hint("merge").join(
+        cust.hint("merge"), ev.skew_key == cust.c_custkey
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents_total"),
+            F.sum(F.length("props")).cast("bigint").alias("props_chars"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH band-configuration sweep: candidate volume vs precision
 # ---------------------------------------------------------------------------

@@ -113,3 +113,36 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_aqe_skew_join_split_fires_and_is_semantically_inert(spark):
+    """Behavior-verification of AQE skew handling (SCALE.md): under the
+    scaled-down dials in ``AQE_SKEW_CONF`` the executed final plan of
+    ``events_aqe_skew_split_join`` carries ``skew=true`` (the hot reduce
+    partition was split into map-range chunks), and the RESULT is
+    identical to the default-conf run — the split is a physical
+    re-plan, not a semantic change."""
+    from clashroyale_datapipeline_agent_spark.plans.scale_queries import (
+        AQE_SKEW_CONF,
+        events_aqe_skew_split_join,
+    )
+
+    sf = "/root/testdata/sf0.01"  # sf0.001's hot blocks are below any sane dial
+    baseline = events_aqe_skew_split_join(spark, sf).collect()
+
+    saved = {k: spark.conf.get(k, None) for k in AQE_SKEW_CONF}
+    try:
+        for k, v in AQE_SKEW_CONF.items():
+            spark.conf.set(k, v)
+        df = events_aqe_skew_split_join(spark, sf)
+        rows = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+    assert "skew=true" in plan, plan
+    assert rows == baseline
+    # the hot key dominates: one segment carries ~75% of the events
+    hot = max(r.n_events for r in rows)
+    assert hot > sum(r.n_events for r in rows) * 0.7

@@ -18,7 +18,9 @@ into a fact row:
 - ``python_eval``: Arrow/batch Python eval nodes (should appear ONLY in
   the documented mapInPandas operators — the no-per-row-UDF rule);
 - ``pushed_filters``: scans whose parquet pushdown list is non-empty;
-- ``final_plan``: the plan string carried ``isFinalPlan=true``.
+- ``final_plan``: the audited string IS the executed plan — either an
+  adaptive plan carrying ``isFinalPlan=true`` or a non-adaptive plan
+  (no exchanges, nothing for AQE to re-plan).
 
 Output: one JSON object per query in ``EXPLAIN_AUDIT.json`` (repo root)
 plus a printed summary of rule violations (cartesian products,
@@ -45,6 +47,20 @@ EXPECTED_PYTHON_EVAL = {
     "docs_pack_stats",
     "docs_pack_stats_det",
 }
+
+
+def _conf_overrides() -> dict[str, dict[str, str]]:
+    """Per-query session-conf overrides, applied (and restored) around
+    that query's execution only. The skew testbed needs the skew
+    thresholds scaled down to audit sf — the 256MB production default is
+    the same rule at 1000x the data; recording ``aqe_skew_handled=true``
+    under the scaled dials is the behavior proof the default can't give
+    at MB-scale test data."""
+    from clashroyale_datapipeline_agent_spark.plans.scale_queries import (
+        AQE_SKEW_CONF,
+    )
+
+    return {"events_aqe_skew_split_join": AQE_SKEW_CONF}
 
 
 _JOIN_NODES = (
@@ -105,7 +121,12 @@ def plan_facts(plan: str) -> dict:
                 for m in re.findall(r"PushedFilters: \[([^\]]*)\]", detail)
             )
         ),
-        "final_plan": "isFinalPlan=true" in plan,
+        # A plan with no AdaptiveSparkPlan wrapper (zero exchanges, or a
+        # shape AQE does not wrap, e.g. TakeOrderedAndProject over a scan)
+        # IS its own executed final plan — there is nothing to re-plan.
+        # Only an adaptive plan still carrying isFinalPlan=false is
+        # genuinely unfinalized.
+        "final_plan": "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan,
     }
 
 
@@ -119,10 +140,15 @@ def main() -> int:
     spark = get_spark("explain_audit")
     jvm = spark.sparkContext._jvm
     qs = entry.queries()
+    overrides = _conf_overrides()
     out: dict[str, dict] = {}
     for name in sorted(qs):
         if names and name not in names:
             continue
+        saved: dict[str, str | None] = {}
+        for k, v in overrides.get(name, {}).items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
         try:
             df = qs[name](spark, sf_dir)
             # collect() executes THIS DataFrame's queryExecution so AQE
@@ -137,6 +163,12 @@ def main() -> int:
             out[name] = plan_facts(plan)
         except Exception as exc:  # keep auditing the rest
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
     path = Path(__file__).resolve().parents[1] / "EXPLAIN_AUDIT.json"
     path.write_text(json.dumps({"sf_dir": sf_dir, "queries": out}, indent=1))
