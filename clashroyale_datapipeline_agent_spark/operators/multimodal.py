@@ -53,20 +53,69 @@ def _decode_stub(payload: bytes | None, media_type: str) -> list[float]:
     ]
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def pil_available() -> bool:
+    """True iff Pillow is importable (the ``multimodal`` extra)."""
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def pil_image_features(payload: bytes | None, media_type: str) -> list[float]:
+    """REAL image decoder (Pillow) with the same contract as
+    ``_decode_stub`` — drop-in for ``extract_features(decoder=...)``.
+
+    Lazy-imports PIL inside the closure so the module (and the stub
+    path) works in containers without it, mirroring the matplotlib
+    gating in ``operators/plots.py``. Features (FEATURE_DIM=8):
+    width, height, bands, mean/min/max luma, occupied-luma-bin count,
+    payload bytes — deterministic per payload, no RNG.
+    """
+    import io  # noqa: PLC0415
+
+    from PIL import Image  # noqa: PLC0415 — optional 'multimodal' extra
+
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder would fetch/stream")
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    w, h = img.size
+    bands = len(img.getbands())
+    hist = img.convert("L").histogram()
+    n = max(1, w * h)
+    occupied = [i for i, c in enumerate(hist) if c]
+    return [
+        float(w),
+        float(h),
+        float(bands),
+        float(sum(i * c for i, c in enumerate(hist)) / n),
+        float(occupied[0] if occupied else 0),
+        float(occupied[-1] if occupied else 0),
+        float(len(occupied)),
+        float(len(payload)),
+    ]
+
+
+def extract_features(assets: DataFrame, *, decoder=None) -> DataFrame:
     """Decode + featurize media assets via ``mapInPandas``.
 
     One Arrow batch in, one out; per-asset failures are captured in
     ``status`` instead of failing the task (at 100 TB a single corrupt
-    payload must not kill a stage).
+    payload must not kill a stage). ``decoder`` is any
+    ``(payload, media_type) -> list[float]`` (len FEATURE_DIM) callable;
+    defaults to the deterministic byte-stats stub, with
+    ``pil_image_features`` as the shipped real-image option.
     """
+    decode = decoder or _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, status, nbytes = [], [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 try:
-                    feats.append(_decode_stub(payload, mtype))
+                    feats.append(decode(payload, mtype))
                     status.append("ok")
                 except Exception as e:  # noqa: BLE001 — per-row tolerance
                     feats.append([0.0] * FEATURE_DIM)

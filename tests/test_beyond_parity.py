@@ -315,3 +315,84 @@ def test_resize_assets_truncates_and_chains(assets):
         ).collect()
     }
     assert feats[3]["n_bytes"] == 256 and feats[3]["status"] == "ok"
+
+
+def _tiny_png(width=4, height=3, shade=200) -> bytes:
+    """Minimal valid 8-bit grayscale PNG via stdlib only (no PIL needed to
+    GENERATE; PIL is only needed to DECODE)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
+    raw = b"".join(b"\x00" + bytes([shade]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_pil_decoder_real_png(spark):
+    """Skip-if-unavailable: with Pillow installed, the real decoder seam
+    decodes a generated PNG end-to-end through the same mapInPandas
+    plumbing the stub uses; corrupt payloads still land in status."""
+    pytest.importorskip("PIL")
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        pil_image_features,
+    )
+    from clashroyale_datapipeline_agent_spark.schemas import MEDIA_ASSET
+
+    rows = [
+        (1, "image", bytearray(_tiny_png(4, 3, 200)), {}),
+        (2, "image", bytearray(b"not a png at all"), {}),
+        (3, "image", None, {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_ASSET)
+    out = {
+        r["asset_id"]: r
+        for r in extract_features(df, decoder=pil_image_features).collect()
+    }
+    good = [float(x) for x in out[1]["feature"]]
+    # width, height, bands, mean luma, first/last occupied bin, n bins, bytes
+    assert good[:3] == [4.0, 3.0, 1.0]
+    assert good[3] == 200.0 and good[4] == 200.0 and good[5] == 200.0
+    assert good[6] == 1.0
+    assert out[1]["status"] == "ok"
+    assert out[2]["status"].startswith("error:")
+    assert out[3]["status"].startswith("error:NotImplementedError")
+
+
+def test_pil_decoder_contract_without_spark():
+    """The decoder callable itself honors the stub contract (None ->
+    NotImplementedError) — checked driver-side when PIL is present."""
+    pytest.importorskip("PIL")
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        pil_image_features,
+    )
+
+    with pytest.raises(NotImplementedError):
+        pil_image_features(None, "image")
+    feats = pil_image_features(_tiny_png(5, 2, 17), "image")
+    assert feats[:3] == [5.0, 2.0, 1.0] and len(feats) == 8
+
+
+def test_pil_available_flag_consistent():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        pil_available,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        assert pil_available()
+    except ImportError:
+        assert not pil_available()
