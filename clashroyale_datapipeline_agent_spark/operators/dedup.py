@@ -624,6 +624,64 @@ def dedup_incremental(
     return j.select(*batch.columns, status.alias("status"))
 
 
+def write_fingerprint_store(
+    fps: DataFrame,
+    table: str,
+    *,
+    fp_col: str = "fp",
+    num_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the dedup history store bucketed+sorted by fingerprint.
+
+    The registry-maintenance layout for :func:`dedup_incremental` at
+    scale: with history bucketed on the fingerprint, every per-batch
+    membership join co-locates on the bucket key, so the (huge) history
+    side is read in place — no shuffle of 100 TB worth of fingerprints
+    per arriving batch; only the (small) batch hashes into the bucket
+    layout. ``mode='append'`` is the steady-state call: admitted rows'
+    fingerprints append into the same bucket layout.
+    """
+    from clashroyale_datapipeline_agent_spark.sources.sinks import (
+        write_bucketed_table,
+    )
+
+    write_bucketed_table(
+        fps.select(fp_col),
+        table,
+        bucket_by=[fp_col],
+        num_buckets=num_buckets,
+        sort_by=[fp_col],
+        mode=mode,
+    )
+
+
+def dedup_incremental_bucketed(
+    spark,
+    batch: DataFrame,
+    store_table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """:func:`dedup_incremental` against a bucketed history table
+    (:func:`write_fingerprint_store`).
+
+    The merge hint is deliberate: history is by definition the big side
+    (billions of fingerprints at corpus scale) — broadcast never
+    applies there, and SMJ against the bucketed store runs WITHOUT an
+    Exchange on the history side (plan-shape-pinned in
+    ``tests/test_skew_pruning.py``). The batch alone shuffles into the
+    store's bucket layout, and the within-batch first-wins window then
+    reuses that same partitioning — one exchange total per batch.
+    """
+    hist = spark.table(store_table).hint("merge")
+    return dedup_incremental(
+        batch, hist, text_col=text_col, id_col=id_col, fp_col=fp_col
+    )
+
+
 def ngram_coverage(
     docs: DataFrame,
     *,

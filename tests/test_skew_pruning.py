@@ -146,3 +146,44 @@ def test_aqe_skew_join_split_fires_and_is_semantically_inert(spark):
     # the hot key dominates: one segment carries ~75% of the events
     hot = max(r.n_events for r in rows)
     assert hot > sum(r.n_events for r in rows) * 0.7
+
+
+def test_incremental_dedup_bucketed_history_no_history_shuffle(spark):
+    """Registry maintenance at scale: against a fingerprint store
+    bucketed on fp, the per-batch membership join reads history IN
+    PLACE — the only Exchange in the plan is the batch side hashing
+    into the store's bucket layout (and the first-wins window reuses
+    that partitioning, adding none)."""
+    import re
+
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        dedup_incremental_bucketed,
+        write_fingerprint_store,
+    )
+
+    hist_docs = spark.range(500).select(
+        F.md5(F.concat(F.lit("doc-"), F.col("id").cast("string"))).alias("fp")
+    )
+    write_fingerprint_store(hist_docs, "t_fp_store", num_buckets=8)
+    try:
+        # store holds md5("doc-<k>") for k<500: batch texts "doc-<k>" are
+        # history dups, "fresh-*" are new; the two clones of doc 1's text
+        # exercise the within-batch first-wins path (id 1 keeps, clones flag)
+        batch = spark.createDataFrame(
+            [(i, f"doc-{i}" if i % 3 == 0 else f"fresh-{i}") for i in range(60)]
+            + [(1000, "fresh-1"), (1001, "fresh-1")],
+            "doc_id long, text string",
+        )
+        out = dedup_incremental_bucketed(spark, batch, "t_fp_store")
+        plan = spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        counts = {r["status"]: r["n"] for r in out.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts["dup_history"] == 20
+        assert counts["dup_batch"] == 2
+        assert counts["kept"] == 60 - 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fp_store")
