@@ -166,26 +166,43 @@ def compute_user_deck_matchups(
     )
     if isinstance(overall_win_rate, DataFrame):
         # 1-row contract: the ref frame is a scalar carrier (overall WR).
-        # limit(1) enforces it structurally — a multi-row frame would
-        # otherwise silently duplicate every stats row through the
-        # crossJoin and corrupt both threshold lists.
+        # Aggregating it to (row_count, first(win_rate)) keeps the catalog
+        # ONE lazy plan (the round-3 fix — no mid-build driver action)
+        # while FAILING LOUDLY at execution if the contract is violated
+        # (round-5 ADVICE: limit(1) silently kept an arbitrary,
+        # partition-order-dependent row). The agg is always exactly one
+        # row, so the crossJoin cannot duplicate stats rows.
         ref = F.broadcast(
-            overall_win_rate.select(
-                F.col("win_rate").alias("_overall_wr")
-            ).limit(1)
+            overall_win_rate.agg(
+                F.count(F.lit(1)).alias("_wr_rows"),
+                F.first("win_rate").alias("_overall_wr"),
+            )
         )
         stats = stats.crossJoin(ref)
-        overall = F.col("_overall_wr")
+        overall = F.when(
+            F.col("_wr_rows") == 1, F.col("_overall_wr")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "overall_win_rate frame must contain exactly one "
+                        "row (scalar carrier), got "
+                    ),
+                    F.col("_wr_rows").cast("string"),
+                )
+            )
+        )
     else:
         overall = F.lit(float(overall_win_rate))
+    _aux = ["_wr_rows", "_overall_wr"]
     tough = (
         stats.filter(F.col("win_rate") <= overall - winrate_delta)
-        .drop("_overall_wr")
+        .drop(*_aux)
         .orderBy(F.asc("win_rate"), F.asc("games"), F.asc("deck"))
     )
     easy = (
         stats.filter(F.col("win_rate") >= overall + winrate_delta)
-        .drop("_overall_wr")
+        .drop(*_aux)
         .orderBy(F.desc("win_rate"), F.desc("games"), F.asc("deck"))
     )
     return tough, easy

@@ -1449,10 +1449,10 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = conf.groupBy("lang").agg(F.sum("n_docs").alias("r"))
     cols = conf.groupBy("lang_guess").agg(F.sum("n_docs").alias("c"))
-    pe = (
-        rows.join(cols, rows["lang"] == cols["lang_guess"])
-        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)))
-        .selectExpr("CAST(`coalesce(sum((r * c)), 0)` AS BIGINT) AS rc")
+    pe = rows.join(cols, rows["lang"] == cols["lang_guess"]).agg(
+        F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+        .cast("bigint")
+        .alias("rc")
     )
     n = F.col("n").cast("double")
     po = F.col("a") / n

@@ -155,6 +155,7 @@ def transition_emitter(
     events: DataFrame,
     *,
     ts_col: str = "ts",
+    on_late: str = "error",
 ) -> DataFrame:
     """Per-user event-bigram emitter — the streaming twin of
     ``events_markov_transitions``'s lag window (which cannot stream:
@@ -172,8 +173,17 @@ def transition_emitter(
     correctness needs per-user event-time-ordered arrival (the landed
     raw zone's contract, same as the interval-join composition); within
     a batch any order is fine because the batch is sorted before
-    stitching. Equivalence to the batch lag window is pinned in
-    ``tests/test_streaming.py`` over multiple micro-batches."""
+    stitching. The stored (last_ms, last_id) ENFORCES that contract
+    (round-5 ADVICE — it was documented but unchecked): any batch row at
+    or behind the stored last event is a violation, and ``on_late``
+    picks the response — ``'error'`` (default) fails the stage loudly,
+    ``'drop'`` discards the late rows and stitches the rest. Exact
+    replays of the stored event count as late too (stitching them would
+    fabricate a self-transition). Equivalence to the batch lag window is
+    pinned in ``tests/test_streaming.py`` over multiple micro-batches,
+    as are both violation responses."""
+    if on_late not in ("error", "drop"):
+        raise ValueError(f"on_late must be 'error' or 'drop', got {on_late!r}")
 
     def update(
         key: tuple[Any, ...],
@@ -187,7 +197,26 @@ def transition_emitter(
             return
         df = df.sort_values([ts_col, "event_id"])
         if state.exists:
-            _last_ms, _last_id, last_type = state.get
+            stored_ms, stored_id, last_type = state.get
+            ms_vec = (
+                pd.to_datetime(df[ts_col])
+                .values.astype("datetime64[ms]")
+                .astype("int64")
+            )
+            late = (ms_vec < stored_ms) | (
+                (ms_vec == stored_ms) & (df["event_id"].values <= stored_id)
+            )
+            if late.any():
+                if on_late == "error":
+                    raise ValueError(
+                        f"transition_emitter: {int(late.sum())} event(s) for "
+                        f"user {key[0]} at or behind the stored last event "
+                        f"(ms={stored_ms}, id={stored_id}) — per-user ordered "
+                        "arrival contract violated"
+                    )
+                df = df[~late]
+                if df.empty:
+                    return
         else:
             last_type = None
         rows: list[dict] = []

@@ -130,3 +130,30 @@ def test_user_deck_matchups_split(battles, norm_rows):
     easy_want = {k for k, s in stats.items() if s["win_rate"] >= overall}
     assert {tuple(r["deck"]) for r in tough.collect()} == tough_want
     assert {tuple(r["deck"]) for r in easy.collect()} == easy_want
+
+
+def test_matchups_ref_frame_contract_enforced(spark, battles):
+    """The 1-row scalar-carrier contract fails LOUDLY at execution (not
+    silently keeping an arbitrary row), while staying one lazy plan."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame([(0.5,)], "win_rate double")
+    tough, easy = ba.compute_user_deck_matchups(battles, one)
+    t_scalar, e_scalar = ba.compute_user_deck_matchups(battles, 0.5)
+    assert [r.asDict() for r in tough.collect()] == [
+        r.asDict() for r in t_scalar.collect()
+    ]
+    assert [r.asDict() for r in easy.collect()] == [
+        r.asDict() for r in e_scalar.collect()
+    ]
+
+    bad = spark.createDataFrame([(0.5,), (0.9,)], "win_rate double")
+    t_bad, _ = ba.compute_user_deck_matchups(battles, bad)
+    with _pytest.raises(Exception, match="exactly one row"):
+        t_bad.collect()
+
+    empty = spark.createDataFrame([], "win_rate double")
+    t_empty, _ = ba.compute_user_deck_matchups(battles, empty)
+    with _pytest.raises(Exception, match="exactly one row"):
+        t_empty.collect()

@@ -655,3 +655,74 @@ def test_transition_emitter_stream_matches_batch_lag(spark, tmp_path):
     # 4 users x (15 events - 1) adjacencies each = 56 bigrams total,
     # including the 8 batch-boundary stitches a per-batch lag would drop
     assert sum(got.values()) == 4 * 14
+
+
+def _late_arrival_source(tmp_path):
+    """Two micro-batches where batch 2 regresses behind user 0's stored
+    last event (and replays it exactly), violating ordered arrival."""
+    import os
+
+    src = tmp_path / "landed_late"
+    src.mkdir()
+    b1 = [
+        {"event_id": 1, "ts": "2024-03-01T10:00:00.000Z", "user_id": 0,
+         "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": "2024-03-01T10:01:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0},
+    ]
+    b2 = [
+        {"event_id": 3, "ts": "2024-03-01T09:00:00.000Z", "user_id": 0,
+         "event_type": "purchase", "value": 1.0},  # regression
+        {"event_id": 2, "ts": "2024-03-01T10:01:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0},  # exact replay
+        {"event_id": 4, "ts": "2024-03-01T10:02:00.000Z", "user_id": 0,
+         "event_type": "view", "value": 1.0},
+    ]
+    _write_batch(src, b1, "b1")
+    _write_batch(src, b2, "b2")
+    os.utime(f"{src}/b1.json", (1_710_000_060, 1_710_000_060))
+    os.utime(f"{src}/b2.json", (1_710_000_120, 1_710_000_120))
+    return src
+
+
+def _run_transitions(spark, src, **kwargs):
+    from clashroyale_datapipeline_agent_spark.streaming.stateful import (
+        transition_emitter,
+    )
+
+    got = []
+
+    def fold(batch_df, epoch_id):
+        got.extend(
+            (r["prev_type"], r["next_type"]) for r in batch_df.collect()
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        transition_emitter(stream, **kwargs)
+        .writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return got
+
+
+def test_transition_emitter_late_arrival_raises(spark, tmp_path):
+    src = _late_arrival_source(tmp_path)
+    with pytest.raises(Exception, match="ordered arrival|StreamingQuery"):
+        _run_transitions(spark, src)  # on_late='error' is the default
+
+
+def test_transition_emitter_late_arrival_drop(spark, tmp_path):
+    src = _late_arrival_source(tmp_path)
+    got = _run_transitions(spark, src, on_late="drop")
+    # batch 1: view->click; batch 2 drops the regression AND the exact
+    # replay (a stitched replay would fabricate click->click), leaving
+    # the stored click -> new view stitch.
+    assert sorted(got) == sorted([("view", "click"), ("click", "view")])

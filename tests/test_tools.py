@@ -72,3 +72,41 @@ def test_plan_facts_parses_formatted_layout():
     assert f["python_eval"] == 0
     assert f["final_plan"] is True
     assert f["aqe_skew_handled"] is False
+
+
+def test_load_queries_tail_with_nested_value(tmp_path):
+    """A nested object inside the queries map must not truncate the
+    parse (round-5 ADVICE: flat find('}') stopped at the first brace)."""
+    import json as _json
+
+    line = _json.dumps(
+        {
+            "metric": "total",
+            "queries": {"q1": 1.5, "meta": {"note": "nested"}, "q2": 2.25},
+            "sf": 0.1,
+        }
+    )
+    p = tmp_path / "bench.json"
+    p.write_text(_json.dumps({"tail": line[10:]}))
+    from tools.bench_compare import load_queries
+
+    out = load_queries(str(p))
+    assert out == {"q1": 1.5, "q2": 2.25}
+
+
+def test_determinism_sweep_rejects_unknown_names(spark, monkeypatch):
+    """Unknown names error out instead of being silently counted as
+    checked (round-5 ADVICE: checked could exceed executed)."""
+    import sys as _sys
+
+    import pytest as _pytest
+
+    from tools import determinism_sweep
+
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        ["determinism_sweep.py", "/root/testdata/sf0.001", "1", "no_such_query_xyz"],
+    )
+    with _pytest.raises(SystemExit, match="unknown query names"):
+        determinism_sweep.main()

@@ -39,16 +39,18 @@ def load_queries(path: str) -> dict[str, float]:
     text = raw.get("tail", "")
     m = re.search(r'"queries"\s*:\s*\{', text)
     if m:
-        start = m.end() - 1
-        end = text.find("}", start)
-        if end != -1:
-            try:
-                return {
-                    k: float(v)
-                    for k, v in json.loads(text[start : end + 1]).items()
-                }
-            except ValueError:
-                pass
+        # raw_decode consumes one complete JSON value from the '{' — a
+        # brace-depth-correct parse, robust to nested objects inside the
+        # map (a flat text.find('}') would silently truncate those)
+        try:
+            obj, _ = json.JSONDecoder().raw_decode(text, m.end() - 1)
+            return {
+                k: float(v)
+                for k, v in obj.items()
+                if isinstance(v, (int, float))
+            }
+        except (ValueError, TypeError):
+            pass
     pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', text)
     skip = {"value", "sf", "reps", "n", "rc", "cpus"}
     out = {k: float(v) for k, v in pairs if k not in skip}

@@ -41,10 +41,16 @@ def main() -> int:
 
     spark = get_spark("determinism_sweep")
     qs = entry.queries()
+    if names:
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown query names (not in registry): {unknown}")
     unstable: dict[str, str] = {}
+    checked = 0
     for name in sorted(qs):
         if names and name not in names:
             continue
+        checked += 1
         try:
             first = _canon(qs[name](spark, sf_dir).collect())
             for rep in range(1, reps):
@@ -58,7 +64,6 @@ def main() -> int:
                     break
         except Exception as exc:
             unstable[name] = f"ERROR {type(exc).__name__}: {exc}"[:300]
-    checked = len(names) if names else len(qs)
     # record the run as an artifact: each sweep appends its verdict so
     # the stability evidence accumulates across sf dirs / rep counts
     import json
