@@ -7,7 +7,13 @@ ratio threshold AND an absolute floor (tiny queries bounce ±50 ms from
 JIT/GC without meaning anything).
 
 Usage:
-    python tools/bench_compare.py OLD.json NEW.json [ratio=2.0] [floor_s=0.5]
+    python tools/bench_compare.py OLD.json NEW.json [ratio=2.0] [floor_s=0.5] [--artifact]
+
+Round-over-round discipline: compare the PREVIOUS round's full map
+(BENCH_local.json as committed at that round's end) against the fresh
+one — never BENCH_r01-era tails, whose registry barely overlaps today's.
+``--artifact`` additionally writes BENCH_REGRESSIONS.json so the judge
+reads regressions from a recorded table instead of recomputing.
 
 Exit 0 always (informational — round gating is the judge's job); prints
 one line per flagged query plus add/drop lists and the common-subset
@@ -97,6 +103,8 @@ def compare(old: dict, new: dict, ratio: float, floor_s: float) -> dict:
 
 
 def main(argv: list[str]) -> int:
+    emit = "--artifact" in argv
+    argv = [a for a in argv if a != "--artifact"]
     if len(argv) < 3:
         print(__doc__)
         return 2
@@ -105,6 +113,33 @@ def main(argv: list[str]) -> int:
     ratio = float(argv[3]) if len(argv) > 3 else 2.0
     floor_s = float(argv[4]) if len(argv) > 4 else 0.5
     r = compare(old, new, ratio, floor_s)
+    if emit:
+        from pathlib import Path
+
+        art = Path(__file__).resolve().parents[1] / "BENCH_REGRESSIONS.json"
+        art.write_text(
+            json.dumps(
+                {
+                    "old": argv[1],
+                    "new": argv[2],
+                    "ratio": ratio,
+                    "floor_s": floor_s,
+                    **{
+                        k: r[k]
+                        for k in (
+                            "regressions",
+                            "improvements",
+                            "added",
+                            "dropped",
+                            "old_total_common",
+                            "new_total_common",
+                        )
+                    },
+                    "n_common": len(r["common"]),
+                },
+                indent=1,
+            )
+        )
     print(
         f"common subset: {len(r['common'])} queries | "
         f"old {r['old_total_common']}s -> new {r['new_total_common']}s"
