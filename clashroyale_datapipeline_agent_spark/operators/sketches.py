@@ -212,3 +212,78 @@ def cms_estimate(
             .alias("cms_estimate")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set membership)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: BLOOM_HASHES md5-salted positions into BLOOM_BITS
+#: bits. State is the DISTINCT set-bit table — at most BLOOM_BITS rows
+#: regardless of key volume, the same bounded-state discipline as the
+#: HLL register and CMS counter tables above.
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+
+
+def bloom_bit(value: Column, salt: int) -> Column:
+    """Bit position in [0, BLOOM_BITS) — first 3 hex digits of the
+    salted md5, same cross-engine-replayable primitive as
+    :func:`cms_bucket` (DuckDB twin: strpos/substr arithmetic)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), value.cast("string")))
+    d = lambda i: F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return d(1) * 256 + d(2) * 16 + d(3)
+
+
+def bloom_bits(
+    df: DataFrame, value_col: str, *, hashes: int = BLOOM_HASHES
+) -> DataFrame:
+    """Build the filter: one row per DISTINCT set bit.
+
+    The explode is map-side (×hashes rows, no shuffle); the distinct's
+    partial aggregation collapses each partition to ≤ BLOOM_BITS rows
+    before the exchange — the shuffle moves filter-sized state. The
+    result broadcasts to any probe side, which is the operational point:
+    membership pre-filtering a 100 TB scan against a key set built
+    elsewhere costs one broadcast, no key-set shuffle.
+    """
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[bloom_bit(F.col(value_col), j) for j in range(hashes)]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, keys: DataFrame, value_col: str, *, hashes: int = BLOOM_HASHES
+) -> DataFrame:
+    """Probe keys against the filter: ``maybe_present`` iff ALL
+    ``hashes`` bit positions are set (the one-sided Bloom contract — no
+    false negatives, tunable false positives ≈ (bits_set/m)^k).
+
+    Probe keys explode into (key, bit) rows, LEFT-join the broadcast
+    bit table, and re-group counting hits — a key is kept only when
+    every probe bit matched.
+    """
+    others = [c for c in keys.columns if c != value_col]
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(*[bloom_bit(F.col(value_col), j) for j in range(hashes)])
+        ).alias("bit"),
+    )
+    marked = bloom.select("bit", F.lit(1).alias("_hit"))
+    return (
+        probes.join(F.broadcast(marked), "bit", "left")
+        .groupBy(value_col, *others)
+        .agg(
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == hashes).alias(
+                "maybe_present"
+            )
+        )
+    )

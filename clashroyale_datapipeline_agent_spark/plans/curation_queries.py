@@ -1157,3 +1157,160 @@ def docs_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget trim plan (quality-ranked per-source cumulative cap)
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 4000
+
+_BUDGET_TRIM_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source, len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS quality
+        FROM t
+    ), r AS (
+        SELECT source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM q
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum <= {_TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN cum <= {_TOKEN_BUDGET} THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           CAST(SUM(CASE WHEN cum > {_TOKEN_BUDGET} THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_trimmed
+    FROM r
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_token_budget_trim", _BUDGET_TRIM_SQL)
+def docs_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget trim plan: docs rank by quality
+    (unique-token ratio, ties by doc_id) and accumulate into a fixed
+    token budget; the report shows what a budgeted training mix keeps
+    vs trims per source. Differs from the count-cap (`docs_lang_cap_counts`)
+    and temperature resample: the budget is in TOKENS and admission is
+    quality-ordered — the curriculum-style mix builder. One window
+    shuffle on source (the ranking) + one re-agg; at 100 TB the window
+    partitions by source — the skew dial is the per-source doc count,
+    and a hot source salts into quality-band sub-windows if needed."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(toks)
+    q = d.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        F.when(
+            n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+        )
+        .otherwise(0.0)
+        .alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = q.select("source", "n_tokens", F.sum("n_tokens").over(w).alias("cum"))
+    kept = F.col("cum") <= _TOKEN_BUDGET
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_trimmed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split assignment balance audit
+# ---------------------------------------------------------------------------
+
+_SPLIT_BALANCE_SQL = """
+    WITH s AS (
+        SELECT source,
+               CASE
+                   WHEN strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                       THEN 'train'
+                   WHEN strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 = 13
+                       THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+    ), tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source FROM s GROUP BY source
+    )
+    SELECT s.source, s.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_source), 4) AS share
+    FROM s JOIN tot t ON s.source = t.source
+    GROUP BY s.source, s.split
+    ORDER BY s.source, s.split
+"""
+
+
+@register("docs_split_balance_audit", _SPLIT_BALANCE_SQL)
+def docs_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 13/1/2-of-16 train/val/test assignment from the
+    first md5 hex digit of doc_id, audited for per-source balance — the
+    pre-training split sanity check (a source whose share drifts far
+    from 81/6/13% signals id-space structure leaking into the hash).
+    Content-free hashing on the ID keeps assignment stable under
+    re-crawls of the same ids; one groupBy shuffle, re-agg from the
+    same counts. Pairs with `decontaminate_ngram_overlap`, which
+    catches CONTENT leakage across an id-hash split like this one."""
+    d = _t(spark, sf_dir, "documents")
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    s = d.select(
+        "source",
+        F.when(digit < 13, "train").when(digit == 13, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    tot = s.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_source"))
+    return (
+        s.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n_source"), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy("source", "split")
+    )

@@ -1532,3 +1532,88 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test (A/B cohort comparison)
+# ---------------------------------------------------------------------------
+
+_WELCH_SQL = """
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(value) AS s,
+               SUM(value * value) AS s2
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1
+    ), w AS (
+        SELECT MAX(CASE WHEN cohort = 'a' THEN n END) AS na,
+               MAX(CASE WHEN cohort = 'b' THEN n END) AS nb,
+               MAX(CASE WHEN cohort = 'a' THEN s END) AS sa,
+               MAX(CASE WHEN cohort = 'b' THEN s END) AS sb,
+               MAX(CASE WHEN cohort = 'a' THEN s2 END) AS sa2,
+               MAX(CASE WHEN cohort = 'b' THEN s2 END) AS sb2
+        FROM g
+    )
+    SELECT na, nb,
+           ROUND(sa / na, 4) AS mean_a,
+           ROUND(sb / nb, 4) AS mean_b,
+           ROUND(
+               (sa / na - sb / nb)
+               / sqrt(
+                   ((sa2 - sa * sa / na) / (na - 1)) / na
+                   + ((sb2 - sb * sb / nb) / (nb - 1)) / nb
+               ),
+               4
+           ) AS t_stat
+    FROM w
+"""
+
+
+@register("events_ab_welch_ttest", _WELCH_SQL)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test between even/odd user cohorts on event
+    value — the A/B readout every event pipeline ends in. Entirely
+    sufficient statistics: one grouped pass computes (n, Σx, Σx²) per
+    cohort, the t-statistic assembles from those six scalars — no
+    per-row second pass, no collect, and at 100 TB the shuffle carries
+    two partial-aggregate rows per partition. Variance uses the
+    sum-of-squares identity (exact algebra over the same doubles both
+    engines sum); outputs round to 4, within the determinism-sweep
+    guard for float-sum ordering."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = (
+        ev.select(
+            F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("cohort"),
+            "value",
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    pick = lambda c, col: F.max(F.when(F.col("cohort") == c, F.col(col)))  # noqa: E731
+    w = g.agg(
+        pick("a", "n").alias("na"),
+        pick("b", "n").alias("nb"),
+        pick("a", "s").alias("sa"),
+        pick("b", "s").alias("sb"),
+        pick("a", "s2").alias("sa2"),
+        pick("b", "s2").alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb, sa2, sb2 = F.col("sa"), F.col("sb"), F.col("sa2"), F.col("sb2")
+    var_a = (sa2 - sa * sa / na) / (na - 1)
+    var_b = (sb2 - sb * sb / nb) / (nb - 1)
+    return w.select(
+        na.alias("na"),
+        nb.alias("nb"),
+        F.round(sa / na, 4).alias("mean_a"),
+        F.round(sb / nb, 4).alias("mean_b"),
+        F.round((sa / na - sb / nb) / F.sqrt(var_a / na + var_b / nb), 4).alias(
+            "t_stat"
+        ),
+    )

@@ -2168,3 +2168,180 @@ def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership audit
+# ---------------------------------------------------------------------------
+
+def _bloom_bit_sql(j: int, col: str) -> str:
+    h = f"md5('{j}:' || CAST({col} AS VARCHAR))"
+    return (
+        f"((strpos({HEXP}, substr({h}, 1, 1)) - 1) * 256"
+        f" + (strpos({HEXP}, substr({h}, 2, 1)) - 1) * 16"
+        f" + (strpos({HEXP}, substr({h}, 3, 1)) - 1))"
+    )
+
+
+_BLOOM_SQL = f"""
+    WITH member AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), bits AS (
+        SELECT DISTINCT bit FROM (
+            SELECT {_bloom_bit_sql(0, "k")} AS bit FROM member
+            UNION ALL SELECT {_bloom_bit_sql(1, "k")} FROM member
+            UNION ALL SELECT {_bloom_bit_sql(2, "k")} FROM member
+            UNION ALL SELECT {_bloom_bit_sql(3, "k")} FROM member
+        )
+    ), probe AS (
+        SELECT c_custkey AS k, c_mktsegment,
+               ({_bloom_bit_sql(0, "c_custkey")} IN (SELECT bit FROM bits))
+           AND ({_bloom_bit_sql(1, "c_custkey")} IN (SELECT bit FROM bits))
+           AND ({_bloom_bit_sql(2, "c_custkey")} IN (SELECT bit FROM bits))
+           AND ({_bloom_bit_sql(3, "c_custkey")} IN (SELECT bit FROM bits))
+               AS maybe_present,
+               c_custkey IN (SELECT k FROM member) AS is_member
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN maybe_present AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set
+    FROM probe
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@register("orders_bloom_membership_audit", _BLOOM_SQL)
+def orders_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (`operators/sketches.py:bloom_bits`/
+    ``bloom_probe``): the urgent-order customer set becomes a ≤4096-row
+    set-bit table; every customer probes it and the audit counts, per
+    segment, true members, maybe-present verdicts, and measured false
+    positives — the one-sided contract (n_maybe >= n_members per
+    segment, no false negatives) is visible in the output and pinned in
+    pytest. 100 TB shape: the filter is bounded state built with one
+    distinct (sketch-sized shuffle) and BROADCAST to the probe scan —
+    membership pre-filtering without shuffling the probe side, the same
+    reason the reference's fetched-tag bookkeeping broadcasts
+    (`src/pipeline/build_dataset.py` anti-join)."""
+    from clashroyale_datapipeline_agent_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    member = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_bits(member, "k")
+    probed = bloom_probe(
+        bloom, cust.select(F.col("c_custkey").alias("k"), "c_mktsegment"), "k"
+    )
+    truth = member.select("k", F.lit(True).alias("is_member"))
+    bits_set = F.broadcast(bloom.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set")))
+    return (
+        probed.join(truth, "k", "left")
+        .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_members"),
+            F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_maybe"),
+            F.sum(
+                F.when(F.col("maybe_present") & ~F.col("is_member"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(bits_set)
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space anisotropy diagnostics
+# ---------------------------------------------------------------------------
+
+_ANISO_SQL = """
+    WITH norms AS (
+        SELECT vec_id, label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ), comps AS (
+        SELECT e.label,
+               generate_subscripts(e.embedding, 1) AS pos,
+               unnest(e.embedding) / n.nrm AS ux
+        FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
+    ), sums AS (
+        SELECT label, pos, SUM(CAST(ux AS DOUBLE)) AS s
+        FROM comps GROUP BY label, pos
+    ), pern AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY label
+    )
+    SELECT p.label, p.n_vecs,
+           ROUND((SUM(s * s) - p.n_vecs) / (p.n_vecs * (p.n_vecs - 1)), 6)
+               AS mean_pairwise_cos,
+           ROUND(sqrt(SUM(s * s)) / p.n_vecs, 6) AS centroid_norm
+    FROM sums j JOIN pern p USING (label)
+    GROUP BY p.label, p.n_vecs
+    ORDER BY p.label
+"""
+
+
+@register("embeddings_anisotropy_stats", _ANISO_SQL)
+def embeddings_anisotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy per label WITHOUT a pair join: for
+    unit vectors, mean pairwise cosine = (||Σu||² − n) / (n(n−1)), so
+    the O(n²) similarity mass reduces to per-dimension component sums —
+    one (label, pos) shuffle bounded by labels × dim, then a label-level
+    combine. The training-data use: a cluster whose mean pairwise
+    cosine spikes is collapsing (near-duplicate embeddings — SemDeDup
+    candidates); centroid_norm ≈ 0 means an isotropic (well-spread)
+    label. 100 TB shape: linear scan, sketch-sized state, no candidate
+    generation at all — this is the cheap pre-read that decides whether
+    the expensive `semantic_dedup_cluster_stats` pass is worth running.
+    Norms fold in array order in BOTH engines (F.aggregate / list_sum),
+    so the doubles agree bit-for-bit before the final rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    comps = emb.withColumn("_nrm", nrm).select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double") / F.col("_nrm"))
+        ).alias("pos", "ux"),
+    )
+    sums = comps.groupBy("label", "pos").agg(F.sum("ux").alias("s"))
+    pern = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    n = F.col("n_vecs")
+    return (
+        sums.groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+        .join(F.broadcast(pern), "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round((F.col("s2") - n) / (n * (n - 1)), 6).alias("mean_pairwise_cos"),
+            F.round(F.sqrt("s2") / n, 6).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )

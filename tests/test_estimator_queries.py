@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clashroyale_datapipeline_agent_spark.plans import estimator_queries as EQ
+from tests.conftest import SF_DIR_ORACLE
 
 
 def _plan(spark, df) -> str:
@@ -287,3 +288,84 @@ def test_markov_transitions_row_stochastic(spark, sf_dir):
         cells[r["prev_type"]] = cells.get(r["prev_type"], 0) + 1
     for prev, s in by_prev.items():
         assert abs(s - 1.0) <= cells[prev] * 5e-7  # rounding slack
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: bloom membership, anisotropy, budget trim, split
+# balance, Welch t-test
+# ---------------------------------------------------------------------------
+
+def test_bloom_membership_one_sided(spark):
+    from clashroyale_datapipeline_agent_spark.plans.scale_queries import (
+        orders_bloom_membership_audit,
+    )
+
+    rows = orders_bloom_membership_audit(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        # no false negatives: every member is maybe-present, so
+        # n_maybe decomposes exactly into members + false positives
+        assert r.n_maybe == r.n_members + r.n_false_pos
+        assert r.n_maybe >= r.n_members
+        assert 0 < r.bits_set <= 4096
+
+
+def test_anisotropy_bounds(spark):
+    from clashroyale_datapipeline_agent_spark.plans.scale_queries import (
+        embeddings_anisotropy_stats,
+    )
+
+    rows = embeddings_anisotropy_stats(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.mean_pairwise_cos <= 1.0
+        assert 0.0 <= r.centroid_norm <= 1.0 + 1e-9
+        assert r.n_vecs > 1
+
+
+def test_token_budget_trim_invariants(spark):
+    from clashroyale_datapipeline_agent_spark.plans.curation_queries import (
+        _TOKEN_BUDGET,
+        docs_token_budget_trim,
+    )
+
+    rows = docs_token_budget_trim(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.tokens_kept <= _TOKEN_BUDGET
+        assert 0 < r.n_kept <= r.n_docs
+
+
+def test_split_balance_shares(spark):
+    from clashroyale_datapipeline_agent_spark.plans.curation_queries import (
+        docs_split_balance_audit,
+    )
+
+    rows = docs_split_balance_audit(spark, SF_DIR_ORACLE).collect()
+    by_source: dict = {}
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        by_source.setdefault(r.source, 0.0)
+        by_source[r.source] += r.share
+    for src_name, total in by_source.items():
+        assert abs(total - 1.0) < 0.01, (src_name, total)
+
+
+def test_welch_ttest_scalars(spark):
+    import math
+
+    from clashroyale_datapipeline_agent_spark.plans.estimator_queries import (
+        events_ab_welch_ttest,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        load_star_table,
+    )
+
+    [r] = events_ab_welch_ttest(spark, SF_DIR_ORACLE).collect()
+    ev = load_star_table(spark, SF_DIR_ORACLE, "events").filter(
+        "value IS NOT NULL"
+    )
+    assert r.na + r.nb == ev.count()
+    assert math.isfinite(r.t_stat)
+    # same synthetic distribution in both cohorts: no real effect
+    assert abs(r.t_stat) < 5
