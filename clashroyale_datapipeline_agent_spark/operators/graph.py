@@ -262,3 +262,59 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int | None = None,
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Iterative k-core peeling: repeatedly delete vertices whose CURRENT
+    degree is below ``k`` (with all their edges) until the graph is
+    stable — what survives is the k-core, the standard density filter
+    before community detection or embedding training on interaction
+    graphs. Returns the per-round [(nodes_with_degree, edges)] trail so
+    callers can audit the peel; the last entry is the core.
+
+    ``rounds=None`` peels to the fixpoint (bounded by max 50 — degeneracy
+    peels converge in O(peel depth) rounds); a fixed ``rounds`` runs
+    exactly that many (the oracle-checked query unrolls the same count in
+    SQL). Each round is one degree aggregation + one two-sided semi-join,
+    ``localCheckpoint`` cutting lineage per round like
+    :func:`connected_components` — at 100 TB every round shuffles the
+    shrinking edge list on its endpoints and nothing else.
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    trail: list[tuple[DataFrame, DataFrame]] = []
+    max_rounds = rounds if rounds is not None else 50
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).localCheckpoint()
+        nxt = (
+            cur.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        trail.append((keep, nxt))
+        if rounds is None and nxt.count() == cur.count():
+            return trail
+        cur = nxt
+    if rounds is None:
+        raise RuntimeError(f"kcore_peel did not stabilize in {max_rounds} rounds")
+    return trail

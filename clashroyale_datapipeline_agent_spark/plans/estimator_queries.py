@@ -1617,3 +1617,85 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_stat"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (iterative density filter)
+# ---------------------------------------------------------------------------
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev_e = "e0"
+    for i in (1, 2, 3):
+        rounds.append(f"""
+    deg{i} AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM {prev_e} UNION ALL SELECT v FROM {prev_e}
+        ) GROUP BY node
+    ), k{i} AS (
+        SELECT node FROM deg{i} WHERE degree >= 3
+    ), e{i} AS (
+        SELECT u, v FROM {prev_e}
+        WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+    )""")
+        prev_e = f"e{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM k{i}) AS n_nodes, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_edges"
+        for i in (1, 2, 3)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 2
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 3 AND a.doc_id % 3 = 0
+    ),{",".join(rounds)}
+    SELECT * FROM ({selects}) ORDER BY round
+    """
+
+
+@register("graph_kcore_peel_rounds", _kcore_sql())
+def graph_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled rounds of 3-core peeling
+    (`operators/graph.py:kcore_peel`) over the deterministic doc-chain
+    graph the other graph rows use: per round, surviving nodes (degree
+    ≥ 3 before that round's deletion) and surviving edges. The k-core is
+    the density filter an interaction-graph pipeline runs before
+    community detection / graph-embedding training; peeling is the
+    canonical ITERATIVE delete-and-recount loop, so this row pins the
+    engine's iterative discipline (per-round localCheckpoint, shrinking
+    edge shuffles) against a fully unrolled SQL twin. Fixed round count
+    keeps the oracle deterministic whether or not the peel has
+    converged."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import kcore_peel
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+
+    def chain(k: int, every_third: bool = False) -> DataFrame:
+        cond = F.col("b.doc_id") == F.col("a.doc_id") + k
+        if every_third:
+            cond = cond & (F.col("a.doc_id") % 3 == 0)
+        return a.join(b, cond).select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+
+    edges = chain(1).unionAll(chain(2)).unionAll(chain(3, every_third=True))
+    trail = kcore_peel(edges, 3, rounds=3)
+    parts = []
+    for i, (keep, e) in enumerate(trail, start=1):
+        parts.append(
+            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+            .select(F.lit(i).alias("round"), "n_nodes", "n_edges")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("round")

@@ -110,3 +110,39 @@ def test_triangle_counts_hand_fixture(spark):
     df = spark.createDataFrame(edges + k4, "id_a long, id_b long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_kcore_peel_hand_graph(spark):
+    """K4 plus a pendant path: the 2-core strips the path, the K4
+    survives 3-core peeling intact; fixpoint mode stabilizes."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import kcore_peel
+
+    # K4 on 0-3, path 3-10-11 (degrees 1-2), duplicate + reversed noise
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 10), (10, 11), (11, 10), (10, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    trail = kcore_peel(df, 3)
+    core_nodes, core_edges = trail[-1]
+    assert {r.node for r in core_nodes.collect()} == {0, 1, 2, 3}
+    assert core_edges.count() == 6  # K4 edge count, dedup'd and normalized
+
+    # k=2: the path's pendant tip (11) peels first, then 10
+    trail2 = kcore_peel(df, 2)
+    assert {r.node for r in trail2[-1][0].collect()} == {0, 1, 2, 3}
+
+    # fixed rounds: exactly that many trail entries, converged or not
+    assert len(kcore_peel(df, 3, rounds=2)) == 2
+
+
+def test_kcore_query_monotone(spark):
+    from clashroyale_datapipeline_agent_spark.plans.estimator_queries import (
+        graph_kcore_peel_rounds,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = graph_kcore_peel_rounds(spark, SF_DIR).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    # peeling never grows the graph
+    assert rows[0].n_nodes >= rows[1].n_nodes >= rows[2].n_nodes
+    assert rows[0].n_edges >= rows[1].n_edges >= rows[2].n_edges
