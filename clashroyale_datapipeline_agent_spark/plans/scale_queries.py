@@ -1520,12 +1520,23 @@ def dedup_lsh_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature,
         shingles_col,
     )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
 
-    docs = _t(spark, sf_dir, "documents")
+    # Same two disciplines as ``_lsh_sweep`` (measured 53 s -> ~2 s at
+    # sf0.1): spread the single parquet split so the hashing runs on all
+    # cores, and checkpoint the shingle projection so the 16 array_min
+    # traversals read ONE materialized array instead of re-deriving the
+    # shingles per hash.
+    docs = spread_if_narrow(_t(spark, sf_dir, "documents"))
     n_hashes, bands = 16, 8
     r = n_hashes // bands
-    sig = minhash_signature(shingles_col(F.col("text")), n_hashes)
-    banded = docs.select(F.col("doc_id").alias("id"), sig.alias("sig")).select(
+    base = docs.select(
+        F.col("doc_id").alias("id"), shingles_col(F.col("text")).alias("sh")
+    ).localCheckpoint(eager=True)
+    sig = minhash_signature(F.col("sh"), n_hashes)
+    banded = base.select("id", sig.alias("sig")).select(
         "id",
         F.explode(
             F.transform(
