@@ -1314,3 +1314,86 @@ def docs_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs from the vector space)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_SQL = """
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    p AS (
+        SELECT vec_id AS probe_id, label AS probe_label, e AS pe
+        FROM v WHERE vec_id < 16
+    ),
+    pn AS (SELECT vec_id AS probe_id, nrm AS pnrm FROM nrm WHERE vec_id < 16),
+    cand AS (
+        SELECT p.probe_id, p.probe_label,
+               v.vec_id AS neg_id, v.label AS neg_label,
+               ROUND(list_dot_product(p.pe, v.e) / (pn.pnrm * n.nrm), 6)
+                   AS cos_sim
+        FROM p
+        JOIN pn USING (probe_id)
+        JOIN v ON v.label <> p.probe_label
+        JOIN nrm n ON n.vec_id = v.vec_id
+    )
+    SELECT probe_id, probe_label, neg_id, neg_label, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cos_sim DESC, neg_id ASC
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+    ORDER BY probe_id
+"""
+
+
+@register("embeddings_hard_negatives_topk", _HARDNEG_SQL)
+def embeddings_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of 16
+    bounded probe vectors, the single most-similar vector with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable). Probe side is a
+    fixed bound (vec_id < 16, the ann_signlsh_recall discipline) and
+    BROADCAST, so the corpus side streams map-side: cost = |probes| ×
+    corpus cosines with no shuffle of the big side; the only shuffle is
+    the 16-partition top-1 window. At 100 TB the brute-force scan
+    swaps for the PQ/IVF candidate path (`similarity.py`) with exact
+    rerank — same output contract. Doubles end-to-end (explicit cast on
+    both engines), rounded to 6 before ranking so the tie-break is
+    cross-engine stable."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        cosine_col,
+    )
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    probes = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("e").alias("pe"),
+    )
+    cand = v.join(
+        F.broadcast(probes), F.col("label") != F.col("probe_label")
+    ).select(
+        "probe_id",
+        "probe_label",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.round(cosine_col(F.col("pe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neg_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("probe_id")
+    )

@@ -1699,3 +1699,109 @@ def graph_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+    WITH pu AS (
+        SELECT user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS x,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS y
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY user_id
+    ), g AS (
+        SELECT user_id % 2 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy
+        FROM pu GROUP BY user_id % 2
+    ), p AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               (SELECT SUM(x * x) FROM pu) AS sxx,
+               (SELECT SUM(y * y) FROM pu) AS syy,
+               (SELECT SUM(x * y) FROM pu) AS sxy
+        FROM g
+    ), s AS (
+        SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+               sx / n AS mx,
+               1 - (syy - sy * sy / n
+                    - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                      / (sxx - sx * sx / n))
+                   / (syy - sy * sy / n) AS var_reduction
+        FROM p
+    )
+    SELECT g.cohort, g.n AS n_users,
+           ROUND(g.sy / g.n, 4) AS mean_post,
+           ROUND(g.sy / g.n - s.theta * (g.sx / g.n - s.mx), 4) AS mean_adjusted,
+           ROUND(s.theta, 4) AS theta,
+           ROUND(s.var_reduction, 4) AS var_reduction
+    FROM g, s
+    ORDER BY g.cohort
+"""
+
+
+@register("events_cuped_adjusted_lift", _CUPED_SQL)
+def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED covariate adjustment for the A/B readout: each user's
+    pre-period value sum (before 2024-01-16) is the covariate X, the
+    post-period sum the metric Y; θ = cov(X,Y)/var(X) pooled across
+    cohorts, and each cohort's adjusted mean is mean_Y − θ(mean_X −
+    pooled mean_X) — pure ALGEBRA over sufficient statistics, so no
+    second pass over users is ever needed (the per-user adjusted values
+    never materialize). var_reduction = ρ² = the fraction of metric
+    variance the pre-period explains — the whole point of CUPED: the
+    same experiment detects effects 1/(1−ρ²)× smaller. Shuffles: one
+    per-user aggregation, then two scalar rows. At 100 TB of events the
+    user aggregation is the only data-sized stage and it partially
+    aggregates map-side; everything after moves a dozen doubles.
+    Companion to `events_ab_welch_ttest` (same cohorts, unadjusted)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(0.0)).alias("y"),
+    )
+    g = (
+        pu.groupBy((F.col("user_id") % 2).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    p = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("pn"),
+        F.sum("x").alias("psx"),
+        F.sum("y").alias("psy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("pn"), F.col("psx"), F.col("psy")
+    cov = F.col("sxy") - sx * sy / n
+    varx = F.col("sxx") - sx * sx / n
+    vary = F.col("syy") - sy * sy / n
+    s = p.select(
+        (cov / varx).alias("theta"),
+        (sx / n).alias("mx"),
+        (F.lit(1) - (vary - cov * cov / varx) / vary).alias("var_reduction"),
+    )
+    return (
+        g.crossJoin(F.broadcast(s))
+        .select(
+            "cohort",
+            F.col("n").alias("n_users"),
+            F.round(F.col("sy") / F.col("n"), 4).alias("mean_post"),
+            F.round(
+                F.col("sy") / F.col("n")
+                - F.col("theta") * (F.col("sx") / F.col("n") - F.col("mx")),
+                4,
+            ).alias("mean_adjusted"),
+            F.round("theta", 4).alias("theta"),
+            F.round("var_reduction", 4).alias("var_reduction"),
+        )
+        .orderBy("cohort")
+    )

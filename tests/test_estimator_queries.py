@@ -369,3 +369,34 @@ def test_welch_ttest_scalars(spark):
     assert math.isfinite(r.t_stat)
     # same synthetic distribution in both cohorts: no real effect
     assert abs(r.t_stat) < 5
+
+
+def test_cuped_adjusted_lift(spark):
+    """θ algebra: adjusted means shift by θ·(cohort X deviation), and the
+    pooled n-weighted adjusted mean is preserved (CUPED is mean-neutral
+    up to the 4-decimal output rounding)."""
+    from clashroyale_datapipeline_agent_spark.plans.estimator_queries import (
+        events_cuped_adjusted_lift,
+    )
+
+    rows = events_cuped_adjusted_lift(spark, SF_DIR_ORACLE).collect()
+    assert [r.cohort for r in rows] == [0, 1]
+    assert 0.0 <= rows[0].var_reduction <= 1.0
+    assert rows[0].theta == rows[1].theta
+    n = sum(r.n_users for r in rows)
+    pooled_raw = sum(r.mean_post * r.n_users for r in rows) / n
+    pooled_adj = sum(r.mean_adjusted * r.n_users for r in rows) / n
+    assert abs(pooled_raw - pooled_adj) < 1e-3
+
+
+def test_hard_negatives_contract(spark):
+    from clashroyale_datapipeline_agent_spark.plans.curation_queries import (
+        embeddings_hard_negatives_topk,
+    )
+
+    rows = embeddings_hard_negatives_topk(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 16  # one hard negative per bounded probe
+    for r in rows:
+        assert r.neg_label != r.probe_label
+        assert -1.0 <= r.cos_sim <= 1.0
+        assert r.neg_id != r.probe_id
