@@ -1397,3 +1397,72 @@ def embeddings_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .drop("rn")
         .orderBy("probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation (optimal stratified-sample budget split)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_SQL = f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(CAST(n_chars AS DOUBLE)) AS sx,
+               SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS sxx
+        FROM documents
+        GROUP BY source
+    ), d AS (
+        SELECT source, n_docs,
+               sqrt((sxx - sx * sx / n_docs) / (n_docs - 1)) AS sd
+        FROM s WHERE n_docs > 1
+    ), t AS (
+        SELECT SUM(n_docs * sd) AS tot FROM d
+    )
+    SELECT d.source, d.n_docs,
+           ROUND(d.sd, 4) AS sd_chars,
+           CAST(FLOOR({_NEYMAN_BUDGET} * d.n_docs * d.sd / t.tot) AS BIGINT)
+               AS alloc_n
+    FROM d, t
+    ORDER BY d.source
+"""
+
+
+@register("docs_neyman_allocation", _NEYMAN_SQL)
+def docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a fixed audit-sample budget across sources:
+    n_h ∝ N_h·σ_h (stratum size × within-stratum std of doc length) —
+    the statistically optimal split when estimating a corpus mean from
+    a bounded number of human-labeled docs, and the planner a curation
+    team runs before every labeling round. Sufficient statistics only
+    (n, Σx, Σx²) per stratum → one groupBy shuffle carrying three
+    doubles per source; the allocation itself is scalar algebra over
+    the per-source rows with a 1-row broadcast total. FLOOR keeps the
+    output integer-exact across engines (round-half ties over float
+    products are the cross-engine trap)."""
+    d = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_docs")
+    sd = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1))
+    per = s.filter(n > 1).select("source", "n_docs", sd.alias("sd"))
+    tot = per.agg(F.sum(F.col("n_docs") * F.col("sd")).alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round("sd", 4).alias("sd_chars"),
+            F.floor(
+                _NEYMAN_BUDGET * F.col("n_docs") * F.col("sd") / F.col("tot")
+            )
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+        .orderBy("source")
+    )

@@ -400,3 +400,18 @@ def test_hard_negatives_contract(spark):
         assert r.neg_label != r.probe_label
         assert -1.0 <= r.cos_sim <= 1.0
         assert r.neg_id != r.probe_id
+
+
+def test_neyman_allocation_invariants(spark):
+    from clashroyale_datapipeline_agent_spark.plans.curation_queries import (
+        _NEYMAN_BUDGET,
+        docs_neyman_allocation,
+    )
+
+    rows = docs_neyman_allocation(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    total = sum(r.alloc_n for r in rows)
+    # FLOOR under-allocates by < 1 per stratum, never over
+    assert _NEYMAN_BUDGET - len(rows) <= total <= _NEYMAN_BUDGET
+    for r in rows:
+        assert r.sd_chars > 0 and r.alloc_n >= 0
