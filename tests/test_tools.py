@@ -110,3 +110,21 @@ def test_determinism_sweep_rejects_unknown_names(spark, monkeypatch):
     )
     with _pytest.raises(SystemExit, match="unknown query names"):
         determinism_sweep.main()
+
+
+def test_bench_local_emits_reversed_registry_order():
+    """Rotation discipline guard: the driver keeps only a front-truncated
+    TAIL of bench.py's line, so the queries map MUST be emitted in
+    reversed registry order (least-evidenced head of the registry at the
+    retained end). BENCH_local.json is bench.py's own full-map output —
+    if this ordering ever breaks, the next bench run fails here."""
+    import json as _json
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    art = Path(__file__).resolve().parents[1] / "BENCH_local.json"
+    names = list(_json.loads(art.read_text())["queries"])
+    present = set(names)
+    expected = [n for n in reversed(list(entry.queries())) if n in present]
+    assert names == expected
