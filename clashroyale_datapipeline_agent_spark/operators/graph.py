@@ -318,3 +318,80 @@ def kcore_peel(
     if rounds is None:
         raise RuntimeError(f"kcore_peel did not stabilize in {max_rounds} rounds")
     return trail
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 3,
+) -> list[tuple[DataFrame, int]]:
+    """Synchronous label propagation (Raghavan et al. 2007) — the cheap
+    community detector an interaction-graph pipeline runs after the
+    k-core density filter (:func:`kcore_peel`). Every vertex starts
+    labeled with its own id; each round it adopts the MODE of its
+    neighbors' labels, ties broken toward the smallest label, isolated
+    vertices keeping their own. Returns the per-round
+    ``[(labels, n_changed)]`` trail (labels = (id, label)).
+
+    Deterministic by construction: the mode/tie-break rule is a total
+    order (count DESC, label ASC), so unlike the randomized-order LPA in
+    the literature the fixpoint trail is replayable — which is what lets
+    an unrolled SQL oracle check it round for round.
+
+    Scale shape: each round is one shuffle of the (directed-both-ways)
+    edge list on dst to fetch neighbor labels, one (vertex, label) count
+    agg, and one max-by reduce per vertex — all width-bounded by the
+    edge list, nothing quadratic. ``localCheckpoint`` per round keeps
+    the plan O(1) in rounds, same discipline as
+    :func:`connected_components`. The synchronous variant (vs async
+    sweeps) is the one that maps to bulk dataflow: no intra-round
+    ordering dependence, so partitioning is free to follow the edge
+    list.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    trail: list[tuple[DataFrame, int]] = []
+    for _ in range(rounds):
+        nbr_label_counts = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy(F.col("u").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # mode with (count DESC, label ASC) tie-break via max_by on a
+        # single orderable struct — one reduce, no window sort
+        winner = nbr_label_counts.groupBy("id").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
+        ).select("id", (-F.col("m.nl")).alias("new_label"))
+        new_labels = (
+            labels.join(winner, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        trail.append((new_labels, changed))
+        labels = new_labels
+    return trail
