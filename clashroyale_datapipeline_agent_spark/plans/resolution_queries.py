@@ -546,3 +546,468 @@ def docs_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zipf_slope"),
     )
     return out.orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# clustering quality: simplified silhouette per label
+# ---------------------------------------------------------------------------
+
+_SILHOUETTE_SQL = """
+    WITH v AS (
+        SELECT vec_id, label, embedding FROM embeddings
+    ), dims AS (
+        SELECT unnest(generate_series(1, 64)) AS i
+    ), pe AS (
+        SELECT vec_id, label, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS vq
+        FROM v, dims
+    ), cent AS (
+        SELECT label AS clabel, i, SUM(vq) AS s, COUNT(*) AS n
+        FROM pe GROUP BY label, i
+    ), diffs AS (
+        SELECT pe.vec_id, pe.label AS own, c.clabel,
+               list(
+                   (pe.vq / 1000000.0 - c.s / (c.n * 1000000.0))
+                   * (pe.vq / 1000000.0 - c.s / (c.n * 1000000.0))
+                   ORDER BY pe.i
+               ) AS dl
+        FROM pe JOIN cent c ON pe.i = c.i
+        GROUP BY pe.vec_id, pe.label, c.clabel
+    ), d AS (
+        SELECT vec_id, own, clabel,
+               sqrt(list_reduce(dl, (a, b) -> a + b)) AS dist
+        FROM diffs
+    ), sil AS (
+        SELECT vec_id, own,
+               MAX(CASE WHEN clabel = own THEN dist END) AS a,
+               MIN(CASE WHEN clabel != own THEN dist END) AS b
+        FROM d GROUP BY vec_id, own
+    ), s6 AS (
+        SELECT own AS label,
+               CASE WHEN GREATEST(a, b) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(1000000.0 * (b - a) / GREATEST(a, b))
+                              AS BIGINT)
+               END AS s6
+        FROM sil
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(s6) / (COUNT(*) * 1000000.0), 4) AS mean_silhouette
+    FROM s6
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+@register("embeddings_silhouette_by_label", _SILHOUETTE_SQL)
+def embeddings_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (centroid-based; Hruschka et al. 2004) per
+    label: a = distance to own-label centroid, b = nearest other-label
+    centroid, s = (b-a)/max(a,b) — the clustering-quality readout that
+    decides whether the label/cluster column is trustworthy enough to
+    drive SemDeDup-style per-cluster dedup. Centroid distances replace
+    the O(n²) pairwise silhouette, so cost is n_vecs × n_labels — the
+    label count is the bounded dial.
+
+    Determinism is the engineered part: element values integer-scale to
+    1e-6 BIGINTs, centroids divide the EXACT integer sums once, the
+    per-(vector, centroid) squared-diff sum runs as an ORDERED
+    sequential reduction in both engines (sort_array + F.aggregate vs
+    list(… ORDER BY) + list_reduce), and the per-label mean sums
+    integer-scaled silhouettes — no float partial-agg merge order
+    anywhere, despite three layers of float math.
+
+    Plan shape: one (label, dim) shuffle for centroids (bounded:
+    labels × 64 rows), broadcast-hash-joined back on the dim key (an
+    equi-join, not a cartesian), one (vec, label) reduce, one label
+    rollup."""
+    e = _t(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("val").cast("double") * 1000000.0)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    cent = pe.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    diff = F.col("vq") / 1000000.0 - F.col("s") / (F.col("n") * 1000000.0)
+    joined = pe.join(F.broadcast(cent), "i").select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "clabel",
+        "i",
+        (diff * diff).alias("sq"),
+    )
+    d = (
+        joined.groupBy("vec_id", "own", "clabel")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "sq"))).alias("dl"))
+        .select(
+            "vec_id",
+            "own",
+            "clabel",
+            F.sqrt(
+                F.aggregate(
+                    "dl", F.lit(0.0), lambda acc, st: acc + st["sq"]
+                )
+            ).alias("dist"),
+        )
+    )
+    sil = d.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("clabel") == F.col("own"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("own"), F.col("dist"))).alias("b"),
+    )
+    s6 = sil.select(
+        F.col("own").alias("label"),
+        F.when(F.greatest("a", "b") == 0, F.lit(0))
+        .otherwise(
+            F.round(
+                1000000.0 * (F.col("b") - F.col("a")) / F.greatest("a", "b")
+            )
+        )
+        .cast("bigint")
+        .alias("s6"),
+    )
+    return (
+        s6.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("s6") / (F.count(F.lit(1)) * 1000000.0), 4
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketches: relational Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+_MG_SQL = """
+    WITH c AS (
+        SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS bucket,
+               user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), rk AS (
+        SELECT bucket, user_id, c,
+               row_number() OVER (
+                   PARTITION BY bucket ORDER BY c DESC, user_id ASC
+               ) AS rn
+        FROM c
+    ), thresh AS (
+        SELECT bucket,
+               COALESCE(MAX(CASE WHEN rn = 6 THEN c END), 0) AS t
+        FROM rk GROUP BY bucket
+    ), est AS (
+        SELECT r.user_id, r.c - t.t AS est
+        FROM rk r JOIN thresh t ON r.bucket = t.bucket
+        WHERE r.rn <= 5 AND r.c > t.t
+    ), exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_c
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(e.est AS BIGINT) AS est,
+           x.exact_c,
+           CAST(x.exact_c - e.est AS BIGINT) AS underestimate
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.est DESC, e.user_id ASC
+    LIMIT 10
+"""
+
+
+@register("events_mg_heavy_hitters", _MG_SQL)
+def events_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries / SpaceSaving-style heavy hitters as a RELATIONAL
+    summary: users hash into 16 md5 buckets; each bucket keeps only its
+    top-5 counts minus the 6th-largest (the MG decrement in closed
+    form over a counted batch), giving the classic deterministic
+    UNDERESTIMATE with per-bucket error ≤ n_bucket/6. The audit joins
+    exact counts back so the error is measured, not assumed — the
+    deterministic-bound sibling of the probabilistic CMS row
+    (``cms_user_topk_estimate``).
+
+    Scale: summary state is buckets × k entries regardless of key
+    cardinality — the shape that survives when the key domain (users,
+    n-grams) outgrows memory: one (bucket, key) count shuffle, one
+    bucket-partitioned window over ≤ per-bucket distinct keys, one
+    broadcast-size result. At 100 TB buckets map to shuffle partitions
+    and k is the memory dial."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).alias(
+                "bucket"
+            ),
+            "user_id",
+        )
+        .groupBy("bucket", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rk = c.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("bucket").orderBy(F.desc("c"), F.asc("user_id"))
+        ),
+    )
+    thresh = rk.groupBy("bucket").agg(
+        F.coalesce(F.max(F.when(F.col("rn") == 6, F.col("c"))), F.lit(0)).alias(
+            "t"
+        )
+    )
+    est = (
+        rk.join(thresh, "bucket")
+        .filter((F.col("rn") <= 5) & (F.col("c") > F.col("t")))
+        .select("user_id", (F.col("c") - F.col("t")).cast("bigint").alias("est"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_c")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "exact_c",
+            (F.col("exact_c") - F.col("est")).cast("bigint").alias("underestimate"),
+        )
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# matched controls: sort-merge nearest-length pairing
+# ---------------------------------------------------------------------------
+
+_MATCHED_SQL = """
+    WITH pool AS (
+        SELECT doc_id, n_chars, source,
+               CAST(n_chars // 128 AS BIGINT) AS bucket,
+               (source = 'src1') AS is_ctl
+        FROM documents
+        WHERE source IN ('src0', 'src1')
+    ), w AS (
+        SELECT doc_id, n_chars, source, is_ctl,
+               last_value(CASE WHEN is_ctl THEN doc_id END IGNORE NULLS)
+                   OVER prev AS prev_id,
+               last_value(CASE WHEN is_ctl THEN n_chars END IGNORE NULLS)
+                   OVER prev AS prev_chars,
+               first_value(CASE WHEN is_ctl THEN doc_id END IGNORE NULLS)
+                   OVER nxt AS next_id,
+               first_value(CASE WHEN is_ctl THEN n_chars END IGNORE NULLS)
+                   OVER nxt AS next_chars
+        FROM pool
+        WINDOW prev AS (
+            PARTITION BY bucket ORDER BY n_chars, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), nxt AS (
+            PARTITION BY bucket ORDER BY n_chars, doc_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+        )
+    ), m AS (
+        SELECT doc_id, n_chars,
+               CASE
+                   WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+                   WHEN next_id IS NULL THEN prev_id
+                   WHEN prev_id IS NULL THEN next_id
+                   WHEN n_chars - prev_chars <= next_chars - n_chars
+                       THEN prev_id
+                   ELSE next_id
+               END AS ctl_id,
+               CASE
+                   WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+                   WHEN next_id IS NULL THEN n_chars - prev_chars
+                   WHEN prev_id IS NULL THEN next_chars - n_chars
+                   WHEN n_chars - prev_chars <= next_chars - n_chars
+                       THEN n_chars - prev_chars
+                   ELSE next_chars - n_chars
+               END AS gap
+        FROM w WHERE NOT is_ctl
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           CAST(COUNT(ctl_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) - COUNT(ctl_id) AS BIGINT) AS n_unmatched,
+           CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+           CAST(COUNT(DISTINCT ctl_id) AS BIGINT) AS n_distinct_controls
+    FROM m
+"""
+
+
+@register("docs_length_matched_pairs", _MATCHED_SQL)
+def docs_length_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-control selection on one covariate (document length):
+    every src0 doc pairs with its nearest-length src1 doc — the
+    matched-sampling step behind controlled A/B corpus evaluations
+    ("does source X docs of the SAME length score worse?"). Greedy
+    1-NN on a sorted axis needs only the last-control-before and
+    first-control-after each treated row, so the whole match is ONE
+    block-partitioned window pass over the union — no pair join, no
+    k-NN index. Matching is with replacement (a control can serve many
+    treated docs; n_distinct_controls reports the reuse).
+
+    Scale: partition by coarse length bucket (the dial; misses only at
+    bucket boundaries, the same trade as the sorted-neighborhood
+    blocks), sort within bucket — one range shuffle. Ties break on
+    doc_id and equal gaps prefer the earlier control, so both engines
+    pick identical partners."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    pool = d.filter(F.col("source").isin("src0", "src1")).select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") / 128).cast("bigint").alias("bucket"),
+        (F.col("source") == "src1").alias("is_ctl"),
+    )
+    order = [F.col("n_chars").asc(), F.col("doc_id").asc()]
+    prev_w = (
+        W.partitionBy("bucket")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    next_w = (
+        W.partitionBy("bucket")
+        .orderBy(*order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    ctl = lambda col: F.when(F.col("is_ctl"), F.col(col))  # noqa: E731
+    w = pool.select(
+        "doc_id",
+        "n_chars",
+        "is_ctl",
+        F.last(ctl("doc_id"), ignorenulls=True).over(prev_w).alias("prev_id"),
+        F.last(ctl("n_chars"), ignorenulls=True).over(prev_w).alias("prev_chars"),
+        F.first(ctl("doc_id"), ignorenulls=True).over(next_w).alias("next_id"),
+        F.first(ctl("n_chars"), ignorenulls=True).over(next_w).alias("next_chars"),
+    ).filter(~F.col("is_ctl"))
+    prev_gap = F.col("n_chars") - F.col("prev_chars")
+    next_gap = F.col("next_chars") - F.col("n_chars")
+    both_null = F.col("prev_id").isNull() & F.col("next_id").isNull()
+    use_prev = F.col("next_id").isNull() | (
+        F.col("prev_id").isNotNull() & (prev_gap <= next_gap)
+    )
+    m = w.select(
+        F.when(both_null, F.lit(None))
+        .when(use_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("ctl_id"),
+        F.when(both_null, F.lit(None))
+        .when(use_prev, prev_gap)
+        .otherwise(next_gap)
+        .alias("gap"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.count("ctl_id").cast("bigint").alias("n_matched"),
+        (F.count(F.lit(1)) - F.count("ctl_id")).cast("bigint").alias("n_unmatched"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("bigint").alias("sum_gap"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("max_gap"),
+        F.countDistinct("ctl_id").cast("bigint").alias("n_distinct_controls"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing: collision audit at candidate dimensionalities
+# ---------------------------------------------------------------------------
+
+_HEXP = "'0123456789abcdef'"
+
+_FHASH_SQL = f"""
+    WITH toks AS (
+        SELECT {_TOKS} AS ts FROM documents
+    ), bi AS (
+        SELECT DISTINCT pair[1] || ' ' || pair[2] AS g
+        FROM (
+            SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS pair
+            FROM toks WHERE len(ts) >= 2
+        )
+    ), h AS (
+        SELECT g,
+               (strpos({_HEXP}, substr(md5(g), 1, 1)) - 1) * 256
+               + (strpos({_HEXP}, substr(md5(g), 2, 1)) - 1) * 16
+               + (strpos({_HEXP}, substr(md5(g), 3, 1)) - 1) AS h12
+        FROM bi
+    ), g AS (
+        SELECT d.dim,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_features,
+               CAST(COUNT(DISTINCT h12 % d.dim) AS BIGINT) AS n_buckets_used
+        FROM h CROSS JOIN (SELECT unnest([256, 1024, 4096]) AS dim) d
+        GROUP BY d.dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n_features, n_buckets_used,
+           ROUND(1.0 - CAST(n_buckets_used AS DOUBLE) / n_features, 4)
+               AS collision_frac
+    FROM g
+    ORDER BY dim
+"""
+
+
+@register("docs_feature_hash_collisions", _FHASH_SQL)
+def docs_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick dimensionality audit: distinct word-bigram features
+    hash (md5, first 12 bits — replayable cross-engine) into candidate
+    vectorizer widths 256/1024/4096; collision_frac = 1 - buckets/features
+    is the capacity readout that picks the hashing-vectorizer width
+    before training a linear quality classifier over the corpus.
+
+    Scale: ONE distinct-feature shuffle (vocabulary-bounded — the corpus
+    row count never reaches the audit), then a 3-way explode of the dim
+    grid on the already-distinct feature table; everything downstream of
+    the distinct is bounded by vocabulary × |grid|. Exact integers plus
+    one rounded ratio of exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("ts")
+    )
+    n = F.size("ts")
+    bi = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, n - 1).alias("w1"),
+                    F.slice("ts", 2, n - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("g")
+        )
+        .distinct()
+    )
+    h = bi.select(
+        "g",
+        F.conv(F.substring(F.md5("g"), 1, 3), 16, 10)
+        .cast("bigint")
+        .alias("h12"),
+    )
+    grid = h.select(
+        "g", "h12", F.explode(F.array(F.lit(256), F.lit(1024), F.lit(4096))).alias("dim")
+    )
+    g = grid.groupBy("dim").agg(
+        F.countDistinct("g").cast("bigint").alias("n_features"),
+        F.countDistinct(F.col("h12") % F.col("dim"))
+        .cast("bigint")
+        .alias("n_buckets_used"),
+    )
+    return g.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n_features",
+        "n_buckets_used",
+        F.round(
+            1.0 - F.col("n_buckets_used").cast("double") / F.col("n_features"), 4
+        ).alias("collision_frac"),
+    ).orderBy("dim")

@@ -234,3 +234,129 @@ def test_zipf_slope_deterministic_across_reruns(spark):
     a = rq.docs_zipf_slope_by_source(spark, SF).collect()
     b = rq.docs_zipf_slope_by_source(spark, SF).collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette
+# ---------------------------------------------------------------------------
+
+def test_silhouette_separated_clusters_score_one(spark, tmp_path):
+    # two point-clusters: every member sits ON its centroid -> a = 0,
+    # b = inter-centroid distance, s = (b-0)/b = 1.0 exactly
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(4)]
+    rows += [(10 + i, [0.0, 1.0, 0.0, 0.0], 1) for i in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        r.label: r
+        for r in rq.embeddings_silhouette_by_label(spark, str(tmp_path)).collect()
+    }
+    assert out[0].n_vecs == 4 and out[1].n_vecs == 4
+    assert out[0].mean_silhouette == 1.0
+    assert out[1].mean_silhouette == 1.0
+
+
+def test_silhouette_bounded_and_deterministic(spark):
+    a = rq.embeddings_silhouette_by_label(spark, SF).collect()
+    b = rq.embeddings_silhouette_by_label(spark, SF).collect()
+    assert a == b
+    for r in a:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_mg_underestimates_and_finds_dominant_key(spark, tmp_path):
+    from datetime import datetime
+
+    rows = []
+    eid = 0
+    # user 7 dominates with 40 events; 30 other users get 2 each
+    for _ in range(40):
+        rows.append((eid, datetime(2024, 1, 1), 7, "a", 1.0, "{}")); eid += 1
+    for u in range(100, 130):
+        for _ in range(2):
+            rows.append((eid, datetime(2024, 1, 1), u, "a", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = rq.events_mg_heavy_hitters(spark, str(tmp_path)).collect()
+    assert out, "dominant key must survive the trim"
+    by_user = {r.user_id: r for r in out}
+    # MG guarantee: estimates never exceed exact counts
+    for r in out:
+        assert 0 < r.est <= r.exact_c
+        assert r.underestimate == r.exact_c - r.est
+    # the dominant user tops the estimate ranking
+    assert out[0].user_id == 7 and out[0].exact_c == 40
+    assert 7 in by_user
+
+
+# ---------------------------------------------------------------------------
+# length-matched pairs
+# ---------------------------------------------------------------------------
+
+def test_matched_pairs_nearest_in_bucket(spark, tmp_path):
+    rows = [
+        # bucket 0: treated 100 matches control 90 (gap 10)
+        (1, "t", "en", "src0", 100),
+        (2, "c", "en", "src1", 90),
+        # bucket 1: treated 200 matches control 210 (gap 10, next side)
+        (3, "t", "en", "src0", 200),
+        (4, "c", "en", "src1", 210),
+        # bucket 3: treated 400 has no control -> unmatched
+        (5, "t", "en", "src0", 400),
+        # other sources are excluded from the pool entirely
+        (6, "x", "en", "src2", 100),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = rq.docs_length_matched_pairs(spark, str(tmp_path)).collect()[0]
+    assert r.n_treated == 3 and r.n_matched == 2 and r.n_unmatched == 1
+    assert r.sum_gap == 20 and r.max_gap == 10
+    assert r.n_distinct_controls == 2
+
+
+def test_matched_pairs_tie_prefers_earlier_control(spark, tmp_path):
+    rows = [
+        (1, "c", "en", "src1", 95),   # prev control, gap 5
+        (2, "t", "en", "src0", 100),
+        (3, "c", "en", "src1", 105),  # next control, gap 5 -> tie
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = rq.docs_length_matched_pairs(spark, str(tmp_path)).collect()[0]
+    # equal gaps keep the earlier (preceding) control: 1 distinct control
+    assert r.n_matched == 1 and r.sum_gap == 5 and r.n_distinct_controls == 1
+
+
+# ---------------------------------------------------------------------------
+# feature-hash collision audit
+# ---------------------------------------------------------------------------
+
+def test_feature_hash_grid_and_ratio(spark, tmp_path):
+    rows = [(1, "a b c", "en", "s", 5), (2, "a b d", "en", "s", 5)]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.dim: r for r in rq.docs_feature_hash_collisions(spark, str(tmp_path)).collect()}
+    assert set(out) == {256, 1024, 4096}
+    for dim, r in out.items():
+        # bigrams: "a b", "b c", "b d"
+        assert r.n_features == 3
+        assert 1 <= r.n_buckets_used <= 3
+        assert r.collision_frac == round(1 - r.n_buckets_used / 3, 4)
+    # wider tables can only reduce (or keep) collisions
+    assert out[4096].n_buckets_used >= out[256].n_buckets_used
