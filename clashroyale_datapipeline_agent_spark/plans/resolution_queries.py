@@ -565,19 +565,26 @@ _SILHOUETTE_SQL = """
     ), cent AS (
         SELECT label AS clabel, i, SUM(vq) AS s, COUNT(*) AS n
         FROM pe GROUP BY label, i
-    ), diffs AS (
-        SELECT pe.vec_id, pe.label AS own, c.clabel,
-               list(
-                   (pe.vq / 1000000.0 - c.s / (c.n * 1000000.0))
-                   * (pe.vq / 1000000.0 - c.s / (c.n * 1000000.0))
-                   ORDER BY pe.i
-               ) AS dl
+    ), csum AS (
+        SELECT clabel, SUM(s * s) AS sc2, MIN(n) AS n FROM cent GROUP BY clabel
+    ), vsum AS (
+        SELECT vec_id, label AS own, SUM(vq * vq) AS sv2 FROM pe
+        GROUP BY vec_id, label
+    ), cross_t AS (
+        SELECT pe.vec_id, c.clabel, SUM(pe.vq * c.s) AS cr
         FROM pe JOIN cent c ON pe.i = c.i
-        GROUP BY pe.vec_id, pe.label, c.clabel
+        GROUP BY pe.vec_id, c.clabel
     ), d AS (
-        SELECT vec_id, own, clabel,
-               sqrt(list_reduce(dl, (a, b) -> a + b)) AS dist
-        FROM diffs
+        SELECT v.vec_id, v.own, x.clabel,
+               sqrt(GREATEST(
+                   v.sv2 / 1e12
+                   - 2.0 * x.cr / (s.n * 1e12)
+                   + s.sc2 / (s.n * s.n * 1e12),
+                   0.0
+               )) AS dist
+        FROM vsum v
+        JOIN cross_t x ON v.vec_id = x.vec_id
+        JOIN csum s ON x.clabel = s.clabel
     ), sil AS (
         SELECT vec_id, own,
                MAX(CASE WHEN clabel = own THEN dist END) AS a,
@@ -611,17 +618,21 @@ def embeddings_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     label count is the bounded dial.
 
     Determinism is the engineered part: element values integer-scale to
-    1e-6 BIGINTs, centroids divide the EXACT integer sums once, the
-    per-(vector, centroid) squared-diff sum runs as an ORDERED
-    sequential reduction in both engines (sort_array + F.aggregate vs
-    list(… ORDER BY) + list_reduce), and the per-label mean sums
-    integer-scaled silhouettes — no float partial-agg merge order
-    anywhere, despite three layers of float math.
+    1e-6 BIGINTs and EVERY aggregation is an exact integer sum — the
+    squared distance expands as d² = Σv²/1e12 − 2·(v·S)/(n·1e12)
+    + ΣS²/(n²·1e12) where Σv², v·S and ΣS² are BIGINT sums of BIGINT
+    products (order-free by exactness; magnitudes stay under 2^63),
+    divided by the scale exactly once; the per-label mean then sums
+    integer-scaled silhouettes. No float partial-agg merge order
+    anywhere, despite three layers of float math — and no per-vector
+    array rebuild (the first version collect_list-ed 64 structs per
+    (vec, centroid) for an ordered reduce; the expansion makes that
+    whole stage a hash agg).
 
     Plan shape: one (label, dim) shuffle for centroids (bounded:
     labels × 64 rows), broadcast-hash-joined back on the dim key (an
-    equi-join, not a cartesian), one (vec, label) reduce, one label
-    rollup."""
+    equi-join, not a cartesian) for the cross term, one (vec, label)
+    reduce, one label rollup."""
     e = _t(spark, sf_dir, "embeddings")
     pe = e.select(
         "vec_id",
@@ -638,26 +649,30 @@ def embeddings_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     cent = pe.groupBy(F.col("label").alias("clabel"), "i").agg(
         F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    diff = F.col("vq") / 1000000.0 - F.col("s") / (F.col("n") * 1000000.0)
-    joined = pe.join(F.broadcast(cent), "i").select(
-        "vec_id",
-        F.col("label").alias("own"),
-        "clabel",
-        "i",
-        (diff * diff).alias("sq"),
+    csum = cent.groupBy("clabel").agg(
+        F.sum(F.col("s") * F.col("s")).alias("sc2"), F.min("n").alias("n")
+    )
+    vsum = pe.groupBy("vec_id", F.col("label").alias("own")).agg(
+        F.sum(F.col("vq") * F.col("vq")).alias("sv2")
+    )
+    cross_t = (
+        pe.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(F.col("vq") * F.col("s")).alias("cr"))
+    )
+    d2 = (
+        F.col("sv2") / 1e12
+        - 2.0 * F.col("cr") / (F.col("n") * 1e12)
+        + F.col("sc2") / (F.col("n") * F.col("n") * 1e12)
     )
     d = (
-        joined.groupBy("vec_id", "own", "clabel")
-        .agg(F.sort_array(F.collect_list(F.struct("i", "sq"))).alias("dl"))
+        vsum.join(cross_t, "vec_id")
+        .join(F.broadcast(csum), "clabel")
         .select(
             "vec_id",
             "own",
             "clabel",
-            F.sqrt(
-                F.aggregate(
-                    "dl", F.lit(0.0), lambda acc, st: acc + st["sq"]
-                )
-            ).alias("dist"),
+            F.sqrt(F.greatest(d2, F.lit(0.0))).alias("dist"),
         )
     )
     sil = d.groupBy("vec_id", "own").agg(
