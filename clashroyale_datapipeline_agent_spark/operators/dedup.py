@@ -794,10 +794,17 @@ def sorted_neighborhood_pairs(
         pairs = nxt if pairs is None else pairs.unionByName(nxt)
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     union_sz = F.size("ts_a") + F.size("ts_b") - inter
+    # Guard 0/0 (two whitespace-only docs share the NULL block): Spark's
+    # x/0 yields NULL (sorts last DESC) while DuckDB yields NaN (sorts
+    # first DESC), so an unguarded division makes the oracle-paired
+    # top-k diverge on corpora with empty token arrays. Define it as 0.
+    jac = F.when(
+        union_sz > 0, F.round(inter.cast("double") / union_sz.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
     out = pairs.select(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
-        F.round(inter.cast("double") / union_sz.cast("double"), 4).alias("jaccard"),
+        jac.alias("jaccard"),
     )
     # window overlap can emit (a,b) from both endpoints' leads; distinct
     # on the canonical orientation keeps candidates unique

@@ -267,8 +267,13 @@ def bloom_probe(
     false negatives, tunable false positives ≈ (bits_set/m)^k).
 
     Probe keys explode into (key, bit) rows, LEFT-join the broadcast
-    bit table, and re-group counting hits — a key is kept only when
-    every probe bit matched.
+    bit table, and re-group requiring EVERY probed bit to have matched
+    (``min(_hit) == 1``). The min formulation — not ``sum == hashes`` —
+    keeps the no-false-negative contract when the probe side contains
+    duplicate rows (a scan with repeated keys pools d duplicates into
+    one group with d×hashes exploded rows; a sum would see d×hashes ≠
+    hashes and wrongly report absent) and when two hash functions
+    collide on one bit position.
     """
     others = [c for c in keys.columns if c != value_col]
     probes = keys.select(
@@ -282,7 +287,7 @@ def bloom_probe(
         probes.join(F.broadcast(marked), "bit", "left")
         .groupBy(value_col, *others)
         .agg(
-            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == hashes).alias(
+            (F.min(F.coalesce(F.col("_hit"), F.lit(0))) == 1).alias(
                 "maybe_present"
             )
         )

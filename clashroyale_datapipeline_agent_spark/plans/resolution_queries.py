@@ -72,11 +72,17 @@ _SNM_SQL = f"""
         SELECT DISTINCT
                LEAST(id_a, id_b) AS id_a,
                GREATEST(id_a, id_b) AS id_b,
-               ROUND(
-                   CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
-                   / (len(ts_a) + len(ts_b) - len(list_intersect(ts_a, ts_b))),
-                   4
-               ) AS jaccard
+               CASE
+                   WHEN len(ts_a) + len(ts_b)
+                        - len(list_intersect(ts_a, ts_b)) > 0
+                   THEN ROUND(
+                       CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
+                       / (len(ts_a) + len(ts_b)
+                          - len(list_intersect(ts_a, ts_b))),
+                       4
+                   )
+                   ELSE 0.0
+               END AS jaccard
         FROM pairs
     )
     SELECT id_a, id_b, jaccard
@@ -482,14 +488,20 @@ def docs_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.aggregate, which removes partial-aggregation merge order from the
     sum entirely (the array is ≤100 elements per group — bounded, never
     a corpus-width collect). Cross-engine last-ulp noise vs DuckDB's
-    plain SUM is absorbed by ROUND(…, 4)."""
-    from clashroyale_datapipeline_agent_spark.plans.text_queries import _toks
+    plain SUM is absorbed by ROUND(…, 4).
+
+    Tokenizer: ``operators/text.tokens_col`` (trim + split ``\\s+`` +
+    drop empties) — the house tokenizer this module's ``_TOKS`` DuckDB
+    twin mirrors. Do NOT use ``text_queries``'s literal-space splitter
+    here: it diverges on tabs/newlines/space-runs (round-6 red gate,
+    ``test_tokenization_parity.py``)."""
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
 
     d = _t(spark, sf_dir, "documents")
     wc = (
         d.select(
             "source",
-            F.explode(_toks(F.lower(F.trim(F.col("text"))))).alias("w"),
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("w"),
         )
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -566,12 +578,13 @@ _SILHOUETTE_SQL = """
         SELECT label AS clabel, i, SUM(vq) AS s, COUNT(*) AS n
         FROM pe GROUP BY label, i
     ), csum AS (
-        SELECT clabel, SUM(s * s) AS sc2, MIN(n) AS n FROM cent GROUP BY clabel
+        SELECT clabel, SUM(CAST(s AS HUGEINT) * s) AS sc2, MIN(n) AS n
+        FROM cent GROUP BY clabel
     ), vsum AS (
         SELECT vec_id, label AS own, SUM(vq * vq) AS sv2 FROM pe
         GROUP BY vec_id, label
     ), cross_t AS (
-        SELECT pe.vec_id, c.clabel, SUM(pe.vq * c.s) AS cr
+        SELECT pe.vec_id, c.clabel, SUM(CAST(pe.vq AS HUGEINT) * c.s) AS cr
         FROM pe JOIN cent c ON pe.i = c.i
         GROUP BY pe.vec_id, c.clabel
     ), d AS (
@@ -618,16 +631,21 @@ def embeddings_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     label count is the bounded dial.
 
     Determinism is the engineered part: element values integer-scale to
-    1e-6 BIGINTs and EVERY aggregation is an exact integer sum — the
-    squared distance expands as d² = Σv²/1e12 − 2·(v·S)/(n·1e12)
-    + ΣS²/(n²·1e12) where Σv², v·S and ΣS² are BIGINT sums of BIGINT
-    products (order-free by exactness; magnitudes stay under 2^63),
-    divided by the scale exactly once; the per-label mean then sums
-    integer-scaled silhouettes. No float partial-agg merge order
-    anywhere, despite three layers of float math — and no per-vector
-    array rebuild (the first version collect_list-ed 64 structs per
-    (vec, centroid) for an ordered reduce; the expansion makes that
-    whole stage a hash agg).
+    1e-6 BIGINTs and EVERY aggregation is an exact sum — the squared
+    distance expands as d² = Σv²/1e12 − 2·(v·S)/(n·1e12)
+    + ΣS²/(n²·1e12) where Σv² is a BIGINT sum (vq² ≤ 4e12, never
+    overflows) and v·S / ΣS² are DECIMAL sums of DECIMAL products:
+    s = Σvq can reach n·2e6, so s² would wrap int64 silently (non-ANSI
+    Spark) for clusters past ~10⁵ vectors. Computing the products as
+    decimal(18,0)×decimal(18,0) → decimal(37,0) and summing to
+    decimal(38,0) keeps exactness (hence order-freeness) to ~5e11
+    vectors per label — DuckDB's HUGEINT sum is the 128-bit twin. The
+    scale division happens exactly once, in double, on exact inputs;
+    the per-label mean then sums integer-scaled silhouettes. No float
+    partial-agg merge order anywhere, despite three layers of float
+    math — and no per-vector array rebuild (the first version
+    collect_list-ed 64 structs per (vec, centroid) for an ordered
+    reduce; the expansion makes that whole stage a hash agg).
 
     Plan shape: one (label, dim) shuffle for centroids (bounded:
     labels × 64 rows), broadcast-hash-joined back on the dim key (an
@@ -649,8 +667,9 @@ def embeddings_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     cent = pe.groupBy(F.col("label").alias("clabel"), "i").agg(
         F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n")
     )
+    s_dec = F.col("s").cast("decimal(18,0)")
     csum = cent.groupBy("clabel").agg(
-        F.sum(F.col("s") * F.col("s")).alias("sc2"), F.min("n").alias("n")
+        F.sum(s_dec * s_dec).alias("sc2"), F.min("n").alias("n")
     )
     vsum = pe.groupBy("vec_id", F.col("label").alias("own")).agg(
         F.sum(F.col("vq") * F.col("vq")).alias("sv2")
@@ -658,12 +677,12 @@ def embeddings_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     cross_t = (
         pe.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "clabel")
-        .agg(F.sum(F.col("vq") * F.col("s")).alias("cr"))
+        .agg(F.sum(F.col("vq").cast("decimal(18,0)") * s_dec).alias("cr"))
     )
     d2 = (
         F.col("sv2") / 1e12
-        - 2.0 * F.col("cr") / (F.col("n") * 1e12)
-        + F.col("sc2") / (F.col("n") * F.col("n") * 1e12)
+        - 2.0 * F.col("cr").cast("double") / (F.col("n") * 1e12)
+        + F.col("sc2").cast("double") / (F.col("n") * F.col("n") * 1e12)
     )
     d = (
         vsum.join(cross_t, "vec_id")

@@ -2297,16 +2297,19 @@ _ANISO_SQL = """
                unnest(e.embedding) / n.nrm AS ux
         FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
     ), sums AS (
-        SELECT label, pos, SUM(CAST(ux AS DOUBLE)) AS s
+        SELECT label, pos,
+               SUM(CAST(ROUND(ux * 1000000000.0) AS BIGINT)) AS s
         FROM comps GROUP BY label, pos
     ), pern AS (
         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM embeddings GROUP BY label
     )
     SELECT p.label, p.n_vecs,
-           ROUND((SUM(s * s) - p.n_vecs) / (p.n_vecs * (p.n_vecs - 1)), 6)
+           ROUND((SUM(CAST(s AS HUGEINT) * s) / 1e18 - p.n_vecs)
+                 / (p.n_vecs * (p.n_vecs - 1)), 6)
                AS mean_pairwise_cos,
-           ROUND(sqrt(SUM(s * s)) / p.n_vecs, 6) AS centroid_norm
+           ROUND(sqrt(SUM(CAST(s AS HUGEINT) * s) / 1e18) / p.n_vecs, 6)
+               AS centroid_norm
     FROM sums j JOIN pern p USING (label)
     GROUP BY p.label, p.n_vecs
     ORDER BY p.label
@@ -2325,8 +2328,16 @@ def embeddings_anisotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     label. 100 TB shape: linear scan, sketch-sized state, no candidate
     generation at all — this is the cheap pre-read that decides whether
     the expensive `semantic_dedup_cluster_stats` pass is worth running.
-    Norms fold in array order in BOTH engines (F.aggregate / list_sum),
-    so the doubles agree bit-for-bit before the final rounding."""
+
+    Determinism: the per-vector norm folds in array order in BOTH
+    engines (F.aggregate / list_sum, bit-identical doubles); the
+    CROSS-VECTOR component sums are the flake class, so ux
+    integer-scales to 1e-9 BIGINTs first (same idiom as the silhouette
+    row) — SUM is then exact and merge-order-free, and the squared
+    term sums as decimal(37,0) products (HUGEINT in the DuckDB twin)
+    so it cannot wrap int64; the 1e18 descale happens once, in double,
+    on exact inputs. Quantization error ≤ 5e-10 per element is far
+    inside the ROUND(…, 6) readout."""
     emb = _t(spark, sf_dir, "embeddings")
     nrm = F.sqrt(
         F.aggregate(
@@ -2340,13 +2351,19 @@ def embeddings_anisotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.transform("embedding", lambda x: x.cast("double") / F.col("_nrm"))
         ).alias("pos", "ux"),
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("ux") * 1000000000.0).cast("bigint").alias("uq"),
     )
-    sums = comps.groupBy("label", "pos").agg(F.sum("ux").alias("s"))
+    sums = comps.groupBy("label", "pos").agg(F.sum("uq").alias("s"))
     pern = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
     n = F.col("n_vecs")
+    s_dec = F.col("s").cast("decimal(18,0)")
+    s2 = (F.sum(s_dec * s_dec).cast("double") / 1e18).alias("s2")
     return (
         sums.groupBy("label")
-        .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+        .agg(s2)
         .join(F.broadcast(pern), "label")
         .select(
             "label",

@@ -24,7 +24,13 @@ from clashroyale_datapipeline_agent_spark.operators.text import STOPWORDS
 from clashroyale_datapipeline_agent_spark.plans.star_queries import _r2, _t, register
 
 
-def _toks(text):
+def _toks_space(text):
+    """LITERAL-SPACE splitter — twins ONLY with DuckDB
+    ``string_split(text, ' ')`` oracles in THIS module. Not the house
+    tokenizer: it keeps tab/newline-glued tokens. For anything pairing
+    with a ``regexp_split_to_array(…, '\\s+')`` twin, use
+    ``operators/text.tokens_col`` instead (round-6 red gate:
+    ``test_tokenization_parity.py``)."""
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
@@ -48,7 +54,7 @@ def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting over documents, aggregated per language (whitespace
     tokenizer as a pure codegen expression — no UDF)."""
     d = _t(spark, sf_dir, "documents")
-    ntok = F.size(_toks(F.col("text")))
+    ntok = F.size(_toks_space(F.col("text")))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         _r2(F.avg(ntok.cast("double"))).alias("avg_tokens"),
@@ -78,7 +84,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals (token count, vocabulary, repetition
     ratio) — the quality-scoring operator, per-doc grain."""
     d = _t(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
+    toks = _toks_space(F.col("text"))
     n = F.size(toks)
     uniq = F.size(F.array_distinct(toks))
     return d.select(
@@ -133,7 +139,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NB: the lambda must be unary — PySpark passes (element, index) to
         # two-parameter higher-order-function lambdas, so a default-arg
         # closure trick would bind the index column instead.
-        return F.size(F.filter(_toks(low), lambda t: t.isin(*ws)))
+        return F.size(F.filter(_toks_space(low), lambda t: t.isin(*ws)))
 
     hits = {lang: _hits(tuple(ws)) for lang, ws in STOPWORDS.items()}
     best = F.greatest(*hits.values())
@@ -512,7 +518,7 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar token count so padded batches waste little compute): histogram
     of 16-token buckets with per-bucket token volume."""
     d = _t(spark, sf_dir, "documents")
-    ntok = F.size(_toks(F.col("text")))
+    ntok = F.size(_toks_space(F.col("text")))
     return (
         d.select((F.floor(ntok / 16.0).cast("bigint") * 16).alias("bucket_lo"), ntok.alias("n_tokens"))
         .groupBy("bucket_lo")
@@ -717,7 +723,7 @@ def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     packed = pack_sequences(
-        d.select("doc_id", F.size(_toks(F.col("text"))).alias("n_tokens")),
+        d.select("doc_id", F.size(_toks_space(F.col("text"))).alias("n_tokens")),
         budget=256,
     )
     per_pack = packed.groupBy("pack_id").agg(
@@ -780,7 +786,7 @@ def docs_pack_stats_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences_grouped(
         d.select(
             "doc_id",
-            F.size(_toks(F.col("text"))).alias("n_tokens"),
+            F.size(_toks_space(F.col("text"))).alias("n_tokens"),
             (F.col("doc_id") % 8).alias("grp"),
         ),
         budget=256,
@@ -1672,7 +1678,7 @@ def docs_word_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the only cross-engine noise is the final AVG rounding."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("w")
+        "doc_id", "lang", F.explode(_toks_space(F.col("text"))).alias("w")
     )
     wc = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
     per_doc = wc.groupBy("doc_id", "lang").agg(
@@ -2183,7 +2189,7 @@ def text_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the join. The division sequence is parenthesized identically
     in both engines so the doubles round identically."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(_toks(F.lower(F.trim(F.col("text")))).alias("ts"))
+    toks = d.select(_toks_space(F.lower(F.trim(F.col("text")))).alias("ts"))
     uni = toks.select(F.explode("ts").alias("w"))
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     n_uni = uni.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))

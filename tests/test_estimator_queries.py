@@ -310,6 +310,29 @@ def test_bloom_membership_one_sided(spark):
         assert 0 < r.bits_set <= 4096
 
 
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """Round-7 ADVICE regression: a probe side with REPEATED keys (the
+    pre-filter-a-scan use case) must still report every true member as
+    maybe-present — the old sum==hashes aggregate saw d×hashes hits for
+    d pooled duplicates and flipped members to absent."""
+    from clashroyale_datapipeline_agent_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    bloom = bloom_bits(members, "k")
+    # duplicate every member key 3x, plus some non-members once each
+    dup = spark.createDataFrame(
+        [(i,) for i in range(50) for _ in range(3)]
+        + [(i,) for i in range(1000, 1020)],
+        "k bigint",
+    )
+    out = {r.k: r.maybe_present for r in bloom_probe(bloom, dup, "k").collect()}
+    for i in range(50):
+        assert out[i] is True, f"false negative for duplicated member {i}"
+
+
 def test_anisotropy_bounds(spark):
     from clashroyale_datapipeline_agent_spark.plans.scale_queries import (
         embeddings_anisotropy_stats,

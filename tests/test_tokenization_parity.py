@@ -77,8 +77,23 @@ def test_doc_queries_match_oracle_on_gnarly_whitespace(gnarly_sf):
 
     import __spark_entry__ as entry
 
-    names = [n for n, sql in entry.oracle_sql().items() if "documents" in sql]
+    oracles = entry.oracle_sql()
+    names = [n for n, sql in oracles.items() if "documents" in sql]
     assert len(names) >= 40  # the text/dedup surface, not a cherry-pick
     res = run_check(gnarly_sf, names)
     fails = {k: v for k, v in res.items() if v}
-    assert not fails, fails
+    hints = {}
+    for k in fails:
+        sql = oracles[k]
+        if "string_split" in sql:
+            hints[k] = (
+                "oracle splits on literal space (string_split) — Spark side "
+                "must use plans/text_queries._toks_space"
+            )
+        elif "regexp_split_to_array" in sql:
+            hints[k] = (
+                r"oracle splits on \s+ (regexp_split_to_array) — Spark side "
+                "must use operators/text.tokens_col, NOT the literal-space "
+                "_toks_space"
+            )
+    assert not fails, {"fails": fails, "tokenizer_hints": hints}
