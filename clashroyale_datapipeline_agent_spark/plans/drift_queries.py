@@ -1,0 +1,833 @@
+"""Round-7 wave: distribution-drift tests, data-quality forensics, and
+the privacy-audit completion (k-anonymity → l-diversity → t-closeness).
+
+A 100 TB training-data pipeline is a *process*, and these queries are the
+process-control instruments: two-sample tests for "did this cohort's
+distribution move" (KS), sequential changepoint detection for "when did
+the feed drift" (CUSUM), digit-law forensics for "is this numeric column
+synthetic/tampered" (Benford), corpus drift at the source grain
+(Jensen-Shannon divergence), LM-based fluency scoring at the source
+grain (add-one bigram surprisal), and the third leg of the privacy-audit
+stool (t-closeness over the same QI groups k-anonymity and l-diversity
+use).
+
+House determinism discipline (the flake class is float SUM/AVG under
+partial-aggregation merge order — see SCALE.md "Float-ROUND ledger"):
+
+- cross-row float sums are either (a) exact integer/decimal sums of
+  integer-scaled terms (JSD, surprisal, t-closeness, KS numerator), or
+  (b) sequential WINDOW running sums over a BOUNDED ordered frame
+  (CUSUM's 30-day series, Benford's 9 digits, KS's 50 bins) — window
+  running aggregates evaluate in frame order in both engines, so they
+  are order-fixed by construction, unlike groupBy sums;
+- every division happens once, on exact inputs (IEEE division is
+  correctly rounded, hence identical cross-engine);
+- ln/log10 may differ in the last ulp between libm and the JVM; every
+  ln-consuming term is integer-scaled with ≥5 orders of headroom before
+  its exact sum, so a 1-ulp input wiggle cannot move the scaled int.
+
+No reference counterpart: the reference pipeline
+(``/root/reference/src``) has no statistical process control at all —
+these exist for the 100 TB curation story, not parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
+
+#: house tokenizer, DuckDB side (≡ operators/text.tokens_col — regex \s+,
+#: NOT text_queries._toks_space's literal space)
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " x -> x != '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov (binned) between event cohorts
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(GREATEST(value, 0.0) / 10.0) AS BIGINT), 49)
+                   AS bin,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ), cum AS (
+        SELECT bin,
+               SUM(na) OVER (ORDER BY bin) AS ca,
+               SUM(nb) OVER (ORDER BY bin) AS cb,
+               SUM(na) OVER () AS tot_a,
+               SUM(nb) OVER () AS tot_b
+        FROM binned
+    ), stat AS (
+        SELECT MAX(tot_a) AS n_a, MAX(tot_b) AS n_b,
+               MAX(ABS(CAST(ca AS HUGEINT) * tot_b
+                       - CAST(cb AS HUGEINT) * tot_a)) AS num
+        FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+               AS ks_stat,
+           ROUND(1.358 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b)), 6)
+               AS ks_crit_05,
+           CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+               > 1.358 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b))
+               AS reject_h0
+    FROM stat
+"""
+
+
+@register("events_ks_binned_two_sample", _KS_SQL)
+def events_ks_binned_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the ``purchase`` and
+    ``click`` value distributions, on a FIXED 50-bin grid (width-10
+    bins, top-clamped): KS = sup |F̂_a − F̂_b| evaluated at bin edges.
+    The binning is the scale move — exact KS needs a global sort of
+    both samples, while binned KS is one hash agg over the scan plus a
+    50-row epilogue, and the bin grid bounds the understatement of the
+    sup (sup over a coarser partition is a lower bound; the audit's
+    drift alarm stays one-sided).
+
+    Determinism: per-bin counts are exact ints; the CDFs come from a
+    running window sum over ≤50 ordered rows (sequential, order-fixed
+    in both engines — explicitly NOT a groupBy float sum); the sup is
+    maximized on the exact integer cross product |ca·Nb − cb·Na| (as
+    decimal/HUGEINT so ~1e12-row cohorts cannot wrap int64) and
+    divided by Na·Nb exactly once. The single-partition window is
+    bounded at 50 rows BY CONSTRUCTION (post-aggregation grain), not
+    corpus-width. Rejection threshold is the asymptotic two-sided
+    α=0.05 critical value c(α)·sqrt((n_a+n_b)/(n_a·n_b)), c=1.358."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    binned = e.groupBy(
+        F.least(
+            F.floor(F.greatest(F.col("value"), F.lit(0.0)) / 10.0).cast("bigint"),
+            F.lit(49).cast("bigint"),
+        ).alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    w_run = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = binned.select(
+        "bin",
+        F.sum("na").over(w_run).alias("ca"),
+        F.sum("nb").over(w_run).alias("cb"),
+        F.sum("na").over(w_all).alias("tot_a"),
+        F.sum("nb").over(w_all).alias("tot_b"),
+    )
+    stat = cum.agg(
+        F.max("tot_a").alias("n_a"),
+        F.max("tot_b").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("ca").cast("decimal(18,0)")
+                * F.col("tot_b").cast("decimal(18,0)")
+                - F.col("cb").cast("decimal(18,0)")
+                * F.col("tot_a").cast("decimal(18,0)")
+            )
+        ).alias("num"),
+    )
+    na_d = F.col("n_a").cast("double")
+    ks = F.col("num").cast("double") / (na_d * F.col("n_b"))
+    crit = 1.358 * F.sqrt((F.col("n_a") + F.col("n_b")) / (na_d * F.col("n_b")))
+    return stat.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(ks, 6).alias("ks_stat"),
+        F.round(crit, 6).alias("ks_crit_05"),
+        (ks > crit).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over daily event volumes
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    ), z AS (
+        SELECT d.event_type, d.day, s.n,
+               CASE WHEN s.n * s.sxx - s.sx * s.sx > 0
+                    THEN (d.x - CAST(s.sx AS DOUBLE) / s.n)
+                         / sqrt((CAST(s.n AS DOUBLE) * s.sxx
+                                 - CAST(s.sx AS DOUBLE) * s.sx)
+                                / (CAST(s.n AS DOUBLE) * s.n))
+                    ELSE 0.0
+               END - 0.5 AS zk
+        FROM daily d JOIN stats s USING (event_type)
+    ), cumz AS (
+        SELECT event_type, day, n,
+               SUM(zk) OVER (PARTITION BY event_type ORDER BY day) AS c
+        FROM z
+    ), cusum AS (
+        SELECT event_type, day, n,
+               c - LEAST(
+                   0.0,
+                   MIN(c) OVER (PARTITION BY event_type ORDER BY day)
+               ) AS s
+        FROM cumz
+    ), ranked AS (
+        SELECT event_type, day, n, s,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY s DESC, day ASC
+               ) AS rn
+        FROM cusum
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(s, 4) AS max_cusum, day AS peak_day,
+           s > 5.0 AS drift_flag
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+"""
+
+
+@register("events_cusum_drift", _CUSUM_SQL)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector (Page 1954) over per-type
+    daily event volumes: S_t = max(0, S_{t-1} + z_t − k) with slack
+    k = 0.5 in standardized units, reported as max S_t and its argmax
+    day — the sequential alarm that catches a feed whose volume drifts
+    up slowly enough that per-day z-score alarms never fire
+    (``events_zscore_anomalies`` is the pointwise companion).
+
+    The recursion is solved in closed form so no iterative/stateful
+    operator is needed: S_t = C_t − min(0, min_{j≤t} C_j) with
+    C = running Σ(z−k) — two window passes per type over the bounded
+    day series. Determinism: daily counts and their first two moments
+    are exact integer sums; mean/std divide once; the running sums are
+    sequential window aggregates in day order (order-fixed in both
+    engines — the one float-sum form the flake class cannot touch);
+    ties on max break to the earliest day. 100 TB shape: one
+    (type, day) hash agg over the scan, then windows over
+    types × days rows — sketch-sized."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / F.col("n")
+    std = F.sqrt(
+        (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        / (n_d * F.col("n"))
+    )
+    # a constant-volume feed has zero variance: define z = 0 (CUSUM
+    # stays at 0, no drift) instead of dividing by zero — exact integer
+    # predicate so both engines take the same branch
+    var_pos = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) > 0
+    z = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (
+            F.when(var_pos, (F.col("x") - mean) / std).otherwise(F.lit(0.0))
+            - 0.5
+        ).alias("zk"),
+    )
+    w_run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumz = z.select(
+        "event_type", "day", "n", F.sum("zk").over(w_run).alias("c")
+    )
+    cusum = cumz.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("c") - F.least(F.lit(0.0), F.min("c").over(w_run))).alias("s"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("s"), F.asc("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round("s", 4).alias("max_cusum"),
+            F.col("day").alias("peak_day"),
+            (F.col("s") > 5.0).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensics over order totals
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+    WITH digits AS (
+        SELECT unnest(generate_series(1, 9)) AS d
+    ), prios AS (
+        SELECT DISTINCT o_orderpriority FROM orders
+    ), obs AS (
+        SELECT o_orderpriority,
+               CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_d
+        FROM orders WHERE o_totalprice >= 1.0
+        GROUP BY 1, 2
+    ), spine AS (
+        SELECT p.o_orderpriority, g.d, COALESCE(o.n_d, 0) AS n_d
+        FROM prios p CROSS JOIN digits g
+        LEFT JOIN obs o
+          ON o.o_orderpriority = p.o_orderpriority AND o.d = g.d
+    ), tot AS (
+        SELECT o_orderpriority, CAST(SUM(n_d) AS BIGINT) AS n
+        FROM spine GROUP BY o_orderpriority
+    ), terms AS (
+        SELECT s.o_orderpriority, s.d, s.n_d, t.n,
+               t.n * (ln(1.0 + 1.0 / s.d) / ln(10.0)) AS expd,
+               ABS(s.n_d - t.n * (ln(1.0 + 1.0 / s.d) / ln(10.0))) AS dev
+        FROM spine s JOIN tot t USING (o_orderpriority)
+    ), chi AS (
+        SELECT o_orderpriority, d, n, dev,
+               SUM((n_d - expd) * (n_d - expd) / expd) OVER (
+                   PARTITION BY o_orderpriority ORDER BY d
+               ) AS chi2_cum,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY dev DESC, d ASC
+               ) AS dev_rn
+        FROM terms
+    ), last AS (
+        SELECT o_orderpriority, n, chi2_cum AS chi2 FROM chi WHERE d = 9
+    ), worst AS (
+        SELECT o_orderpriority, d AS max_dev_digit FROM chi WHERE dev_rn = 1
+    )
+    SELECT l.o_orderpriority, CAST(l.n AS BIGINT) AS n_orders,
+           ROUND(l.chi2, 4) AS chi2,
+           CAST(w.max_dev_digit AS BIGINT) AS max_dev_digit,
+           l.chi2 > 15.507 AS benford_reject
+    FROM last l JOIN worst w USING (o_orderpriority)
+    ORDER BY l.o_orderpriority
+"""
+
+
+@register("orders_benford_audit", _BENFORD_SQL)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals per
+    priority class: χ² of the observed digit histogram against
+    p(d) = log₁₀(1 + 1/d), with the worst-deviating digit named. The
+    data-quality forensic for synthetic/tampered/defaulted numeric
+    columns — a feed whose amounts are generated uniform (as this
+    fixture's are) or padded with a constant lights up instantly, which
+    is exactly what a 100 TB ingest wants to know before training on a
+    new source.
+
+    Shape: one hash agg over the scan to (priority, digit) — 45 rows —
+    then a zero-backfilled digit spine (the a8 idiom: absent digits
+    MUST contribute their full expected mass to χ²). Determinism: the
+    9-term χ² sum is a sequential window cumsum in digit order (taking
+    the d=9 row), not a groupBy float sum; expected masses are
+    identical cross-engine (same ln-quotient expression); the worst
+    digit breaks ties toward the smaller digit. df=8 critical value
+    15.507 at α=0.05."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    obs = o.groupBy(
+        "o_orderpriority",
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    digits = spark.range(1, 10).select(F.col("id").alias("d"))
+    prios = o.select("o_orderpriority").distinct()
+    spine = (
+        prios.crossJoin(F.broadcast(digits))
+        .join(obs, ["o_orderpriority", "d"], "left")
+        .select(
+            "o_orderpriority", "d", F.coalesce("n_d", F.lit(0)).alias("n_d")
+        )
+    )
+    tot = spine.groupBy("o_orderpriority").agg(
+        F.sum("n_d").cast("bigint").alias("n")
+    )
+    expd = F.col("n") * (F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)))
+    terms = spine.join(F.broadcast(tot), "o_orderpriority").select(
+        "o_orderpriority",
+        "d",
+        "n_d",
+        "n",
+        expd.alias("expd"),
+        F.abs(F.col("n_d") - expd).alias("dev"),
+    )
+    w_chi = Window.partitionBy("o_orderpriority").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_dev = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("dev"), F.asc("d")
+    )
+    chi = terms.select(
+        "o_orderpriority",
+        "d",
+        "n",
+        F.sum(
+            (F.col("n_d") - F.col("expd"))
+            * (F.col("n_d") - F.col("expd"))
+            / F.col("expd")
+        )
+        .over(w_chi)
+        .alias("chi2_cum"),
+        F.row_number().over(w_dev).alias("dev_rn"),
+    )
+    last = chi.filter(F.col("d") == 9).select(
+        "o_orderpriority", "n", F.col("chi2_cum").alias("chi2")
+    )
+    worst = chi.filter(F.col("dev_rn") == 1).select(
+        "o_orderpriority", F.col("d").alias("max_dev_digit")
+    )
+    return (
+        last.join(worst, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round("chi2", 4).alias("chi2"),
+            F.col("max_dev_digit").cast("bigint").alias("max_dev_digit"),
+            (F.col("chi2") > 15.507).alias("benford_reject"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy: t-closeness audit (completes k-anonymity / l-diversity)
+# ---------------------------------------------------------------------------
+
+_TCLOSE_SQL = """
+    WITH bands AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_gb
+        FROM customer GROUP BY 1, 2, 3
+    ), grp AS (
+        SELECT c_nationkey, c_mktsegment, CAST(SUM(n_gb) AS BIGINT) AS n_g
+        FROM bands GROUP BY 1, 2
+    ), bnd AS (
+        SELECT band, CAST(SUM(n_gb) AS BIGINT) AS n_b FROM bands GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM bnd
+    ), spine AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band, b.n_b,
+               COALESCE(x.n_gb, 0) AS n_gb
+        FROM grp g CROSS JOIN bnd b
+        LEFT JOIN bands x
+          ON x.c_nationkey = g.c_nationkey
+         AND x.c_mktsegment = g.c_mktsegment
+         AND x.band = b.band
+    ), tvd AS (
+        SELECT c_nationkey, c_mktsegment, MAX(n_g) AS n_g,
+               SUM(ABS(CAST(n_gb AS HUGEINT) * (SELECT n FROM tot)
+                       - CAST(n_b AS HUGEINT) * n_g)) AS num
+        FROM spine
+        GROUP BY c_nationkey, c_mktsegment
+    ), t AS (
+        SELECT n_g,
+               CAST(num AS DOUBLE)
+                   / (2.0 * n_g * (SELECT n FROM tot)) AS tval,
+               CAST(FLOOR(CAST(num AS DOUBLE) * 10.0
+                          / (CAST(n_g AS DOUBLE) * (SELECT n FROM tot)))
+                    AS BIGINT) AS bucket
+        FROM tvd
+    )
+    SELECT ROUND(CAST(bucket AS DOUBLE) * 0.05, 2) AS t_bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_g) AS BIGINT) AS n_customers,
+           ROUND(MAX(tval), 4) AS max_t
+    FROM t
+    GROUP BY bucket
+    ORDER BY t_bucket_lo
+"""
+
+
+@register("customer_tcloseness_audit", _TCLOSE_SQL)
+def customer_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness histogram over the same quasi-identifier groups as
+    ``customer_kanonymity_audit`` / ``customer_ldiversity_audit``
+    (nation × market segment; sensitive = $1000 balance band):
+    t = total-variation distance between a group's sensitive-value
+    distribution and the global one, bucketed in 0.05 bands. The third
+    leg of the privacy stool — l-diversity counts distinct sensitive
+    values but still leaks when a group's DISTRIBUTION is skewed far
+    from the population (skewness attack); t-closeness is the audit
+    that catches that.
+
+    TVD over a categorical attribute = ½·Σ_b |p_g(b) − p(b)|, computed
+    on the exact integer cross products |n_gb·N − N_b·n_g| (decimal/
+    HUGEINT so 100 TB counts cannot wrap int64) and divided once —
+    absent (group, band) cells are zero-backfilled via the bounded
+    groups × bands spine because they still contribute |N_b·n_g|.
+    The bucket index floors 20·t computed by one IEEE division of
+    exact ints (correctly rounded, hence identical cross-engine).
+    Everything post-scan is bands × groups ≤ a few thousand rows."""
+    c = _t(spark, sf_dir, "customer")
+    bands = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gb"))
+    grp = bands.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_gb").cast("bigint").alias("n_g")
+    )
+    bnd = bands.groupBy("band").agg(F.sum("n_gb").cast("bigint").alias("n_b"))
+    tot = bnd.agg(F.sum("n_b").cast("bigint").alias("n"))
+    spine = (
+        grp.crossJoin(F.broadcast(bnd))
+        .join(bands, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "band",
+            "n_b",
+            F.coalesce("n_gb", F.lit(0)).alias("n_gb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    tvd = spine.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_g").alias("n_g"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.abs(
+                F.col("n_gb").cast("decimal(18,0)")
+                * F.col("n").cast("decimal(18,0)")
+                - F.col("n_b").cast("decimal(18,0)")
+                * F.col("n_g").cast("decimal(18,0)")
+            )
+        ).alias("num"),
+    )
+    num_d = F.col("num").cast("double")
+    tval = num_d / (2.0 * F.col("n_g") * F.col("n"))
+    bucket = F.floor(
+        num_d * 10.0 / (F.col("n_g").cast("double") * F.col("n"))
+    ).cast("bigint")
+    return (
+        tvd.select(
+            F.col("n_g"), tval.alias("tval"), bucket.alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_g").cast("bigint").alias("n_customers"),
+            F.round(F.max("tval"), 4).alias("max_t"),
+        )
+        .select(
+            F.round(F.col("bucket") * 0.05, 2).alias("t_bucket_lo"),
+            "n_groups",
+            "n_customers",
+            "max_t",
+        )
+        .orderBy("t_bucket_lo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus drift: coarsened Jensen-Shannon divergence per source
+# ---------------------------------------------------------------------------
+
+_TOPV = 2000
+
+_JSD_SQL = f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS w FROM documents
+    ), corpus AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), top AS (
+        SELECT w, c FROM corpus ORDER BY c DESC, w ASC LIMIT {_TOPV}
+    ), totals AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_corpus,
+               CAST((SELECT SUM(c) FROM top) AS BIGINT) AS n_top
+        FROM corpus
+    ), src_top AS (
+        SELECT t.source, tp.w, CAST(COUNT(*) AS BIGINT) AS c_sw
+        FROM tok t JOIN top tp ON t.w = tp.w
+        GROUP BY t.source, tp.w
+    ), src_tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM tok GROUP BY source
+    ), cells AS (
+        SELECT s.source, s.n_s,
+               COALESCE(x.c_sw, 0) AS c_sw, tp.c AS c_w
+        FROM src_tot s CROSS JOIN top tp
+        LEFT JOIN src_top x ON x.source = s.source AND x.w = tp.w
+        UNION ALL
+        SELECT s.source, s.n_s,
+               s.n_s - COALESCE((SELECT SUM(c_sw) FROM src_top x
+                                 WHERE x.source = s.source), 0),
+               (SELECT n_corpus - n_top FROM totals)
+        FROM src_tot s
+    ), terms AS (
+        SELECT source, n_s,
+               CAST(c_sw AS DOUBLE) / n_s AS p,
+               CAST(c_w AS DOUBLE) / (SELECT n_corpus FROM totals) AS q
+        FROM cells
+    ), scaled AS (
+        SELECT source, n_s,
+               CAST(ROUND((
+                   CASE WHEN p > 0
+                        THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+                   + CASE WHEN q > 0
+                          THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END
+               ) * 1000000000000.0) AS BIGINT) AS t
+        FROM terms
+    )
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           ROUND(0.5 * SUM(t) / 1000000000000.0, 6) AS jsd_vs_corpus
+    FROM scaled
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_js_divergence_by_source", _JSD_SQL)
+def docs_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the whole-corpus distribution, over the top-2000
+    corpus words with the tail coarsened into one OTHER bucket — the
+    source-grain drift gauge next to ``docs_source_gini_balance``
+    (volume balance) and ``docs_zipf_slope_by_source`` (shape): a
+    source whose JSD jumps between snapshots changed its *content*,
+    not just its volume. Coarsening is the scale move: JSD over a
+    quotient partition is still a valid bounded divergence (0..ln 2),
+    and the cell table is sources × 2001 instead of sources × |V|; the
+    top-V spine broadcasts.
+
+    Determinism: p and q are single IEEE divisions of exact counts;
+    each cell's contribution p·ln(2p/(p+q)) + q·ln(2q/(p+q)) is
+    integer-scaled to 1e-12 quanta BEFORE the per-source sum, so the
+    sum is exact BIGINT and merge-order-free, and a last-ulp ln()
+    disagreement between libm and the JVM (≈1e-19 absolute) sits five
+    orders below the quantum. Absent (source, word) cells contribute
+    their q-side mass via the zero-backfilled spine (p=0 ⇒ p-term 0 by
+    the limit). Tokenizer: ``tokens_col`` ≡ regex ``\\s+`` twin."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+    )
+    corpus = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = corpus.orderBy(F.desc("c"), F.asc("w")).limit(_TOPV)
+    totals = corpus.agg(F.sum("c").cast("bigint").alias("n_corpus")).crossJoin(
+        top.agg(F.sum("c").cast("bigint").alias("n_top"))
+    )
+    src_top = (
+        tok.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw"))
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    head = (
+        src_tot.crossJoin(F.broadcast(top))
+        .join(src_top, ["source", "w"], "left")
+        .select(
+            "source",
+            "n_s",
+            F.coalesce("c_sw", F.lit(0)).alias("c_sw"),
+            F.col("c").alias("c_w"),
+        )
+    )
+    other = (
+        src_tot.join(
+            src_top.groupBy("source").agg(
+                F.sum("c_sw").cast("bigint").alias("c_top_s")
+            ),
+            "source",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_s") - F.coalesce("c_top_s", F.lit(0))).alias("c_sw"),
+            (F.col("n_corpus") - F.col("n_top")).alias("c_w"),
+        )
+    )
+    cells = head.unionByName(other).crossJoin(
+        F.broadcast(totals.select("n_corpus"))
+    )
+    p = F.col("c_sw").cast("double") / F.col("n_s")
+    q = F.col("c_w").cast("double") / F.col("n_corpus")
+    contrib = F.when(p > 0, p * F.log(2.0 * p / (p + q))).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, q * F.log(2.0 * q / (p + q))).otherwise(F.lit(0.0))
+    scaled = cells.select(
+        "source",
+        "n_s",
+        F.round(contrib * 1000000000000.0).cast("bigint").alias("t"),
+    )
+    return (
+        scaled.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.round(0.5 * F.sum("t") / 1000000000000.0, 6).alias(
+                "jsd_vs_corpus"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus fluency: add-one bigram LM surprisal per source
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source, {_TOKS} AS ts FROM documents
+    ), big AS (
+        SELECT source,
+               unnest(ts[:len(ts) - 1]) AS w1,
+               unnest(ts[2:]) AS w2
+        FROM base WHERE len(ts) >= 2
+    ), k AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM big GROUP BY source, w1, w2
+    ), c12 AS (
+        SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM k GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(ts) AS w FROM base)
+    ), scored AS (
+        SELECT k.source, k.k,
+               CAST(ROUND((ln(CAST(c1.c1 + vocab.v AS DOUBLE))
+                           - ln(CAST(c12.c12 + 1 AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT) AS s9
+        FROM k
+        JOIN c12 ON k.w1 = c12.w1 AND k.w2 = c12.w2
+        JOIN c1 ON k.w1 = c1.w1
+        CROSS JOIN vocab
+    )
+    SELECT source,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(k * s9) / (SUM(k) * 1000000000.0), 4) AS avg_surprisal,
+           ROUND(exp(ROUND(SUM(k * s9) / (SUM(k) * 1000000000.0), 4)), 2)
+               AS perplexity
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_bigram_lm_surprisal_by_source", _BIGRAM_SQL)
+def docs_bigram_lm_surprisal_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean bigram surprisal (and perplexity) per source under an
+    add-one-smoothed bigram LM trained on the corpus itself:
+    −ln P(w₂|w₁) with P = (c(w₁w₂)+1)/(c(w₁)+|V|), c(w₁) counting
+    bigram CONTEXTS so the conditional normalizes. The classic
+    cheap-LM fluency gate (KenLM-style filtering): template spam
+    scores near-zero surprisal, shuffled/garbled text scores near
+    ln|V|, and both tails are what a curation pass trims. Companion to
+    ``docs_unigram_logprob_topk`` (doc grain, unigram) — this one is
+    source grain with real context.
+
+    Scale shape: the scored grain is (source, w₁, w₂) DISTINCT bigrams
+    with multiplicity k — bounded by vocabulary structure, far smaller
+    than bigram instances — and the count tables c12/c1 derive from
+    that same grain by re-aggregation, so the corpus is tokenized
+    exactly once. |V| is a 1-row scalar broadcast. Determinism: the
+    per-bigram surprisal is integer-scaled to 1e-9 quanta (ln inputs
+    are exact ints, a cross-engine ulp sits 5+ orders below the
+    quantum), multiplied by the exact multiplicity, and summed as
+    BIGINT; both ROUNDs happen on exact-ratio doubles, and perplexity
+    exponentiates the already-rounded mean so the two readouts can
+    never disagree. Tokenizer: ``tokens_col`` ≡ regex ``\\s+`` twin."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", tokens_col(F.lower(F.col("text"))).alias("ts")
+    )
+    n = F.size("ts")
+    big = base.filter(n >= 2).select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, n - 1),
+                F.slice(F.col("ts"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("source", "bg.w1", "bg.w2")
+    k = big.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    c12 = k.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = base.select(F.explode("ts").alias("w")).agg(
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+    s9 = (
+        F.round(
+            (
+                F.log((F.col("c1") + F.col("v")).cast("double"))
+                - F.log((F.col("c12") + 1).cast("double"))
+            )
+            * 1000000000.0
+        )
+        .cast("bigint")
+        .alias("s9")
+    )
+    scored = (
+        k.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("source", "k", s9)
+    )
+    avg = F.round(
+        F.sum(F.col("k") * F.col("s9"))
+        / (F.sum("k") * 1000000000.0),
+        4,
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            avg.alias("avg_surprisal"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "avg_surprisal",
+            F.round(F.exp("avg_surprisal"), 2).alias("perplexity"),
+        )
+        .orderBy("source")
+    )

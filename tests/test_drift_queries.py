@@ -1,0 +1,126 @@
+"""Drift/forensics queries (plans/drift_queries.py): semantic invariants
+beyond the cross-engine hash — the statistics must behave like the
+theory says (bounds, normalization, alarm consistency), and the
+detectors must actually FIRE on a synthetically drifted input (a green
+oracle row only proves both engines agree, not that the alarm works).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.plans import drift_queries as DQ
+from tests.conftest import SF_DIR
+
+
+def test_ks_binned_bounds_and_alarm_consistency(spark):
+    rows = DQ.events_ks_binned_two_sample(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.ks_crit_05 > 0.0
+    assert r.reject_h0 == (r.ks_stat > r.ks_crit_05)
+
+
+def test_cusum_nonnegative_and_peak_in_range(spark):
+    rows = DQ.events_cusum_drift(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r.max_cusum >= 0.0
+        assert r.n_days >= 1
+        assert r.drift_flag == (r.max_cusum > 5.0)
+
+
+def test_cusum_fires_on_synthetic_level_shift(spark, tmp_path):
+    """A series flat at 100/day for 20 days then 130/day for 10 days
+    must push the one-sided CUSUM well past a stationary series' —
+    the detector detects. Built as a parquet events table so the query
+    runs unmodified."""
+    rows = []
+    eid = 0
+    for day in range(1, 31):
+        n = 100 if day <= 20 else 130
+        for i in range(n):
+            rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "shift", 1.0, "{}"))
+            eid += 1
+        for i in range(100):
+            rows.append((eid, f"2024-01-{day:02d} 13:00:00", 2, "flat", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "drift_sf")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    out = {r.event_type: r for r in DQ.events_cusum_drift(spark, d).collect()}
+    assert out["shift"].max_cusum > out["flat"].max_cusum + 1.0
+    assert out["shift"].drift_flag
+    # peak lands in the shifted regime
+    assert out["shift"].peak_day.day > 20
+
+
+def test_benford_zero_backfill_and_chi2(spark):
+    rows = DQ.orders_benford_audit(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per priority class
+    for r in rows:
+        assert r.chi2 >= 0.0
+        assert 1 <= r.max_dev_digit <= 9
+        assert r.benford_reject == (r.chi2 > 15.507)
+    # fixture prices are uniform, decidedly non-Benford: every class fires
+    assert all(r.benford_reject for r in rows)
+
+
+def test_benford_accepts_benford_distributed_digits(spark, tmp_path):
+    """Prices drawn AS Benford first-digit masses must not reject —
+    the negative control for the forensic."""
+    rows, oid = [], 0
+    for d in range(1, 10):
+        n = int(round(3000 * math.log10(1.0 + 1.0 / d)))
+        for i in range(n):
+            rows.append((oid, 1, "F", d * 1000.0 + (oid % 997), "2024-01-01 00:00:00", "1-TEST"))
+            oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    d = str(tmp_path / "benford_sf")
+    df.coalesce(1).write.parquet(f"{d}/orders.parquet")
+    out = DQ.orders_benford_audit(spark, d).collect()
+    assert len(out) == 1
+    assert not out[0].benford_reject, f"chi2={out[0].chi2}"
+
+
+def test_tcloseness_partition_and_bounds(spark):
+    rows = DQ.customer_tcloseness_audit(spark, SF_DIR).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(r.n_customers for r in rows) == total  # buckets partition
+    for r in rows:
+        assert 0.0 <= r.max_t <= 1.0  # TVD bound
+        # the bucket's max sits inside [bucket_lo, bucket_lo + 0.05]
+        assert r.t_bucket_lo - 1e-9 <= r.max_t <= r.t_bucket_lo + 0.05 + 1e-9
+
+
+def test_jsd_bounds_and_degenerate_zero(spark):
+    rows = DQ.docs_js_divergence_by_source(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # JSD in nats is bounded by ln 2; quantization can graze 0 from
+        # below by one 1e-12 quantum
+        assert -1e-6 <= r.jsd_vs_corpus <= math.log(2.0) + 1e-6
+        assert r.n_tokens > 0
+
+
+def test_bigram_surprisal_positive_and_ppl_consistent(spark):
+    rows = DQ.docs_bigram_lm_surprisal_by_source(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_surprisal > 0.0  # add-one smoothing ⇒ P < 1 strictly
+        assert r.perplexity == pytest.approx(
+            round(math.exp(r.avg_surprisal), 2), abs=1e-9
+        )
+        assert r.n_bigrams > 0
