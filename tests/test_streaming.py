@@ -726,3 +726,83 @@ def test_transition_emitter_late_arrival_drop(spark, tmp_path):
     # replay (a stitched replay would fabricate click->click), leaving
     # the stored click -> new view stitch.
     assert sorted(got) == sorted([("view", "click"), ("click", "view")])
+
+
+def test_streaming_mg_bound_and_membership(spark, tmp_path):
+    """Misra-Gries store over 3 micro-batches of a skewed stream: every
+    stored estimate is an underestimate within the bucket's REPORTED
+    error bound, every key the bound cannot hide is present, and
+    absent keys' true counts are under the bound — the deterministic
+    MG contract, additive across merges (the streaming twin of the
+    batch query ``events_mg_heavy_hitters``)."""
+    from clashroyale_datapipeline_agent_spark.streaming.sketch_stream import (
+        MgCounterStore,
+        start_streaming_mg,
+    )
+
+    # 300 distinct keys, harmonically skewed -> every md5 bucket holds
+    # far more than k+1 keys, so decrements actually happen
+    rows, eid = [], 0
+    for key in range(300):
+        for _ in range(max(1, 600 // (key + 1))):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": f"2024-01-01T{eid % 24:02d}:00:00.000Z",
+                    "user_id": key,
+                    "event_type": "click",
+                    "value": 1.0,
+                }
+            )
+            eid += 1
+    src = tmp_path / "mg_src"
+    src.mkdir()
+    third = len(rows) // 3
+    for i, lo in enumerate(range(0, len(rows), third)):
+        _write_batch(src, rows[lo : lo + third], f"b{i}")
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    store = MgCounterStore(spark, str(tmp_path / "mg_store"))
+    q = start_streaming_mg(
+        stream, store, "user_id", checkpoint_dir=str(tmp_path / "mg_ckpt")
+    )
+    q.awaitTermination(120)
+
+    import hashlib
+
+    exact = {}
+    for r in rows:
+        exact[r["user_id"]] = exact.get(r["user_id"], 0) + 1
+    bucket_of = lambda k: hashlib.md5(str(k).encode()).hexdigest()[0]  # noqa: E731
+    est = {r.key: (r.bucket, r.cnt) for r in store.read().collect()}
+    err = {r.bucket: r.err for r in store.errors().collect()}
+    assert est and any(e > 0 for e in err.values())
+    for key, (bucket, e) in est.items():
+        assert bucket == bucket_of(key)
+        assert e <= exact[key], f"overestimate for {key}"
+        assert exact[key] - e <= err[bucket], f"bound violated for {key}"
+    for key, c in exact.items():
+        if key not in est:
+            assert c <= err[bucket_of(key)], f"hidden heavy hitter {key}"
+    # per-bucket state is bounded: <= k counter rows per bucket
+    from collections import Counter
+
+    per_bucket = Counter(b for (b, _) in est.values())
+    assert max(per_bucket.values()) <= store.k
+
+
+def test_mg_store_merge_idempotent(spark, tmp_path):
+    from clashroyale_datapipeline_agent_spark.streaming.sketch_stream import (
+        MgCounterStore,
+    )
+
+    store = MgCounterStore(spark, str(tmp_path / "mgs"))
+    d = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 7)], "bucket string, key bigint, cnt bigint"
+    )
+    store.merge_deltas(d, batch_id=0)
+    store.merge_deltas(d, batch_id=0)  # replay must not double-apply
+    got = {(r.bucket, r.key): r.cnt for r in store.read().collect()}
+    assert got == {("a", 1): 5, ("a", 2): 7}
+    store.merge_deltas(d, batch_id=1)
+    got = {(r.bucket, r.key): r.cnt for r in store.read().collect()}
+    assert got == {("a", 1): 10, ("a", 2): 14}
