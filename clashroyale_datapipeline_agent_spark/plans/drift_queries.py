@@ -831,3 +831,295 @@ def docs_bigram_lm_surprisal_by_source(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# population stability index between time halves
+# ---------------------------------------------------------------------------
+
+_PSI_SQL = """
+    WITH bounds AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+        FROM events
+    ), binned AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(GREATEST(value, 0.0) / 50.0) AS BIGINT), 9)
+                   AS bin,
+               CAST(SUM(CASE WHEN epoch_us(ts) < (SELECT mid_us FROM bounds)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT mid_us FROM bounds)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM events GROUP BY 1, 2
+    ), types AS (
+        SELECT event_type, CAST(SUM(na) AS BIGINT) AS tot_a,
+               CAST(SUM(nb) AS BIGINT) AS tot_b
+        FROM binned GROUP BY event_type
+    ), spine AS (
+        SELECT t.event_type, t.tot_a, t.tot_b, g.bin,
+               COALESCE(b.na, 0) AS na, COALESCE(b.nb, 0) AS nb
+        FROM types t
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+        LEFT JOIN binned b ON b.event_type = t.event_type AND b.bin = g.bin
+    ), terms AS (
+        SELECT event_type, tot_a, tot_b,
+               CAST(na + 1 AS DOUBLE) / (tot_a + 10) AS pa,
+               CAST(nb + 1 AS DOUBLE) / (tot_b + 10) AS pb
+        FROM spine
+    ), scaled AS (
+        SELECT event_type, tot_a, tot_b,
+               CAST(ROUND((pa - pb) * ln(pa / pb) * 1000000000000.0)
+                    AS BIGINT) AS t
+        FROM terms
+    )
+    SELECT event_type,
+           CAST(MAX(tot_a) AS BIGINT) AS n_first_half,
+           CAST(MAX(tot_b) AS BIGINT) AS n_second_half,
+           ROUND(SUM(t) / 1000000000000.0, 6) AS psi,
+           SUM(t) / 1000000000000.0 > 0.2 AS drift_flag
+    FROM scaled
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@register("events_psi_value_drift", _PSI_SQL)
+def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution
+    between the first and second time halves, per event type — the
+    industry-standard "did the feature's distribution move" score
+    (PSI < 0.1 stable, > 0.2 action), complementing the KS row: KS
+    reads the worst single point of CDF divergence, PSI integrates
+    divergence across all bins (it is a symmetrized KL). Fixed 10-bin
+    width-50 grid; add-one smoothing per bin so empty cells contribute
+    finitely (and the zero-backfilled spine makes them PRESENT — a bin
+    that died between halves is precisely the signal).
+
+    The time split is the midpoint of (min, max) epoch-microseconds —
+    exact integer arithmetic off one scalar agg, no quantile pass.
+    Determinism: smoothed p's are single IEEE divisions of exact ints;
+    each bin's (pa−pb)·ln(pa/pb) term integer-scales to 1e-12 quanta
+    before the exact per-type BIGINT sum (10 addends). 100 TB shape:
+    one scalar pass for the bounds, one hash agg to (type, bin), a
+    types × 10 spine epilogue."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    binned = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.least(
+                F.floor(F.greatest(F.col("value"), F.lit(0.0)) / 50.0).cast(
+                    "bigint"
+                ),
+                F.lit(9).cast("bigint"),
+            ).alias("bin"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid_us"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("na"),
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("mid_us"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nb"),
+        )
+    )
+    types = binned.groupBy("event_type").agg(
+        F.sum("na").cast("bigint").alias("tot_a"),
+        F.sum("nb").cast("bigint").alias("tot_b"),
+    )
+    bins = spark.range(0, 10).select(F.col("id").alias("bin"))
+    spine = (
+        types.crossJoin(F.broadcast(bins))
+        .join(binned, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "tot_a",
+            "tot_b",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    pa = (F.col("na") + 1).cast("double") / (F.col("tot_a") + 10)
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tot_b") + 10)
+    scaled = spine.select(
+        "event_type",
+        "tot_a",
+        "tot_b",
+        F.round((pa - pb) * F.log(pa / pb) * 1000000000000.0)
+        .cast("bigint")
+        .alias("t"),
+    )
+    psi = F.sum("t") / 1000000000000.0
+    return (
+        scaled.groupBy("event_type")
+        .agg(
+            F.max("tot_a").cast("bigint").alias("n_first_half"),
+            F.max("tot_b").cast("bigint").alias("n_second_half"),
+            F.round(psi, 6).alias("psi"),
+            (psi > 0.2).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth per source
+# ---------------------------------------------------------------------------
+
+_HEAPS_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source, {_TOKS} AS ts,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS nd
+        FROM documents
+    ), dd AS (
+        SELECT source, doc_id, ts,
+               CAST(FLOOR((rk - 1) * 10.0 / nd) AS BIGINT) AS dec, nd
+        FROM base
+    ), tok AS (
+        SELECT source, dec, unnest(ts) AS w FROM dd
+    ), firstdec AS (
+        SELECT source, w, MIN(dec) AS fd FROM tok GROUP BY source, w
+    ), vnew AS (
+        SELECT source, fd AS dec, CAST(COUNT(*) AS BIGINT) AS v_new
+        FROM firstdec GROUP BY source, fd
+    ), ntok AS (
+        SELECT source, dec, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY source, dec
+    ), grow AS (
+        SELECT n.source, n.dec,
+               SUM(n.n_tok) OVER w AS n_cum,
+               SUM(COALESCE(v.v_new, 0)) OVER w AS v_cum
+        FROM ntok n LEFT JOIN vnew v ON n.source = v.source AND n.dec = v.dec
+        WINDOW w AS (PARTITION BY n.source ORDER BY n.dec)
+    ), pts AS (
+        SELECT source, ln(CAST(n_cum AS DOUBLE)) AS x,
+               ln(CAST(v_cum AS DOUBLE)) AS y
+        FROM grow WHERE n_cum > 0 AND v_cum > 0
+    ), s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS np,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, np AS n_points,
+           ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 4) AS heaps_beta
+    FROM s
+    WHERE np >= 3
+    ORDER BY source
+"""
+
+
+@register("docs_heaps_law_by_source", _HEAPS_SQL)
+def docs_heaps_law_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit per source: vocabulary grows as V(n) ≈ K·n^β, so
+    β is the OLS slope of ln V_cum on ln N_cum across 10 doc-order
+    deciles. Natural text sits at β ≈ 0.4-0.6; β → 0 means the source
+    stopped contributing new vocabulary (template/boilerplate feed,
+    prime dedup target) and β ≈ 1 means near-random token soup — the
+    growth-curve companion to the static `docs_zipf_slope_by_source`.
+
+    Mechanics: deciles come from row_number within source over doc_id
+    (one partitioned sort); each word's FIRST decile marks where it
+    entered the vocabulary, so cumulative distinct-word counts need no
+    per-prefix distinct pass — V_cum is a running sum of first-
+    occurrence counts (the same trick `docs_exact_substring_coverage`
+    uses for first-wins attribution). Running sums are per-source
+    10-row sequential windows; the regression reuses the zipf idiom —
+    the ≤10 (x, y) points fold in decile order via one sort_array +
+    sequential F.aggregate, so no groupBy float sum exists on the
+    Spark side, and ROUND(…, 4) absorbs cross-engine ulp noise vs
+    DuckDB's plain 10-addend SUM. Sources with fewer than 3 growth
+    points are excluded (a 2-point fit is exact and meaningless).
+    Tokenizer: ``tokens_col`` ≡ regex ``\\s+`` twin."""
+    d = _t(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source")
+    base = d.select(
+        "doc_id",
+        "source",
+        tokens_col(F.lower(F.col("text"))).alias("ts"),
+        F.row_number().over(w_src.orderBy("doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(w_src).alias("nd"),
+    )
+    dd = base.select(
+        "source",
+        "ts",
+        F.floor((F.col("rk") - 1) * 10.0 / F.col("nd"))
+        .cast("bigint")
+        .alias("dec"),
+    )
+    tok = dd.select("source", "dec", F.explode("ts").alias("w"))
+    firstdec = tok.groupBy("source", "w").agg(F.min("dec").alias("fd"))
+    vnew = firstdec.groupBy("source", F.col("fd").alias("dec")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_new")
+    )
+    ntok = tok.groupBy("source", "dec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    w_run = Window.partitionBy("source").orderBy("dec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grow = (
+        ntok.join(vnew, ["source", "dec"], "left")
+        .select(
+            "source",
+            "dec",
+            F.sum("n_tok").over(w_run).alias("n_cum"),
+            F.sum(F.coalesce("v_new", F.lit(0))).over(w_run).alias("v_cum"),
+        )
+    )
+    pts = grow.filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0)).select(
+        "source",
+        "dec",
+        F.log(F.col("n_cum").cast("double")).alias("x"),
+        F.log(F.col("v_cum").cast("double")).alias("y"),
+    )
+    arr = pts.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("dec", "x", "y"))).alias("pts")
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+    )
+    acc = F.aggregate(
+        F.col("pts"),
+        zero,
+        lambda a, p: F.struct(
+            (a.sx + p.x).alias("sx"),
+            (a.sy + p.y).alias("sy"),
+            (a.sxy + p.x * p.y).alias("sxy"),
+            (a.sxx + p.x * p.x).alias("sxx"),
+        ),
+    )
+    np_ = F.size("pts").cast("bigint")
+    return (
+        arr.select("source", np_.alias("n_points"), acc.alias("a"))
+        .filter(F.col("n_points") >= 3)
+        .select(
+            "source",
+            "n_points",
+            F.round(
+                (
+                    F.col("n_points") * F.col("a.sxy")
+                    - F.col("a.sx") * F.col("a.sy")
+                )
+                / (
+                    F.col("n_points") * F.col("a.sxx")
+                    - F.col("a.sx") * F.col("a.sx")
+                ),
+                4,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("source")
+    )
