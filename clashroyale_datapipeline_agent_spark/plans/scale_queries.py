@@ -2373,3 +2373,162 @@ def embeddings_anisotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration top eigenvalue of the embedding second-moment matrix
+# ---------------------------------------------------------------------------
+
+def _pi_sql() -> str:
+    """Three unrolled power iterations in SQL: each round is one
+    (vec)-grain dot-product agg, one (dim)-grain integer-scaled matvec
+    agg, and a 64-row list rebuild."""
+    parts = ["""
+    WITH pe AS (
+        SELECT vec_id, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS u
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, 64)) AS i) gs
+    ), nvec AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+    ), x0 AS (
+        SELECT list_transform(generate_series(1, 64), i -> 0.125) AS x
+    )"""]
+    prev = "x0"
+    for k in (1, 2, 3):
+        parts.append(f""",
+    s{k} AS (
+        SELECT pe.vec_id, SUM(pe.u * x.x[pe.i]) AS s
+        FROM pe, {prev} x GROUP BY pe.vec_id
+    ), r{k} AS (
+        SELECT SUM(CAST(ROUND(s * s * 1000000000.0) AS BIGINT)) AS rq
+        FROM s{k}
+    ), y{k} AS (
+        SELECT pe.i,
+               SUM(CAST(ROUND(pe.u * s.s * 1000000000.0) AS BIGINT)) AS yq
+        FROM pe JOIN s{k} s USING (vec_id) GROUP BY pe.i
+    ), n{k} AS (
+        SELECT sqrt(SUM((yq / 1000000000.0) * (yq / 1000000000.0))) AS nrm
+        FROM y{k}
+    ), x{k} AS (
+        SELECT list(CASE WHEN n.nrm > 0
+                         THEN yq / 1000000000.0 / n.nrm
+                         ELSE 0.125 END ORDER BY i) AS x
+        FROM y{k} CROSS JOIN n{k} n
+    )""")
+        prev = f"x{k}"
+    parts.append("""
+    SELECT iter,
+           ROUND(rq / (n * 1000000000.0), 4) AS rayleigh
+    FROM (
+        SELECT 1 AS iter, rq FROM r1
+        UNION ALL SELECT 2, rq FROM r2
+        UNION ALL SELECT 3, rq FROM r3
+    ) CROSS JOIN nvec
+    ORDER BY iter
+""")
+    return "".join(parts)
+
+
+@register("embeddings_power_iter_topeig", _pi_sql())
+def embeddings_power_iter_topeig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenvalue of the embedding second-moment matrix
+    M = (1/n)·Σ u·uᵀ by THREE unrolled power iterations, reported as the
+    Rayleigh quotient per round — the spectral sharpening of
+    `embeddings_anisotropy_stats`: anisotropy reads ‖mean‖, this reads
+    the dominant variance direction's mass, the number that decides
+    whether mean-centering/whitening is worth a pass before ANN
+    indexing (a top eigenvalue ≫ trace/64 means one axis dominates
+    cosine geometry). Rayleigh quotients are monotone nondecreasing for
+    PSD M, so iter-3 is the reported estimate and the 3-row trail shows
+    convergence.
+
+    Iterative linear algebra, relationally: the 64-vector iterate x is
+    a 1-ROW broadcast (never a driver collect — contrast the sanctioned
+    seed-collect in `embeddings_kmeans_iter_stats`); each round is
+    s_v = u·x (array-order zip_with fold, deterministic), an
+    integer-scaled matvec y_i = Σ_v round(u_i·s_v·1e9) (exact BIGINT
+    sum — THE cross-vector float sums of the flake class, engineered
+    exact), and a 64-row sort_array rebuild + normalize (zero-norm
+    guarded: a degenerate start resets, no ANSI divide-by-zero).
+    Cross-engine: s_v may differ by an ulp (fold vs groupBy sum), but
+    every consumer rounds it into 1e-9 quanta with 5+ orders of
+    headroom, so the quantized state is identical in both engines at
+    every round. Cost: 3 scans of the (vec, dim) grain — the iteration
+    count is the dial, and each added round is one more linear pass,
+    which is exactly why power iteration (not full eigen-decomposition)
+    is the 100 TB method of choice."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nvec = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    x = spark.range(1).select(
+        F.array_repeat(F.lit(0.125), 64).alias("x")
+    )
+    rqs = []
+    for k in (1, 2, 3):
+        s = emb.crossJoin(F.broadcast(x)).select(
+            "vec_id",
+            "embedding",
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "x", lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("s"),
+        )
+        rqs.append(
+            s.agg(
+                F.sum(
+                    F.round(F.col("s") * F.col("s") * 1000000000.0).cast(
+                        "bigint"
+                    )
+                ).alias("rq")
+            ).select(F.lit(k).cast("bigint").alias("iter"), "rq")
+        )
+        y = (
+            s.select(F.posexplode("embedding").alias("i", "u"), "s")
+            .select(
+                "i",
+                F.round(F.col("u").cast("double") * F.col("s") * 1000000000.0)
+                .cast("bigint")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("yq"))
+        )
+        x = (
+            y.agg(
+                F.sort_array(F.collect_list(F.struct("i", "yq"))).alias("ps")
+            )
+            .select(
+                F.transform(
+                    "ps", lambda p: p.yq.cast("double") / 1000000000.0
+                ).alias("yv")
+            )
+            .select(
+                "yv",
+                F.sqrt(
+                    F.aggregate(
+                        "yv", F.lit(0.0), lambda a, v: a + v * v
+                    )
+                ).alias("nrm"),
+            )
+            .select(
+                F.when(
+                    F.col("nrm") > 0,
+                    F.transform("yv", lambda v: v / F.col("nrm")),
+                )
+                .otherwise(F.array_repeat(F.lit(0.125), 64))
+                .alias("x")
+            )
+        )
+    trail = rqs[0].unionByName(rqs[1]).unionByName(rqs[2])
+    return (
+        trail.crossJoin(F.broadcast(nvec))
+        .select(
+            "iter",
+            F.round(
+                F.col("rq") / (F.col("n") * 1000000000.0), 4
+            ).alias("rayleigh"),
+        )
+        .orderBy("iter")
+    )

@@ -438,3 +438,32 @@ def test_neyman_allocation_invariants(spark):
     assert _NEYMAN_BUDGET - len(rows) <= total <= _NEYMAN_BUDGET
     for r in rows:
         assert r.sd_chars > 0 and r.alloc_n >= 0
+
+
+def test_power_iteration_rayleigh_monotone_and_bounded(spark):
+    """Rayleigh quotients under power iteration are monotone
+    nondecreasing for the PSD second-moment matrix, and the estimate is
+    sandwiched by trace/64 (mean eigenvalue) and trace (sum) — computed
+    exactly here from the raw vectors."""
+    from clashroyale_datapipeline_agent_spark.plans.scale_queries import (
+        embeddings_power_iter_topeig,
+    )
+
+    rows = embeddings_power_iter_topeig(spark, SF_DIR_ORACLE).collect()
+    assert [r.iter for r in rows] == [1, 2, 3]
+    r = [row.rayleigh for row in rows]
+    assert r[0] <= r[1] + 1e-3 and r[1] <= r[2] + 1e-3  # monotone (quantized)
+    e = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
+    tr_n = (
+        e.select(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, v: a + v.cast("double") * v.cast("double"),
+            ).alias("q")
+        )
+        .agg(F.avg("q").alias("tr"))
+        .collect()[0]
+        .tr
+    )
+    assert tr_n / 64 - 1e-6 <= r[2] <= tr_n + 1e-6
