@@ -1123,3 +1123,307 @@ def docs_heaps_law_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U / AUC between event cohorts (binned, exact integers)
+# ---------------------------------------------------------------------------
+
+_MW_SQL = """
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(GREATEST(value, 0.0) / 10.0) AS BIGINT), 49)
+                   AS bin,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ), cum AS (
+        SELECT bin, na, nb,
+               SUM(nb) OVER (ORDER BY bin) - nb AS cb_prev,
+               SUM(na) OVER () AS tot_a,
+               SUM(nb) OVER () AS tot_b
+        FROM binned
+    ), stat AS (
+        SELECT MAX(tot_a) AS n_a, MAX(tot_b) AS n_b,
+               SUM(CAST(na AS HUGEINT) * (2 * cb_prev + nb)) AS u2
+        FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(u2 AS DOUBLE)
+                 / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) AS auc,
+           ROUND((CAST(u2 AS DOUBLE) / 2.0
+                  - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                 / sqrt(CAST(n_a AS DOUBLE) * n_b
+                        * (n_a + n_b + 1) / 12.0), 4) AS z_score,
+           ABS((CAST(u2 AS DOUBLE) / 2.0
+                - CAST(n_a AS DOUBLE) * n_b / 2.0)
+               / sqrt(CAST(n_a AS DOUBLE) * n_b
+                      * (n_a + n_b + 1) / 12.0)) > 1.96 AS reject_h0
+    FROM stat
+"""
+
+
+@register("events_mannwhitney_auc", _MW_SQL)
+def events_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the ``purchase`` and ``click`` value
+    distributions on the KS row's 50-bin grid, reported as the AUC
+    P(a > b) + ½·P(a = b) — the rank-based effect size the KS row's
+    sup-distance doesn't give (KS says "the distributions differ", AUC
+    says "by how much, in which direction"). Within-bin ties take the
+    standard ½ credit, which is exactly what the doubled-U identity
+    2U = Σ_bins na_b·(2·cum_nb(<b) + nb_b) encodes — so U is computed
+    ENTIRELY in exact integer arithmetic (decimal/HUGEINT products),
+    and the only float ops are the final AUC division and the normal
+    z-approximation. The z-score uses the no-tie-correction variance
+    n_a·n_b·(n+1)/12 — conservative-adjacent on a binned grid and
+    identical cross-engine.
+
+    100 TB shape: identical to the KS row — one hash agg over the
+    scan, a 50-row window epilogue, one scalar output."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    binned = e.groupBy(
+        F.least(
+            F.floor(F.greatest(F.col("value"), F.lit(0.0)) / 10.0).cast("bigint"),
+            F.lit(49).cast("bigint"),
+        ).alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    w_run = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = binned.select(
+        "bin",
+        "na",
+        "nb",
+        (F.sum("nb").over(w_run) - F.col("nb")).alias("cb_prev"),
+        F.sum("na").over(w_all).alias("tot_a"),
+        F.sum("nb").over(w_all).alias("tot_b"),
+    )
+    stat = cum.agg(
+        F.max("tot_a").alias("n_a"),
+        F.max("tot_b").alias("n_b"),
+        F.sum(
+            F.col("na").cast("decimal(18,0)")
+            * (2 * F.col("cb_prev") + F.col("nb")).cast("decimal(18,0)")
+        ).alias("u2"),
+    )
+    na_d = F.col("n_a").cast("double")
+    u = F.col("u2").cast("double") / 2.0
+    mean_u = na_d * F.col("n_b") / 2.0
+    sd_u = F.sqrt(na_d * F.col("n_b") * (F.col("n_a") + F.col("n_b") + 1) / 12.0)
+    z = (u - mean_u) / sd_u
+    return stat.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(u / (na_d * F.col("n_b")), 6).alias("auc"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume autocorrelation (seasonality / weekly cadence detector)
+# ---------------------------------------------------------------------------
+
+_ACF_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily
+    ), lags AS (
+        SELECT unnest(ARRAY[1, 7]) AS lag
+    ), pairs AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+               CAST(SUM(a.x) AS BIGINT) AS sa,
+               CAST(SUM(b.x) AS BIGINT) AS sb
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        GROUP BY l.lag
+    )
+    SELECT p.lag,
+           p.n_k AS n_pairs,
+           ROUND(
+               (CAST(t.n AS DOUBLE) * t.n * p.sxy
+                - CAST(t.n AS DOUBLE) * t.sx * (p.sa + p.sb)
+                + CAST(p.n_k AS DOUBLE) * t.sx * t.sx)
+               / (CAST(t.n AS DOUBLE)
+                  * (CAST(t.n AS DOUBLE) * t.sxx
+                     - CAST(t.sx AS DOUBLE) * t.sx)),
+               4
+           ) AS autocorr
+    FROM pairs p CROSS JOIN tot t
+    ORDER BY p.lag
+"""
+
+
+@register("orders_daily_autocorr", _ACF_SQL)
+def orders_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of daily order volume — the
+    seasonality detector: lag-7 ≫ lag-1 means a weekly cadence, both
+    near zero means arrival-independent volume (as this synthetic
+    fixture's Poisson-ish generator should show), and a spike at lag-1
+    means momentum/trend. The cadence answer feeds the CUSUM row: a
+    strongly weekly series needs day-of-week-adjusted z's before
+    changepoint detection means anything.
+
+    Mechanics: lagged pairs come from a DATE-ARITHMETIC equi-join
+    (day+k), not a window — no spine needed, gaps in the calendar just
+    drop pairs (n_pairs is reported so the coverage is visible). The
+    autocorrelation expands to exact integer moments:
+    r_k = (n²·Σxy − n·Sx·(Sa+Sb) + n_k·Sx²) / (n·(n·Sxx − Sx²)),
+    every product decimal/HUGEINT, one IEEE division. Post-scan state
+    is calendar-bounded (days, not orders)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    parts = []
+    for k in (1, 7):
+        a, b = daily.alias("a"), daily.alias("b")
+        pairs = a.join(
+            b, F.col("b.day") == F.date_add(F.col("a.day"), k)
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_k"),
+            F.sum(
+                F.col("a.x").cast("decimal(18,0)")
+                * F.col("b.x").cast("decimal(18,0)")
+            ).alias("sxy"),
+            F.sum("a.x").cast("bigint").alias("sa"),
+            F.sum("b.x").cast("bigint").alias("sb"),
+        )
+        parts.append(pairs.select(F.lit(k).cast("bigint").alias("lag"), "*"))
+    both = parts[0].unionByName(parts[1])
+    n_d = F.col("n").cast("double")
+    num = (
+        n_d * F.col("n") * F.col("sxy").cast("double")
+        - n_d * F.col("sx") * (F.col("sa") + F.col("sb"))
+        + F.col("n_k").cast("double") * F.col("sx") * F.col("sx")
+    )
+    den = n_d * (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+    return (
+        both.crossJoin(F.broadcast(tot))
+        .select(
+            "lag",
+            F.col("n_k").alias("n_pairs"),
+            F.round(num / den, 4).alias("autocorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov conditional entropy (journey predictability)
+# ---------------------------------------------------------------------------
+
+_MARKOV_H_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ), c AS (
+        SELECT prev, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    ), ci AS (
+        SELECT prev, CAST(SUM(c) AS BIGINT) AS ci FROM c GROUP BY prev
+    ), scaled AS (
+        SELECT c.prev, ci.ci,
+               CAST(ROUND(
+                   (CAST(c.c AS DOUBLE) / ci.ci)
+                   * ln(CAST(ci.ci AS DOUBLE) / c.c)
+                   * 1000000000000.0
+               ) AS BIGINT) AS t
+        FROM c JOIN ci USING (prev)
+    )
+    SELECT prev,
+           CAST(MAX(ci) AS BIGINT) AS n_transitions,
+           ROUND(SUM(t) / 1000000000000.0, 6) AS entropy_nats,
+           ROUND(exp(ROUND(SUM(t) / 1000000000000.0, 6)), 4)
+               AS branching_factor
+    FROM scaled
+    GROUP BY prev
+    ORDER BY prev
+"""
+
+
+@register("events_markov_entropy", _MARKOV_H_SQL)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | prev) per previous state,
+    over the same per-user (ts, event_id)-ordered journey bigrams as
+    ``events_markov_transitions`` — the predictability readout on top
+    of the transition matrix: entropy ≈ ln(5) means the journey is
+    uniform-random after this state (nothing to model), entropy ≈ 0
+    means deterministic funnels (bot/scripted traffic signature, or a
+    UI with one exit). ``branching_factor`` = e^H is the effective
+    number of next states.
+
+    Determinism: transition counts are exact ints from the lag window
+    (total (ts, event_id) order, same as the transition row); each of
+    the ≤|states|² terms (c/ci)·ln(ci/c) integer-scales to 1e-12
+    quanta before the exact per-state sum; the branching factor
+    exponentiates the already-rounded entropy so the two columns can
+    never disagree. One user-keyed window shuffle + state²-bounded
+    epilogue."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = seq.groupBy("prev", F.col("event_type").alias("nxt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ci = c.groupBy("prev").agg(F.sum("c").cast("bigint").alias("ci"))
+    scaled = c.join(ci, "prev").select(
+        "prev",
+        "ci",
+        F.round(
+            (F.col("c").cast("double") / F.col("ci"))
+            * F.log(F.col("ci").cast("double") / F.col("c"))
+            * 1000000000000.0
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    ent = F.round(F.sum("t") / 1000000000000.0, 6)
+    return (
+        scaled.groupBy("prev")
+        .agg(
+            F.max("ci").cast("bigint").alias("n_transitions"),
+            ent.alias("entropy_nats"),
+        )
+        .select(
+            "prev",
+            "n_transitions",
+            "entropy_nats",
+            F.round(F.exp("entropy_nats"), 4).alias("branching_factor"),
+        )
+        .orderBy("prev")
+    )

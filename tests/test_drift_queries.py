@@ -190,3 +190,95 @@ def test_heaps_flat_for_fixed_vocab_repetition(spark, tmp_path):
     assert out["template"] < 0.05
     assert out["growing"] > 0.5
     assert out["template"] < out["growing"]
+
+
+def test_mannwhitney_auc_bounds_and_symmetry(spark):
+    rows = DQ.events_mannwhitney_auc(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r.auc <= 1.0
+    assert r.reject_h0 == (abs(r.z_score) > 1.96)
+    assert r.n_a > 0 and r.n_b > 0
+
+
+def test_mannwhitney_auc_detects_shift(spark, tmp_path):
+    """Cohort a uniformly above cohort b must push AUC near 1 and
+    reject; identical cohorts sit at exactly 0.5 (all mass in shared
+    bins takes the tie half-credit)."""
+    rows = []
+    for i in range(400):
+        rows.append((i, "2024-01-01 10:00:00", 1, "purchase", 300.0 + i % 50, "{}"))
+        rows.append((i + 400, "2024-01-01 10:00:00", 2, "click", 10.0 + i % 50, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "mw_sf")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    out = DQ.events_mannwhitney_auc(spark, d).collect()[0]
+    assert out.auc > 0.99 and out.reject_h0
+
+    rows2 = [
+        (i, "2024-01-01 10:00:00", 1,
+         "purchase" if i % 2 == 0 else "click", float(i % 200), "{}")
+        for i in range(800)
+    ]
+    df2 = spark.createDataFrame(
+        rows2,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d2 = str(tmp_path / "mw_sf2")
+    df2.coalesce(1).write.parquet(f"{d2}/events.parquet")
+    out2 = DQ.events_mannwhitney_auc(spark, d2).collect()[0]
+    assert out2.auc == pytest.approx(0.5, abs=1e-9)
+    assert not out2.reject_h0
+
+
+def test_autocorr_bounds_and_pair_counts(spark):
+    rows = DQ.orders_daily_autocorr(spark, SF_DIR).collect()
+    assert [r.lag for r in rows] == [1, 7]
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.autocorr <= 1.0 + 1e-9
+        assert r.n_pairs > 0
+    # longer lag cannot have MORE pairs on a fixed calendar
+    assert rows[1].n_pairs <= rows[0].n_pairs
+
+
+def test_autocorr_detects_weekly_cadence(spark, tmp_path):
+    """A series with a strong 7-day cycle must score lag-7 autocorr
+    near 1 and far above lag-1."""
+    import datetime as _dt
+
+    rows, oid = [], 0
+    for day in range(90):
+        n = 200 if day % 7 == 0 else 20
+        date = _dt.date(1995, 1, 1) + _dt.timedelta(days=day)
+        for i in range(n):
+            rows.append((oid, 1, "F", 1000.0, f"{date} 00:00:00", "1-X"))
+            oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    d = str(tmp_path / "acf_sf")
+    df.coalesce(1).write.parquet(f"{d}/orders.parquet")
+    out = {r.lag: r.autocorr for r in DQ.orders_daily_autocorr(spark, d).collect()}
+    assert out[7] > 0.8
+    assert out[7] > out[1] + 0.5
+
+
+def test_markov_entropy_bounds_and_consistency(spark):
+    import math as _math
+
+    rows = DQ.events_markov_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # conditional entropy over <= 5 next states
+        assert -1e-9 <= r.entropy_nats <= _math.log(5.0) + 1e-6
+        assert r.branching_factor == pytest.approx(
+            round(_math.exp(r.entropy_nats), 4), abs=1e-9
+        )
+        assert r.n_transitions > 0

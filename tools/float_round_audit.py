@@ -41,6 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 #: actually covers it, verified by reading the query
 KNOWN_INDIRECT = {
     "docs_zipf_slope_by_source": ("SUM(float alias)", "ordered-fold"),
+    "docs_heaps_law_by_source": ("SUM(float alias)", "ordered-fold"),
     "events_cusum_drift": ("SUM(float) OVER", "window-seq"),
     "events_ks_binned_two_sample": ("SUM(int) OVER + exact num", "int-scaled"),
     "orders_benford_audit": ("SUM(float) OVER", "window-seq"),
