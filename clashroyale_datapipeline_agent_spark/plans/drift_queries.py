@@ -1427,3 +1427,138 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring (principled ER match weights)
+# ---------------------------------------------------------------------------
+
+_FS_M = 0.95  # assumed per-field agreement probability among true matches
+
+_FS_SQL = f"""
+    WITH c AS (
+        SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+               CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) AS bal5,
+               (c_acctbal >= 0) AS pos
+        FROM customer
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c
+    ), useg AS (
+        SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS u2
+        FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY seg)
+    ), ubal AS (
+        SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS u2
+        FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY bal5)
+    ), upos AS (
+        SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS u2
+        FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY pos)
+    ), pairs AS (
+        SELECT a.seg = b.seg AS a_seg, a.bal5 = b.bal5 AS a_bal,
+               a.pos = b.pos AS a_pos
+        FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+    ), scored AS (
+        SELECT
+            (CASE WHEN a_seg
+                  THEN ln({_FS_M} * n.n * n.n / useg.u2)
+                  ELSE ln((1.0 - {_FS_M}) * n.n * n.n
+                          / (CAST(n.n AS HUGEINT) * n.n - useg.u2)) END)
+            + (CASE WHEN a_bal
+                    THEN ln({_FS_M} * n.n * n.n / ubal.u2)
+                    ELSE ln((1.0 - {_FS_M}) * n.n * n.n
+                            / (CAST(n.n AS HUGEINT) * n.n - ubal.u2)) END)
+            + (CASE WHEN a_pos
+                    THEN ln({_FS_M} * n.n * n.n / upos.u2)
+                    ELSE ln((1.0 - {_FS_M}) * n.n * n.n
+                            / (CAST(n.n AS HUGEINT) * n.n - upos.u2)) END)
+            AS score
+        FROM pairs CROSS JOIN n CROSS JOIN useg CROSS JOIN ubal
+        CROSS JOIN upos
+    )
+    SELECT CAST(FLOOR(score) AS BIGINT) AS score_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MIN(score), 4) AS min_score,
+           ROUND(MAX(score), 4) AS max_score
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@register("customer_fellegi_sunter_scores", _FS_SQL)
+def customer_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter match-weight histogram over nation-blocked
+    customer pairs — the PRINCIPLED scoring layer on top of the repo's
+    blocking operators (`part_fuzzy_match_blocked` finds candidates;
+    this row says how much an agreement is WORTH): each field
+    contributes ln(m/u) when it agrees and ln((1−m)/(1−u)) when it
+    doesn't, where u — the probability two RANDOM records agree — is
+    computed exactly from the field's marginal frequencies
+    (u = Σ_v n_v²/N², the birthday-collision identity; decimal/HUGEINT
+    products). Agreement on a 5-value segment is worth little; on a
+    rare balance band, a lot — which is precisely what a fixed Jaccard
+    threshold cannot express. m is the documented 0.95 assumption (the
+    EM refinement is the classic follow-up; u is the half that matters
+    for ranking and it is exact here).
+
+    Determinism: u's are exact integer ratios; the three per-pair
+    weights are identical doubles cross-engine, summed in fixed
+    left-associative expression order (a 3-term expression, not an
+    aggregate — no merge-order exposure); FLOOR on identical doubles
+    buckets identically. Scale: pair fan-out is bounded by the block
+    key (nation here — the granularity dial, same contract as the
+    fuzzy-match block), u/N scalars are three 1-row broadcasts."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("bal5"),
+        (F.col("c_acctbal") >= 0).alias("pos"),
+    )
+    n = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def u2(col: str, alias: str):
+        return (
+            c.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.sum(
+                    F.col("cnt").cast("decimal(18,0)")
+                    * F.col("cnt").cast("decimal(18,0)")
+                ).alias(alias)
+            )
+        )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        (F.col("a.seg") == F.col("b.seg")).alias("a_seg"),
+        (F.col("a.bal5") == F.col("b.bal5")).alias("a_bal"),
+        (F.col("a.pos") == F.col("b.pos")).alias("a_pos"),
+    )
+    scalars = (
+        n.crossJoin(F.broadcast(u2("seg", "useg")))
+        .crossJoin(F.broadcast(u2("bal5", "ubal")))
+        .crossJoin(F.broadcast(u2("pos", "upos")))
+    )
+    n2 = F.col("n").cast("double") * F.col("n")
+
+    def w(flag: str, u2col: str):
+        u2d = F.col(u2col).cast("double")
+        return F.when(
+            F.col(flag), F.log(F.lit(_FS_M) * n2 / u2d)
+        ).otherwise(F.log((1.0 - _FS_M) * n2 / (n2 - u2d)))
+
+    scored = pairs.crossJoin(F.broadcast(scalars)).select(
+        (w("a_seg", "useg") + w("a_bal", "ubal") + w("a_pos", "upos")).alias(
+            "score"
+        )
+    )
+    return (
+        scored.groupBy(F.floor("score").cast("bigint").alias("score_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.min("score"), 4).alias("min_score"),
+            F.round(F.max("score"), 4).alias("max_score"),
+        )
+        .orderBy("score_bucket")
+    )

@@ -282,3 +282,46 @@ def test_markov_entropy_bounds_and_consistency(spark):
             round(_math.exp(r.entropy_nats), 4), abs=1e-9
         )
         assert r.n_transitions > 0
+
+
+def test_fellegi_sunter_weight_structure(spark):
+    """Histogram partitions the blocked pair set; bucket edges contain
+    their min/max; and the global max score equals the sum of the three
+    agree weights (recomputed here from exact marginals) — i.e. the
+    scoring is the Fellegi-Sunter formula, not just monotone."""
+    import math as _math
+
+    rows = DQ.customer_fellegi_sunter_scores(spark, SF_DIR).collect()
+    assert rows
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = c.count()
+    blocked = (
+        c.groupBy("c_nationkey").count()
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .collect()[0][0]
+    )
+    assert sum(r.n_pairs for r in rows) == int(blocked)
+    for r in rows:
+        assert r.score_bucket <= r.min_score + 1e-9
+        assert r.max_score < r.score_bucket + 1 + 1e-9
+        assert r.min_score <= r.max_score
+
+    def u(col):
+        counts = [x[0] for x in c.groupBy(col).count().select("count").collect()]
+        return sum(v * v for v in counts) / (n * n)
+
+    m = DQ._FS_M
+    max_expected = sum(
+        _math.log(m / u(col))
+        for col in ["c_mktsegment"]
+    ) + _math.log(m / (
+        sum(v * v for v in [x[0] for x in c.groupBy(
+            F.floor(F.col("c_acctbal") / 500.0)).count().select("count").collect()]) / (n * n)
+    )) + _math.log(m / (
+        sum(v * v for v in [x[0] for x in c.groupBy(
+            F.col("c_acctbal") >= 0).count().select("count").collect()]) / (n * n)
+    ))
+    top = max(r.max_score for r in rows)
+    assert top <= round(max_expected, 4) + 1e-6
+    # at least one all-agree pair exists on the fixture
+    assert top == pytest.approx(round(max_expected, 4), abs=1e-6)

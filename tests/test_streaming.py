@@ -806,3 +806,67 @@ def test_mg_store_merge_idempotent(spark, tmp_path):
     store.merge_deltas(d, batch_id=1)
     got = {(r.bucket, r.key): r.cnt for r in store.read().collect()}
     assert got == {("a", 1): 10, ("a", 2): 14}
+
+
+def test_streaming_psi_scores_drifted_batch(spark, tmp_path):
+    """PSI monitor over 3 micro-batches: batch 0 seeds the reference
+    (no score), batch 1 repeats the distribution (PSI ~ 0), batch 2
+    shifts it hard (PSI large, over the 0.2 action line) — the
+    continuous drift gate actually gates. Replay of a processed batch
+    must neither rescore nor double-merge."""
+    from clashroyale_datapipeline_agent_spark.streaming.drift_stream import (
+        PsiMonitorStore,
+        psi_batch_bins,
+        start_streaming_psi,
+    )
+
+    def mk(lo, n, base):
+        return [
+            {
+                "event_id": base + i,
+                "ts": "2024-01-01T10:00:00.000Z",
+                "user_id": 1,
+                "event_type": "x",
+                "value": float(lo + (i * 13) % 100),
+                "event_time": None,
+            }
+            for i in range(n)
+        ]
+
+    src = tmp_path / "psi_src"
+    src.mkdir()
+    _write_batch(src, mk(0, 400, 0), "b0")      # reference seed: 0..99
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    store = PsiMonitorStore(spark, str(tmp_path / "psi_store"))
+    q = start_streaming_psi(
+        stream, store, "value", checkpoint_dir=str(tmp_path / "psi_ckpt")
+    )
+    q.awaitTermination(120)
+    _write_batch(src, mk(0, 400, 1000), "b1")   # same distribution
+    q2 = start_streaming_psi(
+        stream, store, "value", checkpoint_dir=str(tmp_path / "psi_ckpt")
+    )
+    q2.awaitTermination(120)
+    _write_batch(src, mk(350, 400, 2000), "b2")  # shifted to 350..449
+    q3 = start_streaming_psi(
+        stream, store, "value", checkpoint_dir=str(tmp_path / "psi_ckpt")
+    )
+    q3.awaitTermination(120)
+
+    scores = {r.batch_id: r for r in store.scores().collect()}
+    assert 0 not in scores  # seed batch produced no score
+    assert set(scores) >= {1, 2}
+    assert scores[1].psi < 0.05, scores[1]
+    assert scores[2].psi > 0.2, scores[2]
+    assert scores[2].psi > scores[1].psi
+    # reference accumulated all three batches
+    total = store.reference().agg(F.sum("cnt")).collect()[0][0]
+    assert total == 1200
+    # idempotent replay: re-merging batch 2's bins is a no-op
+    df2 = spark.createDataFrame(
+        [("x", r["value"]) for r in mk(350, 400, 2000)],
+        "event_type string, value double",
+    )
+    store.score_and_merge(psi_batch_bins(df2, "value"), batch_id=2)
+    assert store.reference().agg(F.sum("cnt")).collect()[0][0] == 1200
+    assert store.scores().filter(F.col("batch_id") == 2).count() == 1
