@@ -372,7 +372,7 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prios = o.select("o_orderpriority").distinct()
     spine = (
         prios.crossJoin(F.broadcast(digits))
-        .join(obs, ["o_orderpriority", "d"], "left")
+        .join(F.broadcast(obs), ["o_orderpriority", "d"], "left")
         .select(
             "o_orderpriority", "d", F.coalesce("n_d", F.lit(0)).alias("n_d")
         )
@@ -415,7 +415,7 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", F.col("d").alias("max_dev_digit")
     )
     return (
-        last.join(worst, "o_orderpriority")
+        last.join(F.broadcast(worst), "o_orderpriority")
         .select(
             "o_orderpriority",
             F.col("n").cast("bigint").alias("n_orders"),
@@ -1561,4 +1561,102 @@ def customer_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.max("score"), 4).alias("max_score"),
         )
         .orderBy("score_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff audit (table-version reconciliation)
+# ---------------------------------------------------------------------------
+
+_DIFF_SQL = """
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(o_totalprice AS VARCHAR) || '|' || o_orderpriority)
+                   AS h
+        FROM orders
+    ), v2 AS (
+        SELECT o_orderkey AS k,
+               md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(CASE WHEN o_orderkey % 10 = 3
+                                THEN o_totalprice + 100.0
+                                ELSE o_totalprice END AS VARCHAR)
+                   || '|' || o_orderpriority) AS h
+        FROM orders WHERE o_orderkey % 17 != 5
+        UNION ALL
+        SELECT k, md5(CAST(k AS VARCHAR)) AS h
+        FROM (SELECT unnest(generate_series(1, 500)) * 100000000 + 7 AS k)
+    ), d AS (
+        SELECT COALESCE(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'deleted'
+                    WHEN a.h != b.h THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d GROUP BY change_type
+    ORDER BY change_type
+"""
+
+
+@register("orders_snapshot_diff_stats", _DIFF_SQL)
+def orders_snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two table versions: FULL OUTER
+    join on the key with an md5 row-fingerprint comparison classifying
+    every key as added / deleted / changed / unchanged — the diff
+    primitive behind incremental-publish validation ("did the nightly
+    rebuild change only what the changelog says"), complementing
+    `orders_merge_upsert_stats` (which APPLIES changes; this one
+    AUDITS them). v2 is synthesized deterministically from v1 in both
+    engines (price bump on key%10=3, deletes on key%17=5, 500 inserted
+    high keys), so the oracle replays the whole pipeline.
+
+    Scale shape: the diff is ONE key-equi full-outer join between
+    scans, with the row fingerprint computed map-side (md5 of a
+    canonical column concatenation — compare kilobyte fingerprints,
+    not row payloads); counts are exact. Bucketing both versions on
+    the key (`sources/sinks.py` layout) turns the join shuffle-free,
+    the same move as the bucketed dedup history. Numeric columns are
+    rendered to strings identically cross-engine (both print doubles
+    shortest-round-trip), which the oracle itself verifies."""
+    o = _t(spark, sf_dir, "orders")
+
+    def fp(price_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                price_col.cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+
+    v1 = o.select(F.col("o_orderkey").alias("k"), fp(F.col("o_totalprice")).alias("h"))
+    bumped = F.when(
+        F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") + 100.0
+    ).otherwise(F.col("o_totalprice"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 17 != 5)
+        .select(F.col("o_orderkey").alias("k"), fp(bumped).alias("h"))
+        .unionByName(
+            spark.range(1, 501).select(
+                (F.col("id") * 100000000 + 7).alias("k"),
+                F.md5((F.col("id") * 100000000 + 7).cast("string")).alias("h"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer").select(
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "deleted")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("change_type")
     )

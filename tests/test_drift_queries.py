@@ -325,3 +325,22 @@ def test_fellegi_sunter_weight_structure(spark):
     assert top <= round(max_expected, 4) + 1e-6
     # at least one all-agree pair exists on the fixture
     assert top == pytest.approx(round(max_expected, 4), abs=1e-6)
+
+
+def test_snapshot_diff_partition_arithmetic(spark):
+    """The synthesized v2's change classes must reconcile exactly with
+    the modular-arithmetic construction: 500 adds, deletes = keys
+    %17==5, changes = surviving keys %10==3, and the classes partition
+    v1 ∪ adds."""
+    out = {r.change_type: r.n_rows for r in
+           DQ.orders_snapshot_diff_stats(spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = o.count()
+    deleted = o.filter(F.col("o_orderkey") % 17 == 5).count()
+    changed = o.filter(
+        (F.col("o_orderkey") % 10 == 3) & (F.col("o_orderkey") % 17 != 5)
+    ).count()
+    assert out["added"] == 500
+    assert out["deleted"] == deleted
+    assert out["changed"] == changed
+    assert out["unchanged"] == n - deleted - changed
