@@ -1,0 +1,702 @@
+"""Round-8 wave: robust time-series process control and embedding-drift
+monitors — the statistical-control instruments that watch a 100 TB
+pipeline's FEEDS (EWMA control chart, MAD robust anomalies, seasonal
+decomposition, Theil-Sen robust trend, seasonal-naive backtest) and its
+REPRESENTATIONS (per-label centroid shift between data halves, which is
+also the exact linear-kernel MMD). Round 7's drift wave (plans/
+drift_queries.py) answered "did the distribution move" with two-sample
+tests; this wave answers "when, how much, and is the trend real" with
+robust estimators that a single corrupted day cannot swing.
+
+House determinism discipline (SCALE.md "Float-ROUND ledger"):
+
+- the DOUBLE ``value``/price columns quantize to cents on scan; every
+  cross-row SUM is an exact integer (decimal(38,0)/HUGEINT where
+  squares or component sums can pass int64 — the silhouette pattern);
+- daily/monthly means divide exact sums ONCE, then re-quantize to
+  1e6-scaled BIGINTs before any second-level aggregation (variance,
+  median, pairwise slopes);
+- EWMA weights are PRECOMPUTED DECIMAL LITERALS embedded identically
+  in both engines (no pow() at query time — libm-vs-JVM pow is the
+  documented 1-ulp class), and the EWMA itself is a fixed 15-term
+  lag expression, not an order-sensitive aggregate;
+- medians interpolate midpoints of 1e6-scaled BIGINTs — (a+b)/2 on
+  ints < 2^52 is exact in both engines.
+
+No reference counterpart: the reference (``/root/reference/src``) has
+no time-series or representation monitoring; these exist for the
+100 TB operations story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
+
+#: lambda = 0.3 EWMA weights w_k = 0.3 * 0.7^k, k = 0..14, rendered once
+#: in Python and embedded as identical decimal literals in BOTH engines
+#: (repr of a double round-trips exactly; no pow() at query time).
+_EWMA_LAM = 0.3
+_EWMA_K = 15
+_EWMA_W = [repr(_EWMA_LAM * (1.0 - _EWMA_LAM) ** k) for k in range(_EWMA_K)]
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart over daily mean event value
+# ---------------------------------------------------------------------------
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num = " + ".join(
+        f"CASE WHEN lag(mean_d, {k}) OVER w IS NULL THEN 0.0"
+        f" ELSE {w} * lag(mean_d, {k}) OVER w END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(mean_d, {k}) OVER w IS NULL THEN 0.0"
+        f" ELSE {w} END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+
+_EWMA_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sq
+        FROM events GROUP BY 1
+    ), means AS (
+        SELECT d, n, sq * 1.0 / (n * 100.0) AS mean_d FROM daily
+    ), ew AS (
+        SELECT d, n, mean_d,
+               ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+        FROM means
+        WINDOW w AS (ORDER BY d)
+    ), md AS (
+        SELECT d, n, mean_d, ewma,
+               CAST(ROUND(mean_d * 1000000.0) AS BIGINT) AS mq
+        FROM ew
+    ), sig AS (
+        SELECT COUNT(*) AS dd,
+               SUM(CAST(mq AS HUGEINT)) AS sm,
+               SUM(CAST(mq AS HUGEINT) * CAST(mq AS HUGEINT)) AS sm2
+        FROM md
+    )
+    SELECT md.d AS day, md.n AS n_events,
+           ROUND(md.mean_d, 4) AS daily_mean,
+           ROUND(md.ewma, 4) AS ewma,
+           ABS(md.mean_d - md.ewma) * 1000000.0
+               > 3.0 * sqrt(CAST(sig.dd * sig.sm2 - sig.sm * sig.sm
+                                 AS DOUBLE) / (sig.dd * sig.dd))
+               AS is_alarm
+    FROM md, sig ORDER BY day
+"""
+
+
+@register("events_ewma_control_chart", _EWMA_SQL)
+def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) over the daily mean event
+    value: ewma_t = sum_k w_k * x_(t-k) / sum_k w_k with lambda = 0.3
+    truncated at 15 lags — the truncation makes the smoother a FIXED
+    15-term lag expression over the day-grain epilogue instead of a
+    recursive state, so it is order-fixed, restart-free, and identical
+    cross-engine (the weights are precomputed decimal literals; no
+    pow() at query time). Alarm when |x_t - ewma_t| exceeds 3 sigma of
+    the daily means, with sigma^2 from the exact integer identity
+    (D*Sm2 - Sm^2)/D^2 over 1e6-quantized means in HUGEINT/decimal.
+    Scale shape: one day-grain hash agg over the scan, then windows
+    over a calendar-bounded frame (single-partition window is fine at
+    any data scale — rows = days)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("vq"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vq").alias("sq"),
+        )
+        .select(
+            "d",
+            "n",
+            (F.col("sq") * 1.0 / (F.col("n") * 100.0)).alias("mean_d"),
+        )
+    )
+    w = Window.orderBy("d")
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_W):
+        lagged = F.lag("mean_d", k).over(w)
+        t_num = F.when(lagged.isNull(), 0.0).otherwise(
+            F.lit(float(wt)) * lagged
+        )
+        t_den = F.when(lagged.isNull(), 0.0).otherwise(F.lit(float(wt)))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    md = daily.select(
+        "d",
+        "n",
+        "mean_d",
+        (num / den).alias("ewma"),
+        F.round(F.col("mean_d") * 1000000.0).cast("bigint").alias("mq"),
+    )
+    mq_dec = F.col("mq").cast("decimal(18,0)")
+    sig = md.agg(
+        F.count(F.lit(1)).alias("dd"),
+        F.sum(mq_dec).alias("sm"),
+        F.sum(mq_dec * mq_dec).alias("sm2"),
+    )
+    return (
+        md.crossJoin(F.broadcast(sig))
+        .select(
+            F.col("d").alias("day"),
+            F.col("n").alias("n_events"),
+            F.round("mean_d", 4).alias("daily_mean"),
+            F.round("ewma", 4).alias("ewma"),
+            (
+                F.abs(F.col("mean_d") - F.col("ewma")) * 1000000.0
+                > 3.0
+                * F.sqrt(
+                    (
+                        F.col("dd") * F.col("sm2")
+                        - F.col("sm") * F.col("sm")
+                    ).cast("double")
+                    / (F.col("dd") * F.col("dd"))
+                )
+            ).alias("is_alarm"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust anomaly summary over daily means (Iglewicz-Hoaglin)
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sq
+        FROM events GROUP BY 1
+    ), md AS (
+        SELECT d, CAST(ROUND(sq * 10000.0 / n) AS BIGINT) AS mq
+        FROM daily
+    ), med AS (
+        SELECT median(mq) AS m FROM md
+    ), dev AS (
+        SELECT md.mq, ABS(md.mq - med.m) AS ad FROM md, med
+    ), mad AS (
+        SELECT median(ad) AS mad FROM dev
+    )
+    SELECT CAST((SELECT COUNT(*) FROM md) AS BIGINT) AS n_days,
+           ROUND(med.m / 1000000.0, 4) AS median_daily_mean,
+           ROUND(mad.mad / 1000000.0, 4) AS mad_daily_mean,
+           CAST((SELECT COUNT(*) FROM dev, mad
+                 WHERE mad.mad > 0
+                   AND 0.6745 * dev.ad > 3.5 * mad.mad) AS BIGINT)
+               AS n_anomaly_days,
+           ROUND((SELECT MAX(0.6745 * dev.ad / mad.mad)
+                  FROM dev, mad WHERE mad.mad > 0), 4) AS max_abs_rz
+    FROM med, mad
+"""
+
+
+@register("events_mad_anomaly_days", _MAD_SQL)
+def events_mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly census over daily mean event value using the
+    median/MAD modified z-score (Iglewicz & Hoaglin 1993): a day is
+    anomalous when 0.6745*|x - med|/MAD > 3.5. Median and MAD replace
+    mean/stddev so one corrupted day cannot both shift the center and
+    inflate the yardstick that should catch it. Daily means quantize
+    to 1e6-scaled BIGINTs (sq*1e4/n: cents * 1e4); both engines'
+    medians linearly interpolate midpoints of those ints — (a+b)/2 on
+    ints < 2^52 is exact. The anomaly predicate cross-multiplies
+    (0.6745*ad > 3.5*mad) on identically-derived doubles. Scale: one
+    day-grain agg; everything after is a days-sized epilogue with two
+    medians over a calendar-bounded set."""
+    e = _t(spark, sf_dir, "events")
+    md = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("vq"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vq").alias("sq"),
+        )
+        .select(
+            F.round(F.col("sq") * 10000.0 / F.col("n"))
+            .cast("bigint")
+            .alias("mq")
+        )
+    )
+    med = md.agg(F.percentile("mq", F.lit(0.5)).alias("m"))
+    dev = md.crossJoin(F.broadcast(med)).select(
+        "mq", F.abs(F.col("mq") - F.col("m")).alias("ad"), "m"
+    )
+    mad = dev.agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad"),
+        F.min("m").alias("m"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    flagged = dev.crossJoin(F.broadcast(mad.select("mad"))).agg(
+        F.sum(
+            F.when(
+                (F.col("mad") > 0)
+                & (0.6745 * F.col("ad") > 3.5 * F.col("mad")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomaly_days"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("mad") > 0,
+                    0.6745 * F.col("ad") / F.col("mad"),
+                )
+            ),
+            4,
+        ).alias("max_abs_rz"),
+    )
+    return mad.crossJoin(F.broadcast(flagged)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("m") / 1000000.0, 4).alias("median_daily_mean"),
+        F.round(F.col("mad") / 1000000.0, 4).alias("mad_daily_mean"),
+        "n_anomaly_days",
+        "max_abs_rz",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal profile + seasonal strength
+# ---------------------------------------------------------------------------
+
+_DOW_SQL = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               dayofweek(date_trunc('day', ts)) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sq
+        FROM events GROUP BY 1, 2
+    ), md AS (
+        SELECT dow, n, CAST(ROUND(sq * 10000.0 / n) AS BIGINT) AS mq
+        FROM daily
+    ), per_dow AS (
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               SUM(CAST(mq AS HUGEINT)) AS sm,
+               SUM(CAST(mq AS HUGEINT) * CAST(mq AS HUGEINT)) AS sm2
+        FROM md GROUP BY dow
+    ), parts AS (
+        SELECT dow, n_days, n_events, sm,
+               CAST(ROUND(CAST(n_days * sm2 - sm * sm AS DOUBLE) / n_days)
+                    AS BIGINT) AS ssw_term
+        FROM per_dow
+    ), tot AS (
+        SELECT SUM(CAST(a.n_days AS HUGEINT)) AS dd,
+               SUM(a.sm) AS tsm, SUM(a.sm2) AS tsm2,
+               (SELECT SUM(ssw_term) FROM parts) AS ssw
+        FROM per_dow a
+    )
+    SELECT p.dow,
+           p.n_days, p.n_events,
+           ROUND(CAST(p.sm AS DOUBLE) / (p.n_days * 1000000.0), 4)
+               AS mean_value,
+           ROUND(1.0 - CAST(t.ssw AS DOUBLE)
+                       / (CAST(t.dd * t.tsm2 - t.tsm * t.tsm AS DOUBLE)
+                          / CAST(t.dd AS DOUBLE)), 4) AS seasonal_strength
+    FROM parts p, tot t ORDER BY p.dow
+"""
+
+
+@register("events_dow_seasonal_profile", _DOW_SQL)
+def events_dow_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily mean event value:
+    the 7-row DOW profile plus the seasonal STRENGTH 1 - SSW/SST (the
+    variance fraction the weekly cycle explains — STL's strength
+    statistic computed from sufficient statistics). Every sum is exact
+    (1e6-quantized daily means in HUGEINT/decimal); each per-dow
+    within-group term (n*Sm2 - Sm^2)/n takes its one division and
+    re-quantizes to a BIGINT before the 7-term rollup, so the rollup
+    stays an exact integer sum. DOW convention pinned cross-engine:
+    DuckDB dayofweek is Sunday=0, Spark dayofweek is Sunday=1, so the
+    Spark side subtracts 1. Scale: one day-grain agg; all else is a
+    7-row epilogue with a 1-row broadcast combine."""
+    e = _t(spark, sf_dir, "events")
+    md = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("vq"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vq").alias("sq"),
+        )
+        .select(
+            (F.dayofweek("d") - 1).alias("dow"),
+            "n",
+            F.round(F.col("sq") * 10000.0 / F.col("n"))
+            .cast("bigint")
+            .alias("mq"),
+        )
+    )
+    mq_dec = F.col("mq").cast("decimal(18,0)")
+    per_dow = md.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum(mq_dec).alias("sm"),
+        F.sum(mq_dec * mq_dec).alias("sm2"),
+    )
+    parts = per_dow.select(
+        "dow",
+        "n_days",
+        "n_events",
+        "sm",
+        "sm2",
+        F.round(
+            (
+                F.col("n_days") * F.col("sm2") - F.col("sm") * F.col("sm")
+            ).cast("double")
+            / F.col("n_days")
+        )
+        .cast("bigint")
+        .alias("ssw_term"),
+    )
+    tot = parts.agg(
+        F.sum("n_days").alias("dd"),
+        F.sum("sm").alias("tsm"),
+        F.sum("sm2").alias("tsm2"),
+        F.sum("ssw_term").alias("ssw"),
+    )
+    return (
+        parts.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            "n_events",
+            F.round(
+                F.col("sm").cast("double") / (F.col("n_days") * 1000000.0),
+                4,
+            ).alias("mean_value"),
+            F.round(
+                1.0
+                - F.col("ssw").cast("double")
+                / (
+                    (
+                        F.col("dd") * F.col("tsm2")
+                        - F.col("tsm") * F.col("tsm")
+                    ).cast("double")
+                    / F.col("dd").cast("double")
+                ),
+                4,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over monthly order revenue
+# ---------------------------------------------------------------------------
+
+_TS_SQL = """
+    WITH monthly AS (
+        SELECT (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12
+                   + CAST(month(o_orderdate) AS BIGINT) AS t,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rq
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT (b.rq - a.rq) / ((b.t - a.t) * 100.0) AS slope
+        FROM monthly a JOIN monthly b ON b.t > a.t
+    ), sl AS (
+        SELECT median(slope) AS ts_slope,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs
+    ), ic AS (
+        SELECT median(m.rq / 100.0 - sl.ts_slope * m.t) AS ts_intercept
+        FROM monthly m, sl
+    )
+    SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_months,
+           sl.n_pairs,
+           ROUND(sl.ts_slope, 2) AS ts_slope,
+           ROUND(ic.ts_intercept, 2) AS ts_intercept
+    FROM sl, ic
+"""
+
+
+@register("orders_theil_sen_trend", _TS_SQL)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly order revenue: the median of
+    all pairwise slopes (Sen 1968) — up to 29.3% of months can be
+    corrupted before the slope moves, vs 0% for OLS. The pair join is
+    over the MONTHLY rollup, so its size is calendar-bounded (~80
+    months -> ~3k pairs) and INDEPENDENT of data scale — the classic
+    "aggregate first, then do the quadratic thing on the bounded
+    epilogue" shape; Spark broadcasts the 80-row side. Revenue sums
+    are exact cents; each pair slope takes one division of exact ints;
+    medians interpolate identically cross-engine. The intercept is the
+    median residual med(y - slope*t) (Conover's form)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (
+                (F.year("o_orderdate").cast("bigint") - 1992) * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("t"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("rq"),
+        )
+        .groupBy("t")
+        .agg(F.sum("rq").alias("rq"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("b.t") > F.col("a.t")
+    ).select(
+        (
+            (F.col("b.rq") - F.col("a.rq"))
+            / ((F.col("b.t") - F.col("a.t")) * 100.0)
+        ).alias("slope")
+    )
+    sl = pairs.agg(
+        F.percentile("slope", F.lit(0.5)).alias("ts_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    ic = monthly.crossJoin(F.broadcast(sl)).agg(
+        F.percentile(
+            F.col("rq") / 100.0 - F.col("ts_slope") * F.col("t"),
+            F.lit(0.5),
+        ).alias("ts_intercept"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.min("ts_slope").alias("ts_slope"),
+        F.min("n_pairs").alias("n_pairs"),
+    )
+    return ic.select(
+        "n_months",
+        "n_pairs",
+        F.round("ts_slope", 2).alias("ts_slope"),
+        F.round("ts_intercept", 2).alias("ts_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest (12-month lag forecast) over monthly revenue
+# ---------------------------------------------------------------------------
+
+_SNAIVE_SQL = """
+    WITH monthly AS (
+        SELECT (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12
+                   + CAST(month(o_orderdate) AS BIGINT) AS t,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rq
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT cur.t, cur.rq, prev.rq AS fq,
+               CAST(ROUND(ABS(cur.rq - prev.rq) * 1000000.0 / cur.rq)
+                    AS BIGINT) AS ape_scaled,
+               CAST(ROUND((cur.rq - prev.rq) * 1000000.0 / cur.rq)
+                    AS BIGINT) AS pe_scaled
+        FROM monthly cur JOIN monthly prev ON prev.t = cur.t - 12
+        WHERE cur.rq > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored_months,
+           ROUND(SUM(ape_scaled) / (COUNT(*) * 10000.0), 4) AS mape_pct,
+           ROUND(SUM(pe_scaled) / (COUNT(*) * 10000.0), 4) AS bias_pct,
+           CAST(SUM(CASE WHEN ape_scaled > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_months_gt20pct
+    FROM scored
+"""
+
+
+@register("orders_seasonal_naive_backtest", _SNAIVE_SQL)
+def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: forecast month t's revenue with month
+    t-12's, score MAPE / signed bias / months-over-20%-error — the
+    forecasting BASELINE every fancier model must beat (and the honest
+    companion to q6_forecast_revenue's point estimate). The 12-lag
+    join is a self-join of the calendar-bounded monthly rollup
+    (broadcast). Per-month percentage errors take one division of
+    exact cents and quantize to 1e6-scaled BIGINTs, so the MAPE/bias
+    rollups are exact integer sums with one trailing division; the
+    >20% flag compares the scaled int against a constant."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (
+                (F.year("o_orderdate").cast("bigint") - 1992) * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("t"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("rq"),
+        )
+        .groupBy("t")
+        .agg(F.sum("rq").alias("rq"))
+    )
+    cur = monthly.alias("cur")
+    prev = monthly.alias("prev")
+    scored = (
+        cur.join(
+            F.broadcast(prev),
+            F.col("prev.t") == F.col("cur.t") - 12,
+        )
+        .where(F.col("cur.rq") > 0)
+        .select(
+            F.round(
+                F.abs(F.col("cur.rq") - F.col("prev.rq"))
+                * 1000000.0
+                / F.col("cur.rq")
+            )
+            .cast("bigint")
+            .alias("ape_scaled"),
+            F.round(
+                (F.col("cur.rq") - F.col("prev.rq"))
+                * 1000000.0
+                / F.col("cur.rq")
+            )
+            .cast("bigint")
+            .alias("pe_scaled"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored_months"),
+        F.round(
+            F.sum("ape_scaled") / (F.count(F.lit(1)) * 10000.0), 4
+        ).alias("mape_pct"),
+        F.round(
+            F.sum("pe_scaled") / (F.count(F.lit(1)) * 10000.0), 4
+        ).alias("bias_pct"),
+        F.sum(F.when(F.col("ape_scaled") > 200000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_months_gt20pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid shift between data halves (linear-kernel MMD)
+# ---------------------------------------------------------------------------
+
+_CSHIFT_SQL = """
+    WITH dims AS (
+        SELECT unnest(generate_series(1, 64)) AS i
+    ), pe AS (
+        SELECT label, vec_id % 2 = 0 AS is_a, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS vq
+        FROM embeddings, dims
+    ), sums AS (
+        SELECT label, i,
+               SUM(CASE WHEN is_a THEN CAST(vq AS HUGEINT) ELSE 0 END) AS sa,
+               SUM(CASE WHEN NOT is_a THEN CAST(vq AS HUGEINT) ELSE 0 END)
+                   AS sb,
+               SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na_i,
+               SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb_i
+        FROM pe GROUP BY label, i
+    ), lab AS (
+        SELECT label,
+               MAX(na_i) AS na, MAX(nb_i) AS nb,
+               SUM(sa * sb) AS dot,
+               SUM(sa * sa) AS a2,
+               SUM(sb * sb) AS b2
+        FROM sums GROUP BY label
+    )
+    SELECT label,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)), 6)
+               AS centroid_cosine,
+           ROUND(sqrt(CAST(a2 AS DOUBLE) / (CAST(na AS DOUBLE) * na)
+                      - 2.0 * CAST(dot AS DOUBLE)
+                        / (CAST(na AS DOUBLE) * nb)
+                      + CAST(b2 AS DOUBLE) / (CAST(nb AS DOUBLE) * nb))
+                 / 1000000.0, 6) AS linear_mmd
+    FROM lab WHERE na > 0 AND nb > 0 ORDER BY label
+"""
+
+
+@register("embeddings_centroid_shift_drift", _CSHIFT_SQL)
+def embeddings_centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-drift monitor: split each label's vectors into
+    two halves by vec_id parity (old/new feed stand-in), compare the
+    half-centroids by cosine and by L2 distance — the latter IS the
+    exact linear-kernel MMD (Gretton et al. 2012): ||mu_a - mu_b||.
+    Cosine is scale-invariant, so it is computed directly on the
+    component SUMS; the MMD expands as a2/na^2 - 2*dot/(na*nb) +
+    b2/nb^2 — all three terms are exact decimal(38,0)/HUGEINT sums of
+    products of 1e6-quantized component sums (the silhouette pattern:
+    sums reach n*2e6, squares would wrap int64 silently). Divisions
+    and the sqrt happen once, at the 1-row-per-label epilogue. Scale:
+    one (label, dim) shuffle of bounded cardinality — labels x 64 rows
+    — and everything after is label-sized."""
+    e = _t(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "label",
+        "is_a",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("val").cast("double") * 1000000.0)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    sums = pe.groupBy("label", "i").agg(
+        F.sum(F.when(F.col("is_a"), F.col("vq")).otherwise(0))
+        .cast("decimal(18,0)")
+        .alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("vq")).otherwise(0))
+        .cast("decimal(18,0)")
+        .alias("sb"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na_i"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb_i"),
+    )
+    lab = sums.groupBy("label").agg(
+        F.max("na_i").alias("na"),
+        F.max("nb_i").alias("nb"),
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("a2"),
+        F.sum(F.col("sb") * F.col("sb")).alias("b2"),
+    )
+    return (
+        lab.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "label",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("a2").cast("double") * F.col("b2").cast("double")
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(
+                    F.col("a2").cast("double")
+                    / (F.col("na").cast("double") * F.col("na"))
+                    - 2.0
+                    * F.col("dot").cast("double")
+                    / (F.col("na").cast("double") * F.col("nb"))
+                    + F.col("b2").cast("double")
+                    / (F.col("nb").cast("double") * F.col("nb"))
+                )
+                / 1000000.0,
+                6,
+            ).alias("linear_mmd"),
+        )
+        .orderBy("label")
+    )
