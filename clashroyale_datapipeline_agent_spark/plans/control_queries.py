@@ -127,6 +127,7 @@ def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             (F.col("sq") * 1.0 / (F.col("n") * 100.0)).alias("mean_d"),
         )
+        .localCheckpoint(eager=True)  # day-grain; feeds ewma AND sigma
     )
     w = Window.orderBy("d")
     num = None
@@ -237,10 +238,13 @@ def events_mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("mq")
         )
+        .localCheckpoint(eager=True)  # day-grain; feeds med, dev, mad
     )
     med = md.agg(F.percentile("mq", F.lit(0.5)).alias("m"))
-    dev = md.crossJoin(F.broadcast(med)).select(
-        "mq", F.abs(F.col("mq") - F.col("m")).alias("ad"), "m"
+    dev = (
+        md.crossJoin(F.broadcast(med))
+        .select("mq", F.abs(F.col("mq") - F.col("m")).alias("ad"), "m")
+        .localCheckpoint(eager=True)  # feeds mad AND the flag census
     )
     mad = dev.agg(
         F.percentile("ad", F.lit(0.5)).alias("mad"),
@@ -460,6 +464,7 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("t")
         .agg(F.sum("rq").alias("rq"))
+        .localCheckpoint(eager=True)  # month-grain; feeds pairs x2 + ic
     )
     a = monthly.alias("a")
     b = monthly.alias("b")
@@ -544,6 +549,7 @@ def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .groupBy("t")
         .agg(F.sum("rq").alias("rq"))
+        .localCheckpoint(eager=True)  # month-grain; feeds cur AND prev
     )
     cur = monthly.alias("cur")
     prev = monthly.alias("prev")

@@ -730,6 +730,7 @@ def events_jackknife_daily_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("nd"),
             F.sum("vq").alias("sd"),
         )
+        .localCheckpoint(eager=True)  # day-grain; feeds tot AND loo
     )
     tot = daily.agg(
         F.sum("nd").alias("n"),
