@@ -46,6 +46,13 @@ KNOWN_INDIRECT = {
     "events_ks_binned_two_sample": ("SUM(int) OVER + exact num", "int-scaled"),
     "orders_benford_audit": ("SUM(float) OVER", "window-seq"),
     "customer_tcloseness_audit": ("SUM(|int cross-product|)", "int-scaled"),
+    # round-8 wave: the ROUND's `* 1.0 /` makes the regex see a float
+    # sum, but the summed column is a 1e6-scaled BIGINT (or a 0/1 CASE
+    # int) — the sum is exact; verified by reading each query
+    "docs_span_dedup_census": ("SUM(CASE int)", "int-scaled"),
+    "docs_dsir_importance_by_source": ("SUM(1e6-scaled lq)", "int-scaled"),
+    "docs_top_ngram_char_fraction": ("SUM(1e6-scaled frac)", "int-scaled"),
+    "orders_seasonal_naive_backtest": ("SUM(1e6-scaled ape)", "int-scaled"),
 }
 
 
