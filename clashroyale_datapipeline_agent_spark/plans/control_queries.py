@@ -89,7 +89,7 @@ _EWMA_SQL = f"""
     SELECT md.d AS day, md.n AS n_events,
            ROUND(md.mean_d, 4) AS daily_mean,
            ROUND(md.ewma, 4) AS ewma,
-           ABS(md.mean_d - md.ewma) * 1000000.0
+           ABS(md.mq - CAST(ROUND(md.ewma * 1000000.0) AS BIGINT))
                > 3.0 * sqrt(CAST(sig.dd * sig.sm2 - sig.sm * sig.sm
                                  AS DOUBLE) / (sig.dd * sig.dd))
                AS is_alarm
@@ -105,30 +105,35 @@ def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-term lag expression over the day-grain epilogue instead of a
     recursive state, so it is order-fixed, restart-free, and identical
     cross-engine (the weights are precomputed decimal literals; no
-    pow() at query time). Alarm when |x_t - ewma_t| exceeds 3 sigma of
-    the daily means, with sigma^2 from the exact integer identity
+    pow() at query time). Alarm when the 1e6-QUANTIZED |x_t - ewma_t|
+    exceeds 3 sigma of the daily means (integer deviation, so 1-ulp
+    float noise on a zero-variance history cannot alarm), with sigma^2
+    from the exact integer identity
     (D*Sm2 - Sm^2)/D^2 over 1e6-quantized means in HUGEINT/decimal.
     Scale shape: one day-grain hash agg over the scan, then windows
     over a calendar-bounded frame (single-partition window is fine at
     any data scale — rows = days)."""
     e = _t(spark, sf_dir, "events")
-    daily = (
-        e.select(
-            F.to_date("ts").alias("d"),
-            F.round(F.col("value") * 100).cast("bigint").alias("vq"),
-        )
-        .groupBy("d")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("vq").alias("sq"),
-        )
-        .select(
-            "d",
-            "n",
-            (F.col("sq") * 1.0 / (F.col("n") * 100.0)).alias("mean_d"),
-        )
-        .localCheckpoint(eager=True)  # day-grain; feeds ewma AND sigma
+    daily = e.select(
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vq"),
+    ).groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vq").alias("sq"),
     )
+    return ewma_readout(daily)
+
+
+def ewma_readout(daily: DataFrame) -> DataFrame:
+    """The EWMA chart epilogue over a day-grain (d, n, sq) table —
+    shared VERBATIM by the batch query above and the streaming monitor
+    (streaming/control_stream.py), so batch and stream readings are
+    equal by construction, not by parallel maintenance."""
+    daily = daily.select(
+        "d",
+        "n",
+        (F.col("sq") * 1.0 / (F.col("n") * 100.0)).alias("mean_d"),
+    ).localCheckpoint(eager=True)  # day-grain; feeds ewma AND sigma
     w = Window.orderBy("d")
     num = None
     den = None
@@ -161,7 +166,10 @@ def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_d", 4).alias("daily_mean"),
             F.round("ewma", 4).alias("ewma"),
             (
-                F.abs(F.col("mean_d") - F.col("ewma")) * 1000000.0
+                F.abs(
+                    F.col("mq")
+                    - F.round(F.col("ewma") * 1000000.0).cast("bigint")
+                )
                 > 3.0
                 * F.sqrt(
                     (

@@ -190,12 +190,12 @@ def test_ewma_matches_python_loop(spark):
     assert [r["ewma"] for r in got] == pytest.approx(
         [round(e, 4) for e in want_raw], abs=2e-4
     )
-    # alarm consistency: flag iff |mean - ewma| > 3 sigma (unrounded ewma)
+    # alarm consistency: flag iff 1e6-quantized |mean - ewma| > 3 sigma
     mq = [round(m * 1e6) for m in means]
     dd = len(mq)
     sig = math.sqrt((dd * sum(m * m for m in mq) - sum(mq) ** 2) / (dd * dd))
-    for r, m, e in zip(got, means, want_raw):
-        assert r["is_alarm"] == (abs(m - e) * 1e6 > 3 * sig)
+    for r, q, e in zip(got, mq, want_raw):
+        assert r["is_alarm"] == (abs(q - round(e * 1e6)) > 3 * sig)
 
 
 def test_mad_matches_numpy_reference(spark):

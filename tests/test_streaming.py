@@ -870,3 +870,92 @@ def test_streaming_psi_scores_drifted_batch(spark, tmp_path):
     store.score_and_merge(psi_batch_bins(df2, "value"), batch_id=2)
     assert store.reference().agg(F.sum("cnt")).collect()[0][0] == 1200
     assert store.scores().filter(F.col("batch_id") == 2).count() == 1
+
+
+def test_streaming_control_chart_matches_batch(spark, tmp_path):
+    """EWMA control monitor over 3 micro-batches (one per day, with a
+    level shift on day 3): after the stream drains, (a) the
+    accumulated day store equals the batch day-grain agg, (b) the
+    store's full chart equals the batch epilogue over the same rows,
+    (c) the per-batch reading log captured each day's reading, and a
+    replayed batch is a no-op on store and log."""
+    from clashroyale_datapipeline_agent_spark.plans.control_queries import (
+        ewma_readout,
+    )
+    from clashroyale_datapipeline_agent_spark.streaming.control_stream import (
+        ControlMonitorStore,
+        day_batch_agg,
+        start_streaming_control,
+    )
+
+    def mk(day, n, level, base):
+        return [
+            {
+                "event_id": base + i,
+                "ts": f"2024-02-{day:02d}T10:{i % 60:02d}:00.000Z",
+                "user_id": 1,
+                "event_type": "x",
+                "value": float(level + (i % 7)),
+            }
+            for i in range(n)
+        ]
+
+    src = tmp_path / "ctrl_src"
+    src.mkdir()
+    store = ControlMonitorStore(spark, str(tmp_path / "ctrl_store"))
+    # 21 identical flat days (two multi-day batches), then a level
+    # shift: with D=22 days the 3-sigma band (inflated by the shifted
+    # day itself, sigma ~ delta*sqrt(D-1)/D) sits at 0.625*delta while
+    # the EWMA deviation is (1-lambda)*delta = 0.7*delta -> alarm.
+    batches = [
+        [r for day in range(1, 12) for r in mk(day, 60, 10.0, day * 1000)],
+        [r for day in range(12, 22) for r in mk(day, 60, 10.0, day * 1000)],
+        mk(22, 60, 60.0, 22000),
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(src, rows, f"b{i}")
+        q = start_streaming_control(
+            spark.readStream.schema(SCHEMA).json(str(src)),
+            store,
+            checkpoint_dir=str(tmp_path / "ctrl_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"].replace("T", " ").rstrip("Z"),
+          r["user_id"], r["event_type"], r["value"]) for r in all_rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want_daily = {
+        (str(r["d"]), r["n"], r["sq"])
+        for r in day_batch_agg(batch_df).collect()
+    }
+    got_daily = {
+        (str(r["d"]), r["n"], r["sq"]) for r in store.daily().collect()
+    }
+    assert got_daily == want_daily
+
+    want_chart = [tuple(r) for r in
+                  ewma_readout(day_batch_agg(batch_df)).collect()]
+    got_chart = [tuple(r) for r in store.chart().collect()]
+    assert got_chart == want_chart
+
+    readings = {r.batch_id: r for r in store.readings().collect()}
+    assert set(readings) == {0, 1, 2}
+    # flat history never alarms; the level-shift day does
+    assert not readings[0].is_alarm and not readings[1].is_alarm
+    assert readings[2].daily_mean > readings[1].daily_mean + 20
+    assert readings[2].is_alarm
+
+    # replay: re-merging batch 2 is a no-op
+    df2 = spark.createDataFrame(
+        [(r["ts"].replace("T", " ").rstrip("Z"), r["value"])
+         for r in batches[2]],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    store.merge_and_read(day_batch_agg(df2), batch_id=2)
+    assert {(str(r["d"]), r["n"], r["sq"])
+            for r in store.daily().collect()} == want_daily
+    assert store.readings().where(F.col("batch_id") == 2).count() == 1
