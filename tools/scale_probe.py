@@ -9,7 +9,7 @@ or the no-pair-join shape (substring) were wrong — the substring probe
 replicates docs EXACTLY, so every window is duplicated mult-fold and
 duplicate handling carries its worst-case load.
 
-    python tools/scale_probe.py [flagship|dedup|substring|dedup-worstcase|bigram-worstcase]
+    python tools/scale_probe.py [flagship|dedup|substring|dedup-worstcase|bigram-worstcase|span-worstcase]
 """
 
 from __future__ import annotations
@@ -286,6 +286,67 @@ def main_bigram_worstcase() -> None:
     )
 
 
+def main_span_worstcase() -> None:
+    """Mega-duplicate corpus probe for ``docs_span_dedup_census``: every
+    document is the SAME text, so every 10-token window collapses onto
+    a handful of fingerprints — the census' countDistinct(doc_id) and
+    the join back both land on maximally hot keys. The plan survives
+    because (a) Spark rewrites count(distinct) as a two-level agg whose
+    first level keys on (h, doc_id) — cardinality = all windows, evenly
+    spread — and (b) the join back is h-keyed with AQE skew handling
+    available. windows/sec should stay near-flat across 1x/4x/16x; a
+    quadratic or single-reducer term would crater it."""
+    from pyspark.sql import functions as F
+
+    from clashroyale_datapipeline_agent_spark.plans.selection_queries import (
+        docs_span_dedup_census,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+
+    spark = get_spark("scale-probe-span-wc")
+    tmp = Path(tempfile.mkdtemp(prefix="scale_probe_span_wc_"))
+    base_docs, toks_per_doc = 40_000, 40  # 4 windows per doc, ALL shared
+    text = " ".join(f"w{i}" for i in range(toks_per_doc))
+    results = []
+    for mult in (1, 4, 16):
+        n_docs = base_docs * mult
+        path = tmp / f"x{mult}"
+        (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.lit(text).alias("text"),
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("s"), (F.col("id") % 20).cast("string")).alias(
+                    "source"
+                ),
+                F.lit(len(text)).cast("bigint").alias("n_chars"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(str(path / "documents.parquet"))
+        )
+        n_win = n_docs * (toks_per_doc // 10)
+        probe = lambda: docs_span_dedup_census(  # noqa: E731
+            spark, str(path)
+        ).count()
+        probe()  # warm
+        t0 = time.perf_counter()
+        probe()
+        dt = time.perf_counter() - t0
+        results.append((mult, n_win, dt, int(n_win / dt)))
+        print(
+            f"x{mult:<3d} windows={n_win:>10,d}  wall={dt:6.2f}s"
+            f"  windows/sec={int(n_win/dt):,}"
+        )
+
+    r1, r16 = results[0][3], results[-1][3]
+    print(
+        f"\nthroughput ratio x16/x1 = {r16 / r1:.2f} "
+        "(>= ~0.7 means the all-duplicate census still scales linearly)"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "flagship"
     if which == "dedup":
@@ -296,5 +357,7 @@ if __name__ == "__main__":
         main_substring()
     elif which == "bigram-worstcase":
         main_bigram_worstcase()
+    elif which == "span-worstcase":
+        main_span_worstcase()
     else:
         main()
