@@ -714,3 +714,210 @@ def embeddings_centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness per event type (hour-spined)
+# ---------------------------------------------------------------------------
+
+_FANO_SQL = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), filled AS (
+        SELECT t.event_type, hrs.h, COALESCE(c.c, 0) AS c
+        FROM types t CROSS JOIN hours hrs
+        LEFT JOIN counts c
+          ON c.event_type = t.event_type AND c.h = hrs.h
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               SUM(CAST(c AS HUGEINT) * c) AS s2
+        FROM filled GROUP BY event_type
+    )
+    SELECT event_type, n_hours, n_events,
+           ROUND(CAST(n_hours * s2 - CAST(n_events AS HUGEINT) * n_events
+                      AS DOUBLE)
+                 / (CAST(n_hours AS DOUBLE) * n_events), 4) AS fano,
+           2 * (n_hours * s2 - CAST(n_events AS HUGEINT) * n_events)
+               > 3 * CAST(n_hours AS HUGEINT) * n_events AS is_bursty
+    FROM agg WHERE n_events > 0 ORDER BY event_type
+"""
+
+
+@register("events_burstiness_fano", _FANO_SQL)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type via the Fano factor (index of
+    dispersion) of HOURLY arrival counts on a zero-filled hour spine:
+    Fano = var/mean; a Poisson-regular feed sits at 1, machine bursts
+    and replay storms push it up — the feed-regularity gate next to
+    the interarrival stats. The spine is generated from a 1-row bounds
+    aggregate (calendar-bounded, broadcastable) so silent hours COUNT
+    (omitting them biases Fano down exactly when the feed stalls).
+    Fano reduces to exact integers: (H*S2 - N^2)/(H*N) with S2 in
+    HUGEINT/decimal; one division; the >1.5 burst flag
+    cross-multiplies ints (2*(H*S2 - N^2) > 3*H*N)."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    filled = (
+        types.crossJoin(F.broadcast(hours))
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    c_dec = F.col("c").cast("decimal(18,0)")
+    agg = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(c_dec * c_dec).alias("s2"),
+    )
+    n_dec = F.col("n_events").cast("decimal(18,0)")
+    var_num = (F.col("n_hours") * F.col("s2") - n_dec * n_dec)
+    return (
+        agg.where(F.col("n_events") > 0)
+        .select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            F.round(
+                var_num.cast("double")
+                / (F.col("n_hours").cast("double") * F.col("n_events")),
+                4,
+            ).alias("fano"),
+            (
+                2 * var_num
+                > 3 * F.col("n_hours").cast("decimal(18,0)") * n_dec
+            ).alias("is_bursty"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue vs its median
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rq
+        FROM orders GROUP BY 1
+    ), med AS (
+        SELECT median(rq) AS m FROM daily
+    ), signs AS (
+        SELECT d, CASE WHEN rq > med.m THEN 1 ELSE 0 END AS s
+        FROM daily, med WHERE rq != med.m
+    ), runs AS (
+        SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                         OR lag(s) OVER (ORDER BY d) != s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ), agg AS (
+        SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2
+        FROM runs
+    )
+    SELECT n1 + n2 AS n_days, r AS n_runs,
+           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1, 4) AS expected_runs,
+           ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+                           * (n1 + n2 - 1))), 4) AS z_stat,
+           ABS((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                      / ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+                         * (n1 + n2 - 1)))) > 1.96 AS reject_random
+    FROM agg
+"""
+
+
+@register("orders_runs_test", _RUNS_SQL)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is the daily-revenue series random
+    around its median, or does it trend/oscillate (too few runs =
+    positive autocorrelation/trend; too many = alternation)? The
+    nonparametric companion to orders_daily_autocorr — no distribution
+    assumed. Day grain is calendar-bounded; runs count via a lag
+    window over the ordered days (order-fixed); n1/n2/R are exact ints
+    and the z formula is one fixed expression of them, identical
+    cross-engine. Ties (rq == median) are excluded, the standard
+    treatment."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("rq"),
+        )
+        .groupBy("d")
+        .agg(F.sum("rq").alias("rq"))
+        .localCheckpoint(eager=True)  # day-grain; feeds med AND signs
+    )
+    med = daily.agg(F.percentile("rq", F.lit(0.5)).alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("rq") != F.col("m"))
+        .select(
+            "d", F.when(F.col("rq") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    w = Window.orderBy("d")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (((n1 + n2).cast("double") * (n1 + n2)) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        (n1 + n2).alias("n_days"),
+        r.alias("n_runs"),
+        F.round(mu, 4).alias("expected_runs"),
+        F.round((r - mu) / sig, 4).alias("z_stat"),
+        (F.abs((r - mu) / sig) > 1.96).alias("reject_random"),
+    )

@@ -851,3 +851,147 @@ def docs_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canary-string contamination audit
+# ---------------------------------------------------------------------------
+
+#: known canary phrases whose presence in training data must be audited
+#: (eval-set markers, watermark phrases). Fixture-realistic phrases so
+#: the audit exercises hits AND misses at every sf.
+_CANARIES = [
+    "batch batch batch",
+    "slow slow",
+    "canary-4f2a9c never-in-corpus",
+]
+_CANARY_VALUES = ", ".join(f"('{c}')" for c in _CANARIES)
+
+_CANARY_SQL = f"""
+    WITH canaries(canary) AS (VALUES {_CANARY_VALUES}),
+    hits AS (
+        SELECT c.canary, d.doc_id, d.source
+        FROM documents d CROSS JOIN canaries c
+        WHERE instr(d.text, c.canary) > 0
+    )
+    SELECT c.canary,
+           CAST(COALESCE(COUNT(h.doc_id), 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(COUNT(DISTINCT h.source), 0) AS BIGINT)
+               AS n_sources,
+           MIN(h.doc_id) AS first_doc_id
+    FROM canaries c LEFT JOIN hits h ON c.canary = h.canary
+    GROUP BY c.canary ORDER BY c.canary
+"""
+
+
+@register("docs_canary_contamination", _CANARY_SQL)
+def docs_canary_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-string contamination audit — the EXACT-match leg of
+    decontamination (complementing ``decontaminate_ngram_overlap``'s
+    fuzzy leg): count documents and sources containing each known
+    canary phrase (eval markers, watermarks, secret strings planted to
+    prove a model trained on leaked data). One scan with a broadcast
+    literal canary table and a substring test per (doc, canary) — the
+    |canaries| factor is a constant, so cost is linear in the corpus
+    whatever the canary list; at 100 TB the same shape serves thousands
+    of canaries (broadcast stays driver-sized). Counts are exact ints;
+    the never-present canary pins the zero row's shape."""
+    d = _t(spark, sf_dir, "documents")
+    canaries = spark.createDataFrame(
+        [(c,) for c in _CANARIES], "canary string"
+    )
+    hits = (
+        d.crossJoin(F.broadcast(canaries))
+        .where(F.instr(F.col("text"), F.col("canary")) > 0)
+        .select("canary", "doc_id", "source")
+    )
+    return (
+        canaries.join(hits, "canary", "left")
+        .groupBy("canary")
+        .agg(
+            F.coalesce(F.count("doc_id"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.coalesce(F.count_distinct("source"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sources"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("canary")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the vocabulary per source
+# ---------------------------------------------------------------------------
+
+_SIMPSON_SQL = f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS w FROM documents
+    ), wc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ), agg AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               SUM(CAST(c AS HUGEINT) * (c - 1)) AS pairs
+        FROM wc GROUP BY source
+    )
+    SELECT source, n_tokens, n_vocab,
+           ROUND(CAST(pairs AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+               AS simpson_index,
+           ROUND(CAST(n_tokens AS DOUBLE) * (n_tokens - 1)
+                 / CAST(pairs AS DOUBLE), 4) AS inv_simpson
+    FROM agg WHERE n_tokens > 1 AND pairs > 0
+    ORDER BY source
+"""
+
+
+@register("docs_simpson_diversity", _SIMPSON_SQL)
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of each source's vocabulary: the probability
+    two tokens drawn without replacement are the SAME word,
+    D = sum c(c-1) / (N(N-1)), and its inverse (the "effective
+    vocabulary size") — the collision-probability companion to the
+    entropy/Gini diversity queries, and the one diversity index whose
+    estimator is EXACT integer arithmetic (no logs): sum c(c-1) in
+    HUGEINT/decimal (c^2 passes int64 for billion-token sources), one
+    division at the end. Token-width agg to (source, word), bounded
+    rollup — the standard vocabulary-query shape."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(_toks(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    c_dec = F.col("c").cast("decimal(18,0)")
+    agg = wc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum(c_dec * (c_dec - 1)).alias("pairs"),
+    )
+    return (
+        agg.where((F.col("n_tokens") > 1) & (F.col("pairs") > 0))
+        .select(
+            "source",
+            "n_tokens",
+            "n_vocab",
+            F.round(
+                F.col("pairs").cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * (F.col("n_tokens") - 1)
+                ),
+                6,
+            ).alias("simpson_index"),
+            F.round(
+                F.col("n_tokens").cast("double")
+                * (F.col("n_tokens") - 1)
+                / F.col("pairs").cast("double"),
+                4,
+            ).alias("inv_simpson"),
+        )
+        .orderBy("source")
+    )

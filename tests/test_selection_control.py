@@ -325,3 +325,115 @@ def test_curriculum_plan_monotone_and_budgeted(spark):
     assert rows[-1]["cum_tokens"] == sum(r["n_tokens"] for r in rows)
     cums = [r["cum_tokens"] for r in rows]
     assert cums == sorted(cums)
+
+
+# ---------------------------------------------------------------------------
+# wave 3: canary / simpson / fano / runs
+# ---------------------------------------------------------------------------
+
+def _events_sf(tmp_path, rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY t TO '{tmp_path}/events.parquet' (FORMAT PARQUET)")
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings".split()
+    ):
+        (tmp_path / f"{t}.parquet").symlink_to(f"{SF_DIR}/{t}.parquet")
+    return str(tmp_path)
+
+
+def test_canary_contamination_counts_plants_and_zero_row(spark, tmp_path):
+    rows = [
+        (0, "clean words only here now", "en", "s0", 25),
+        (1, "prefix batch batch batch suffix", "en", "s0", 31),
+        (2, "another batch batch batch doc", "en", "s1", 29),
+        (3, "slow slow start", "en", "s2", 15),
+    ]
+    sf = _docs_sf(tmp_path, rows)
+    got = {r["canary"]: r for r in
+           SQ.docs_canary_contamination(spark, sf).collect()}
+    assert got["batch batch batch"]["n_docs"] == 2
+    assert got["batch batch batch"]["n_sources"] == 2
+    assert got["batch batch batch"]["first_doc_id"] == 1
+    assert got["slow slow"]["n_docs"] == 1
+    never = got["canary-4f2a9c never-in-corpus"]
+    assert never["n_docs"] == 0 and never["n_sources"] == 0
+    assert never["first_doc_id"] is None
+
+
+def test_simpson_diversity_extremes(spark, tmp_path):
+    mono = " ".join(["same"] * 40)
+    divr = " ".join(f"w{i}" for i in range(40))
+    sf = _docs_sf(tmp_path, [_doc(0, mono, "mono"), _doc(1, divr, "divr")])
+    got = {r["source"]: r for r in
+           SQ.docs_simpson_diversity(spark, sf).collect()}
+    assert got["mono"]["simpson_index"] == pytest.approx(1.0, abs=1e-6)
+    assert got["mono"]["inv_simpson"] == pytest.approx(1.0, abs=1e-4)
+    # all-distinct tokens -> sum c(c-1) = 0 -> filtered out (pairs > 0)
+    assert "divr" not in got
+
+
+def test_fano_separates_regular_from_bursty(spark, tmp_path):
+    rows = []
+    eid = 0
+    # regular: exactly 3 per hour for 48 hours
+    for h in range(48):
+        for i in range(3):
+            rows.append((eid, f"2024-03-{1 + h // 24:02d} {h % 24:02d}:0{i}:00",
+                         1, "regular", 1.0, "{}"))
+            eid += 1
+    # bursty: all 144 events in the first hour, silent for 47
+    for i in range(144):
+        rows.append((eid, f"2024-03-01 00:{i % 60:02d}:{i % 60:02d}",
+                     1, "bursty", 1.0, "{}"))
+        eid += 1
+    sf = _events_sf(tmp_path, rows)
+    got = {r["event_type"]: r for r in
+           CQ.events_burstiness_fano(spark, sf).collect()}
+    assert got["regular"]["n_hours"] == 48
+    assert got["regular"]["fano"] == pytest.approx(0.0, abs=1e-4)
+    assert not got["regular"]["is_bursty"]
+    # burst: mean 3/hour, var ~ (48*144^2/48 - ...) -> huge fano
+    assert got["bursty"]["fano"] > 50
+    assert got["bursty"]["is_bursty"]
+
+
+def test_runs_test_rejects_trend_and_matches_python(spark, tmp_path):
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+        " o_orderpriority VARCHAR)"
+    )
+    # strictly increasing daily revenue over 40 days -> 2 runs
+    rows = [
+        (i, 1, "O", 100.0 + 10.0 * i, f"1995-01-{1 + i % 28:02d}"
+         if False else f"1995-{1 + i // 28:02d}-{1 + i % 28:02d}", "P")
+        for i in range(40)
+    ]
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY t TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)")
+    for t in (
+        "region nation customer supplier part lineitem events documents "
+        "embeddings".split()
+    ):
+        (tmp_path / f"{t}.parquet").symlink_to(f"{SF_DIR}/{t}.parquet")
+    got = CQ.orders_runs_test(spark, str(tmp_path)).collect()[0]
+    assert got["n_days"] == 40
+    assert got["n_runs"] == 2          # all-lows then all-highs
+    n1 = n2 = 20
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    sig = math.sqrt(
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert got["expected_runs"] == pytest.approx(mu, abs=1e-4)
+    assert got["z_stat"] == pytest.approx((2 - mu) / sig, abs=1e-4)
+    assert got["reject_random"]
