@@ -53,6 +53,8 @@ KNOWN_INDIRECT = {
     "docs_dsir_importance_by_source": ("SUM(1e6-scaled lq)", "int-scaled"),
     "docs_top_ngram_char_fraction": ("SUM(1e6-scaled frac)", "int-scaled"),
     "orders_seasonal_naive_backtest": ("SUM(1e6-scaled ape)", "int-scaled"),
+    "docs_conformal_coverage": ("SUM(CASE int)", "int-scaled"),
+    "docs_tokenizer_fertility": ("SUM(int counts)", "int-scaled"),
 }
 
 
