@@ -105,3 +105,41 @@ def test_label_noise_audit_catches_planted_mislabel(spark, tmp_path):
     assert got[0]["n_mismatch"] == 0
     assert got[1]["n_mismatch"] == 1
     assert got[1]["mismatch_rate"] == pytest.approx(1 / 11, abs=1e-4)
+
+
+@pytest.mark.parametrize(
+    "counts",
+    [
+        {"a": 1, "b": 1, "c": 1},                  # perfect ties
+        {"a": 333, "b": 333, "c": 334},            # near-ties
+        {"a": 1, "b": 9999},                       # extreme skew
+        {"a": 7, "b": 11, "c": 13, "d": 17},       # co-prime remainders
+    ],
+)
+def test_apportionment_properties_on_pathological_counts(
+    spark, tmp_path, counts
+):
+    """Hamilton invariants on tie-heavy / skewed distributions: the
+    allocation sums EXACTLY to the budget, every source stays within 1
+    of its exact proportional share (the largest-remainder guarantee),
+    and remainder ties break deterministically (re-run equality)."""
+    rows, doc_id = [], 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((doc_id, f"w{doc_id} text", "en", src, 10))
+            doc_id += 1
+    sf = _sf_with(
+        tmp_path,
+        "documents",
+        "CREATE TABLE t(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)",
+        rows,
+    )
+    got1 = AQ.docs_apportionment_plan(spark, sf).collect()
+    got2 = AQ.docs_apportionment_plan(spark, sf).collect()
+    assert [tuple(r) for r in got1] == [tuple(r) for r in got2]
+    total = sum(counts.values())
+    assert sum(r["alloc"] for r in got1) == 10000
+    for r in got1:
+        exact = 10000 * counts[r["source"]] / total
+        assert abs(r["alloc"] - exact) < 1.0
