@@ -813,10 +813,12 @@ def docs_bigram_lm_surprisal_by_source(
         .select("source", "k", s9)
     )
     avg = F.round(
-        F.sum(F.col("k") * F.col("s9"))
+        F.sum(F.col("k").cast("decimal(18,0)") * F.col("s9")).cast(
+            "double"
+        )
         / (F.sum("k") * 1000000000.0),
         4,
-    )
+    )  # decimal(38,0) sum: k*s9 reaches 1e22 at 100 TB, past int64
     return (
         scored.groupBy("source")
         .agg(

@@ -1008,3 +1008,177 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style mixture reweighting from excess surprisal
+# ---------------------------------------------------------------------------
+
+_DOREMI_SQL = f"""
+    WITH base AS (
+        SELECT source, {_TOKS} AS ts FROM documents
+    ), big AS (
+        SELECT source,
+               unnest(ts[:len(ts) - 1]) AS w1,
+               unnest(ts[2:]) AS w2
+        FROM base WHERE len(ts) >= 2
+    ), k AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM big GROUP BY source, w1, w2
+    ), c12 AS (
+        SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM k GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(ts) AS w FROM base)
+    ), scored AS (
+        SELECT k.source, k.k,
+               CAST(ROUND((ln(CAST(c1.c1 + vocab.v AS DOUBLE))
+                           - ln(CAST(c12.c12 + 1 AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT) AS s9
+        FROM k
+        JOIN c12 ON k.w1 = c12.w1 AND k.w2 = c12.w2
+        JOIN c1 ON k.w1 = c1.w1
+        CROSS JOIN vocab
+    ), per_src AS (
+        SELECT source,
+               CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               CAST(ROUND(SUM(k * s9) * 1.0
+                          / (SUM(k) * 1000.0)) AS BIGINT) AS ls
+        FROM scored GROUP BY source
+    ), ref AS (
+        SELECT CAST(ROUND(SUM(CAST(k AS HUGEINT) * s9) * 1.0
+                          / (SUM(k) * 1000.0)) AS BIGINT) AS lref,
+               CAST(SUM(k) AS BIGINT) AS n_total
+        FROM scored
+    ), expw AS (
+        SELECT p.source, p.n_bigrams,
+               p.ls, r.lref,
+               CAST(ROUND(1000000.0 * (p.n_bigrams * 1.0 / r.n_total)
+                          * exp(GREATEST(p.ls - r.lref, 0) / 1000000.0))
+                    AS BIGINT) AS ew
+        FROM per_src p, ref r
+    ), tot AS (
+        SELECT SUM(ew) AS te FROM expw
+    )
+    SELECT e.source, e.n_bigrams,
+           ROUND(e.ls / 1000000.0, 4) AS avg_surprisal,
+           ROUND(GREATEST(e.ls - e.lref, 0) / 1000000.0, 4) AS excess,
+           ROUND(e.ew * 1.0 / tot.te, 4) AS mixture_weight
+    FROM expw e, tot ORDER BY e.source
+"""
+
+
+@register("docs_doremi_mixture_weights", _DOREMI_SQL)
+def docs_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    "Doremi: Optimizing Data Mixtures") collapsed to its one-shot
+    relational core: a domain's mixture weight is its baseline share
+    UP-WEIGHTED by exp(excess loss), where loss is mean bigram-LM
+    surprisal (the same distinct-bigram-grain add-one LM as
+    ``docs_bigram_lm_surprisal_by_source``) and excess is clamped at
+    the corpus-wide reference — domains the cheap LM finds HARD get
+    more sampling mass, the full-training EG update replaced by one
+    exponentiated step (eta = 1). Everything reduces on the distinct
+    (source, w1, w2) grain, so the corpus tokenizes once; per-source
+    and reference surprisals quantize to 1e6-scaled BIGINTs (exact
+    k-weighted integer sums up front), the exp term is quantized the
+    moment it is computed (a 1-ulp exp wiggle sits 4 orders below the
+    quantum), and the normalizing sum is an exact integer sum with one
+    trailing division — mixture weights sum to ~1 by construction."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("source", _toks(F.col("text")).alias("ts"))
+    n = F.size("ts")
+    big = (
+        base.where(n >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, n - 1).alias("w1"),
+                    F.slice("ts", 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    k = big.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    c12 = k.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = base.select(F.explode("ts").alias("w")).agg(
+        F.count_distinct("w").cast("bigint").alias("v")
+    )
+    s9 = (
+        F.round(
+            (
+                F.log((F.col("c1") + F.col("v")).cast("double"))
+                - F.log((F.col("c12") + 1).cast("double"))
+            )
+            * 1000000000.0
+        )
+        .cast("bigint")
+        .alias("s9")
+    )
+    scored = (
+        k.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("source", "k", s9)
+        .localCheckpoint(eager=True)  # feeds per-source AND reference
+    )
+    k_dec = F.col("k").cast("decimal(18,0)")
+    per_src = scored.groupBy("source").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(k_dec * F.col("s9")).cast("double")
+            / (F.sum("k") * 1000.0)
+        )
+        .cast("bigint")
+        .alias("ls"),
+    )
+    ref = scored.agg(
+        F.round(
+            F.sum(k_dec * F.col("s9")).cast("double")
+            / (F.sum("k") * 1000.0)
+        )
+        .cast("bigint")
+        .alias("lref"),
+        F.sum("k").cast("bigint").alias("n_total"),
+    )
+    expw = per_src.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_bigrams",
+        "ls",
+        "lref",
+        F.round(
+            1000000.0
+            * (F.col("n_bigrams") * 1.0 / F.col("n_total"))
+            * F.exp(
+                F.greatest(F.col("ls") - F.col("lref"), F.lit(0))
+                / 1000000.0
+            )
+        )
+        .cast("bigint")
+        .alias("ew"),
+    )
+    tot = expw.agg(F.sum("ew").alias("te"))
+    return (
+        expw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_bigrams",
+            F.round(F.col("ls") / 1000000.0, 4).alias("avg_surprisal"),
+            F.round(
+                F.greatest(F.col("ls") - F.col("lref"), F.lit(0))
+                / 1000000.0,
+                4,
+            ).alias("excess"),
+            F.round(F.col("ew") * 1.0 / F.col("te"), 4).alias(
+                "mixture_weight"
+            ),
+        )
+        .orderBy("source")
+    )

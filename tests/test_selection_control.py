@@ -437,3 +437,27 @@ def test_runs_test_rejects_trend_and_matches_python(spark, tmp_path):
     assert got["expected_runs"] == pytest.approx(mu, abs=1e-4)
     assert got["z_stat"] == pytest.approx((2 - mu) / sig, abs=1e-4)
     assert got["reject_random"]
+
+
+def test_doremi_upweights_hard_domain(spark, tmp_path):
+    """A template domain (one repeated bigram, near-zero surprisal)
+    must get LESS mixture weight than its baseline share; a
+    unique-bigram domain (maximal surprisal) must get MORE. Weights
+    sum to ~1."""
+    template = " ".join(["spark rocks"] * 20)
+    rows = [_doc(i, template, "easy") for i in range(8)]
+    for i in range(8, 12):
+        hard = " ".join(f"u{i}x{j}" for j in range(40))
+        rows.append(_doc(i, hard, "hard"))
+    sf = _docs_sf(tmp_path, rows)
+    got = {r["source"]: r for r in
+           SQ.docs_doremi_mixture_weights(spark, sf).collect()}
+    total_bg = sum(r["n_bigrams"] for r in got.values())
+    assert abs(sum(r["mixture_weight"] for r in got.values()) - 1.0) < 1e-3
+    assert got["hard"]["avg_surprisal"] > got["easy"]["avg_surprisal"]
+    assert got["easy"]["excess"] == 0.0
+    assert got["hard"]["excess"] > 0.0
+    easy_share = got["easy"]["n_bigrams"] / total_bg
+    hard_share = got["hard"]["n_bigrams"] / total_bg
+    assert got["easy"]["mixture_weight"] < easy_share
+    assert got["hard"]["mixture_weight"] > hard_share
