@@ -959,3 +959,36 @@ def test_streaming_control_chart_matches_batch(spark, tmp_path):
     assert {(str(r["d"]), r["n"], r["sq"])
             for r in store.daily().collect()} == want_daily
     assert store.readings().where(F.col("batch_id") == 2).count() == 1
+
+
+def test_streaming_control_store_is_arrival_order_free(spark, tmp_path):
+    """Day-keyed sufficient statistics make the monitor's state a
+    commutative merge: feeding the same three days in two different
+    batch orders (including a late-arriving earlier day) must produce
+    identical stores and identical charts."""
+    from clashroyale_datapipeline_agent_spark.streaming.control_stream import (
+        ControlMonitorStore,
+        day_batch_agg,
+    )
+
+    def day_df(day, n, level):
+        return spark.createDataFrame(
+            [(f"2024-04-{day:02d} 09:{i % 60:02d}:00", float(level + i % 5))
+             for i in range(n)],
+            "ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    batches = {1: day_df(1, 30, 10.0), 2: day_df(2, 30, 12.0),
+               3: day_df(3, 30, 11.0)}
+    s_fwd = ControlMonitorStore(spark, str(tmp_path / "fwd"))
+    for b, day in enumerate([1, 2, 3]):
+        s_fwd.merge_and_read(day_batch_agg(batches[day]), b)
+    s_late = ControlMonitorStore(spark, str(tmp_path / "late"))
+    for b, day in enumerate([2, 3, 1]):   # day 1 arrives last
+        s_late.merge_and_read(day_batch_agg(batches[day]), b)
+
+    key = lambda r: (str(r["d"]), r["n"], r["sq"])  # noqa: E731
+    assert sorted(map(key, s_fwd.daily().collect())) == \
+        sorted(map(key, s_late.daily().collect()))
+    assert [tuple(r) for r in s_fwd.chart().collect()] == \
+        [tuple(r) for r in s_late.chart().collect()]
