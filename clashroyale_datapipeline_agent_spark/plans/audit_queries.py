@@ -382,7 +382,7 @@ def docs_apportionment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        F.floor(_APPORTION_B * F.col("n_docs") / F.col("n"))
+        F.expr(f"({_APPORTION_B} * n_docs) div n")
         .cast("bigint")
         .alias("base"),
         ((_APPORTION_B * F.col("n_docs")) % F.col("n")).alias("rem"),

@@ -286,9 +286,10 @@ def docs_top_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", dc.alias("doc_chars"), "ts"
     )
     # bigrams as (w1, w2) STRUCTS via zipped slices: no per-index
-    # element_at, no string concat — 10x cheaper per row than an
-    # index-transform builder (measured 20s -> 1.6s at sf0.1), and the
-    # separator-free bchars is just len(w1)+len(w2)
+    # element_at, no string concat — the index-transform builder this
+    # replaced ran 20s at sf0.1; the shipped query benches 0.5s
+    # (BENCH_local.json), and the separator-free bchars is just
+    # len(w1)+len(w2)
     bi = (
         base.where(nn >= 2)
         .select(
@@ -1044,12 +1045,16 @@ _DOREMI_SQL = f"""
     ), per_src AS (
         SELECT source,
                CAST(SUM(k) AS BIGINT) AS n_bigrams,
-               CAST(ROUND(SUM(k * s9) * 1.0
-                          / (SUM(k) * 1000.0)) AS BIGINT) AS ls
+               CAST((2 * SUM(CAST(k AS HUGEINT) * s9)
+                     + SUM(CAST(k AS HUGEINT)) * 1000)
+                    // (2 * SUM(CAST(k AS HUGEINT)) * 1000)
+                    AS BIGINT) AS ls
         FROM scored GROUP BY source
     ), ref AS (
-        SELECT CAST(ROUND(SUM(CAST(k AS HUGEINT) * s9) * 1.0
-                          / (SUM(k) * 1000.0)) AS BIGINT) AS lref,
+        SELECT CAST((2 * SUM(CAST(k AS HUGEINT) * s9)
+                     + SUM(CAST(k AS HUGEINT)) * 1000)
+                    // (2 * SUM(CAST(k AS HUGEINT)) * 1000)
+                    AS BIGINT) AS lref,
                CAST(SUM(k) AS BIGINT) AS n_total
         FROM scored
     ), expw AS (
@@ -1130,23 +1135,34 @@ def docs_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds per-source AND reference
     )
     k_dec = F.col("k").cast("decimal(18,0)")
-    per_src = scored.groupBy("source").agg(
-        F.sum("k").cast("bigint").alias("n_bigrams"),
-        F.round(
-            F.sum(k_dec * F.col("s9")).cast("double")
-            / (F.sum("k") * 1000.0)
+    # round-half-up(a/b) = (2a + b) div (2b) for a, b >= 0 — the whole
+    # k-weighted mean stays in decimal(38,0)/int128-class arithmetic, so
+    # ls is EXACT however large sum(k*s9) grows (it passes 2^53 around
+    # 1e13 corpus tokens, the 100 TB regime; the double path would not
+    # round-trip there and the plain-BIGINT oracle product would overflow).
+    _half_up = (
+        "(2 * a9 + kd * 1000) div (2 * kd * 1000)"
+    )
+    per_src = (
+        scored.groupBy("source")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum(k_dec * F.col("s9")).alias("a9"),
+            F.sum(k_dec).alias("kd"),
         )
-        .cast("bigint")
-        .alias("ls"),
+        .select(
+            "source",
+            "n_bigrams",
+            F.expr(_half_up).cast("bigint").alias("ls"),
+        )
     )
     ref = scored.agg(
-        F.round(
-            F.sum(k_dec * F.col("s9")).cast("double")
-            / (F.sum("k") * 1000.0)
-        )
-        .cast("bigint")
-        .alias("lref"),
+        F.sum(k_dec * F.col("s9")).alias("a9"),
+        F.sum(k_dec).alias("kd"),
         F.sum("k").cast("bigint").alias("n_total"),
+    ).select(
+        F.expr(_half_up).cast("bigint").alias("lref"),
+        "n_total",
     )
     expw = per_src.crossJoin(F.broadcast(ref)).select(
         "source",

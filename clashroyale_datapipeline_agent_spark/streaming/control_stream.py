@@ -15,7 +15,10 @@ runs; per-batch work is one partial-agg shuffle to day grain plus a
 days-sized epilogue. Replay safety reuses the marker-commit chain of
 ``incremental.py``/``drift_stream.py``: the marker is written before
 the version repoint, so a Structured Streaming replay of a processed
-batch neither double-merges nor double-logs.
+batch never double-merges. The reading log itself is at-least-once
+(the append precedes the marker), so ``readings()`` deduplicates by
+batch_id — safe because a pre-marker replay recomputes the identical
+row from the unchanged store version.
 """
 
 from __future__ import annotations
@@ -82,7 +85,15 @@ class ControlMonitorStore:
         log = self.root / "control_log"
         if not log.exists():
             return self.spark.createDataFrame([], CONTROL_LOG_SCHEMA)
-        return self.spark.read.schema(CONTROL_LOG_SCHEMA).parquet(str(log))
+        # A crash between the log append and the marker commit makes the
+        # replayed batch re-append its reading; the replay recomputes from
+        # the SAME store version (the repoint happens after the marker), so
+        # the duplicate row is bit-identical and batch_id dedup is exact.
+        return (
+            self.spark.read.schema(CONTROL_LOG_SCHEMA)
+            .parquet(str(log))
+            .dropDuplicates(["batch_id"])
+        )
 
     def chart(self) -> DataFrame:
         """The full control chart over accumulated state — equals the

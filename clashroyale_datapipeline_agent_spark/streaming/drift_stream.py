@@ -137,7 +137,15 @@ class PsiMonitorStore:
         log = self.root / "psi_log"
         if not log.exists():
             return self.spark.createDataFrame([], PSI_LOG_SCHEMA)
-        return self.spark.read.schema(PSI_LOG_SCHEMA).parquet(str(log))
+        # Crash between log append and marker commit → the replay
+        # re-scores against the SAME reference version (repoint is last),
+        # so duplicates are bit-identical; (batch_id, event_type) dedup
+        # restores exactly-once reads over an at-least-once log.
+        return (
+            self.spark.read.schema(PSI_LOG_SCHEMA)
+            .parquet(str(log))
+            .dropDuplicates(["batch_id", "event_type"])
+        )
 
     def score_and_merge(self, batch_bins: DataFrame, batch_id: int) -> None:
         """Score the batch against the current reference, append to the
