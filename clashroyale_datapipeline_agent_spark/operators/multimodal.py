@@ -3,8 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata (schemas.MEDIA_ASSET). The Spark-side plumbing — schema,
 partitioning, Arrow batch shape, mapInPandas signatures — is real and
-tested; the codec calls themselves are STUBBED (this container ships no
-image/audio libraries) behind ``_decode_stub``, clearly marked.
+tested. Three decoders share one contract: ``stdlib_png_features`` is
+the shipped REAL image path (a from-scratch stdlib PNG parser —
+signature/CRC validation, IDAT inflate, all five scanline unfilters,
+Pillow's exact integer luma), ``pil_image_features`` is the drop-in
+when Pillow is installed, and ``_decode_stub`` remains the clearly
+marked byte-stats fallback for formats with no in-container codec
+(audio/video).
 
 Scale design: decode/feature-extract run as ``mapInPandas`` so each task
 streams Arrow batches (no per-row Python overhead, no driver collect);
@@ -96,6 +101,243 @@ def pil_image_features(payload: bytes | None, media_type: str) -> list[float]:
         float(len(occupied)),
         float(len(payload)),
     ]
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel (8-bit depth only)
+_PNG_BANDS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+PNG_ASSET_SCHEMA = "asset_id long, payload binary, media_type string"
+
+
+def _png_chunk(out: bytearray, tag: bytes, data: bytes) -> None:
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    out += struct.pack(">I", len(data))
+    out += tag
+    out += data
+    out += struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+
+def png_encode(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    *,
+    color_type: int = 0,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Minimal REAL PNG encoder (stdlib struct+zlib): 8-bit depth,
+    color types 0/2/4/6, non-interlaced, per-row filter choice among
+    None(0)/Sub(1)/Up(2). Emits a spec-valid container (signature,
+    CRC'd IHDR/IDAT/IEND) that any conformant decoder — Pillow
+    included — reads back; used to synthesize genuinely-encoded
+    fixtures so the decode path is exercised on real image bytes, not
+    byte-stats stand-ins."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    bands = _PNG_BANDS[color_type]
+    stride = width * bands
+    out = bytearray(PNG_SIG)
+    _png_chunk(
+        out, b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    )
+    raw = bytearray()
+    prior = bytes(stride)
+    for y, row in enumerate(rows):
+        if len(row) != stride:
+            raise ValueError(f"row {y}: {len(row)} bytes, want {stride}")
+        ft = filters[y] if filters else 0
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bands] if i >= bands else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        else:
+            raise ValueError(f"unsupported encode filter {ft}")
+        prior = row
+    _png_chunk(out, b"IDAT", zlib.compress(bytes(raw), 6))
+    _png_chunk(out, b"IEND", b"")
+    return bytes(out)
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL PNG decoder, stdlib-only: validates the signature and every
+    chunk CRC, parses IHDR, inflates the IDAT stream, and reverses all
+    five scanline filters (None/Sub/Up/Average/Paeth). Supports 8-bit
+    non-interlaced gray/RGB/gray+alpha/RGBA — the full fixture surface
+    plus what Pillow emits for those modes. Returns
+    ``(width, height, bands, unfiltered scanlines)``."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder would fetch/stream")
+    if bytes(payload[:8]) != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    width = height = bands = None
+    idat = bytearray()
+    pos = 8
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + length])
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError("unsupported PNG variant (need 8-bit, no interlace)")
+            bands = _PNG_BANDS.get(ctype)
+            if bands is None:
+                raise ValueError(f"unsupported color type {ctype}")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bands
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    rows: list[bytes] = []
+    prior = bytearray(stride)
+    off = 0
+    for _y in range(height):
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(bands, stride):
+                line[i] = (line[i] + line[i - bands]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bands] if i >= bands else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bands] if i >= bands else 0
+                b = prior[i]
+                c = prior[i - bands] if i >= bands else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad scanline filter {ft}")
+        rows.append(bytes(line))
+        prior = line
+    return width, height, bands, rows
+
+
+def stdlib_png_features(payload: bytes | None, media_type: str) -> list[float]:
+    """REAL image decoder with zero third-party deps — same 8-feature
+    contract as ``pil_image_features`` (width, height, bands, mean
+    luma, first/last/count of occupied luma bins, payload bytes).
+    Luma uses Pillow's exact integer RGB→L convention
+    ``(19595 R + 38470 G + 7471 B + 0x8000) >> 16`` so the two
+    decoders agree bit-for-bit on any image both can read (pinned by
+    the skip-gated parity test where Pillow is installed). This is the
+    shipped DEFAULT real decoder: unlike ``_decode_stub`` it parses
+    the actual PNG container and pixel data."""
+    w, h, bands, rows = png_decode(payload)
+    hist = [0] * 256
+    for line in rows:
+        if bands == 1:
+            for v in line:
+                hist[v] += 1
+        elif bands == 2:  # gray+alpha: L band is sample 0
+            for i in range(0, len(line), 2):
+                hist[line[i]] += 1
+        else:  # RGB / RGBA: alpha ignored, as in Image.convert("L")
+            for i in range(0, len(line), bands):
+                hist[
+                    (
+                        line[i] * 19595
+                        + line[i + 1] * 38470
+                        + line[i + 2] * 7471
+                        + 0x8000
+                    )
+                    >> 16
+                ] += 1
+    n = max(1, w * h)
+    occupied = [i for i, c in enumerate(hist) if c]
+    return [
+        float(w),
+        float(h),
+        float(bands),
+        float(sum(i * c for i, c in enumerate(hist)) / n),
+        float(occupied[0] if occupied else 0),
+        float(occupied[-1] if occupied else 0),
+        float(len(occupied)),
+        float(len(payload)),
+    ]
+
+
+def synthesize_png_assets(params: DataFrame) -> DataFrame:
+    """Turn ``(asset_id, w, h, g, rgb)`` parameter rows into REAL
+    encoded PNG payloads via ``mapInPandas`` (the encode is the same
+    opaque-binary boundary the decode crosses). Grayscale assets carry
+    a vertical gradient ``(g+y) % 256`` encoded with the Up filter
+    after a None first row; RGB assets carry a constant colour derived
+    from the id encoded with the Sub filter — so decoding genuinely
+    exercises the unfilter paths, not just stored bytes. Deterministic
+    per id: no RNG, stable across partitionings."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for aid, w, h, g, rgb in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["g"], pdf["rgb"]
+            ):
+                aid, w, h, g = int(aid), int(w), int(h), int(g)
+                if bool(rgb):
+                    color = bytes(
+                        [aid * 7 % 256, aid * 11 % 256, aid * 13 % 256]
+                    )
+                    payloads.append(
+                        png_encode(
+                            w, h, [color * w] * h,
+                            color_type=2, filters=[1] * h,
+                        )
+                    )
+                else:
+                    rows = [
+                        bytes([(g + y) % 256]) * w for y in range(h)
+                    ]
+                    payloads.append(
+                        png_encode(
+                            w, h, rows,
+                            color_type=0, filters=[0] + [2] * (h - 1),
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "media_type": ["image/png"] * len(payloads),
+                }
+            )
+
+    return params.mapInPandas(run, schema=PNG_ASSET_SCHEMA)
 
 
 def extract_features(assets: DataFrame, *, decoder=None) -> DataFrame:
