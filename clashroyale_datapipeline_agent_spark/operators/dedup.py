@@ -77,21 +77,33 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: array of num_hashes minima of seeded xxhash64.
+def md5_salted_hash(shingle: Column, seed: int) -> Column:
+    """Cross-engine hash family for MinHash: ``md5(shingle || '#seed')``.
+    Slower than xxhash64 (a digest + string concat per shingle) but
+    bit-identical in DuckDB — the hash the oracle-checked LSH forms use."""
+    return F.md5(F.concat(shingle, F.lit(f"#{seed}")))
 
-    Each hash function is ``xxhash64(shingle, seed=i)``; the signature
-    estimates Jaccard similarity componentwise. Pure expressions — the whole
-    signature computes inside codegen, no UDF.
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, *, hash_fn=None
+) -> Column:
+    """MinHash signature: array of num_hashes minima of a seeded hash.
+
+    The default hash family is ``xxhash64(shingle, seed=i)`` (one JVM
+    mix per shingle — the production path); pass
+    ``hash_fn=(shingle, seed) -> Column`` to swap the family, e.g.
+    :func:`md5_salted_hash` for cross-engine-checkable runs. The
+    signature estimates Jaccard similarity componentwise. Pure
+    expressions — the whole signature computes inside codegen, no UDF.
     """
+    fn = hash_fn or (lambda s, seed: F.xxhash64(s, F.lit(seed)))
+
     def _mh(seed: int) -> Column:
         # NB: the lambda MUST be single-argument. F.transform passes the
         # ELEMENT INDEX as the second argument to a 2-arg lambda, so the
         # tempting `lambda s, i=i:` closure binds the array position —
         # every "hash function" collapses to the same index-salted one.
-        return F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
-        )
+        return F.array_min(F.transform(shingles, lambda s: fn(s, seed)))
 
     return F.array(*[_mh(i) for i in range(num_hashes)])
 
@@ -105,12 +117,15 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via banded MinHash LSH.
 
     rows_per_band = num_hashes // bands. Two docs collide iff some band of
     their signatures is identical. The band explode emits ``bands`` rows per
     doc; the self-join groups by (band, band_sig) — no cross product.
+    ``hash_fn`` swaps the MinHash family (default xxhash64; pass
+    :func:`md5_salted_hash` for the cross-engine-checkable form).
 
     ``max_bucket`` caps the one residual super-linear term: a mega-cluster
     of m near-identical docs (mirrors, boilerplate spam — routine in web
@@ -129,8 +144,19 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(shingles_col(F.col(text_col), shingle_n), num_hashes)
-    signed = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # Materialize the shingle projection ONCE: the signature's num_hashes
+    # array_min traversals would otherwise each re-derive the shingle
+    # array from text inside one codegen stage (measured 53s -> ~2s at
+    # sf0.1 on the band-sweep queries, same pathology). The checkpointed
+    # frame is the narrow (id, shingles) projection, never the corpus.
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    ).localCheckpoint(eager=True)
+    sig = minhash_signature(F.col("sh"), num_hashes, hash_fn=hash_fn)
+    # ... and the signature once as well: the band explode would inline
+    # the full num_hashes-expression into every band row otherwise.
+    signed = base.select("id", sig.alias("sig")).localCheckpoint(eager=True)
     banded = signed.select(
         "id",
         F.explode(

@@ -173,3 +173,63 @@ def test_shard_plan_partitions_corpus(spark, sf_dir):
             if s["shard"] > 0:
                 assert cum >= s["shard"] * target
             cum += s["n_tokens"]
+
+
+def test_md5_hash_fn_seam_changes_family_only():
+    """minhash_signature(hash_fn=md5_salted_hash) swaps the hash family
+    while keeping the componentwise-min semantics: each component equals
+    the min of md5(shingle || '#seed') over the shingle set."""
+    import hashlib
+
+    from pyspark.sql import functions as F2
+
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        md5_salted_hash,
+        minhash_signature,
+        shingles_col,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = df.select(
+        minhash_signature(
+            shingles_col(F2.col("text"), 3), 4, hash_fn=md5_salted_hash
+        ).alias("sig")
+    ).collect()[0]
+    words = text.split()
+    shingles = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+    for seed, got in enumerate(row["sig"]):
+        want = min(
+            hashlib.md5(f"{s}#{seed}".encode()).hexdigest() for s in shingles
+        )
+        assert got == want
+
+
+def test_neardup_pipeline_composition_invariants(spark):
+    """The composed near-dup curation report: keep counts are nested
+    (raw >= exact-kept >= near-kept), the near-dup leg removes something
+    the exact leg could not, and mixture targets respect the 0.5 budget."""
+    from clashroyale_datapipeline_agent_spark.plans.curation_queries import (
+        curation_neardup_pipeline_report,
+        curation_pipeline_report,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = curation_neardup_pipeline_report(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["n_raw_docs"] >= r["n_exact_kept"] >= r["n_near_kept"] > 0
+    assert sum(r["n_exact_kept"] for r in rows) > sum(
+        r["n_near_kept"] for r in rows
+    ), "near-dup leg removed nothing — LSH stage is dead"
+    # exact-dedup stage agrees with the exact-only flagship lineage
+    exact_only = {
+        r["source"]: r["n_kept_docs"]
+        for r in curation_pipeline_report(spark, sf).collect()
+    }
+    assert {r["source"]: r["n_exact_kept"] for r in rows} == exact_only
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    total_target = sum(r["target_tokens"] for r in rows)
+    assert total_target <= 0.5 * total_tokens
