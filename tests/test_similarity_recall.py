@@ -217,3 +217,28 @@ def test_kmeans_lloyd_inertia_decreases(spark):
     ]
     _, cents3 = kmeans_lloyd(v, k=4, n_iter=3)
     assert inertia(cents3) < inertia(init)  # Lloyd monotonicity held
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """ann_ivf_recall_sweep: per query, recall@10 and candidate volume
+    are non-decreasing in n_probe (probing more clusters can only add
+    candidates), hits stay within [0, 10], and the probe grid is the
+    full 16-query x {1,2,4} grid."""
+    from clashroyale_datapipeline_agent_spark.plans.curation_queries import (
+        ann_ivf_recall_sweep,
+    )
+
+    rows = ann_ivf_recall_sweep(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 16 * 3
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["hits"] <= 10
+        assert r["recall"] == round(r["hits"] / 10.0, 4)
+        by_q.setdefault(r["vec_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["n_probe"])
+        assert [r["n_probe"] for r in rs] == [1, 2, 4]
+        for a, b in zip(rs, rs[1:]):
+            assert a["hits"] <= b["hits"], f"recall not monotone for q={q}"
+            assert a["n_candidates"] <= b["n_candidates"]
+        assert rs[0]["n_candidates"] >= 0
