@@ -12,7 +12,20 @@ inside the same spike, while interleaving separates the repeats by
 minutes, so the min is a real steady-state reading. Prints:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1": min_sec, ...}, "sf": 0.1, "reps": 3}
+     "queries": {"q1": min_sec, ...}, "sf": 0.1, "reps": 3,
+     "calibration_sec": <min_sec>}
+
+then a SECOND, compact line (total + the newest-K per-query map, sized
+under the driver's 2000-char tail-retention cap) so the driver-side
+BENCH_r*.json carries a machine-parseable record even though it keeps
+only a front-truncated tail of stdout (the r8 judge's ask — r08's
+"parsed" was null). BENCH_local.json always stores the FULL first line.
+
+``calibration_sec`` is a fixed pure-compute host-speed probe (min-of-3
+aggregate over the lineitem scan); ``tools/bench_compare.py`` divides
+old/new timings by their calibration ratio before flagging, so ambient
+host drift (the unproven 1.23x claim of round 8) is separated from real
+regressions.
 """
 
 from __future__ import annotations
@@ -72,6 +85,24 @@ def main() -> None:
         except ValueError:
             pass
 
+    # Host-speed calibration: a FIXED pure-compute measurement (aggregate
+    # over the lineitem scan — no Python, no window, one shuffle-free
+    # partial agg) timed min-of-3 AFTER the passes, when the JVM is at
+    # steady state. Identical work every round, so the ratio of two
+    # rounds' calibrations is the ambient host-speed ratio.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    cal = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.read.parquet(li).agg(
+            F.count(F.lit(1)), F.sum("l_quantity"), F.avg("l_extendedprice")
+        ).collect()
+        dt = time.perf_counter() - t0
+        cal = dt if cal is None else min(cal, dt)
+    cal = round(cal, 4)
+
     # The driver stores only a front-TRUNCATED tail of this line, so the
     # END of the queries map is what survives each round. Emit it in
     # REVERSED registry order: the registry leads with the least-
@@ -83,17 +114,19 @@ def main() -> None:
         name: timings[name] for name in reversed(registry_order) if name in timings
     }
 
+    total = round(sum(timings.values()), 3)
     line = json.dumps(
         {
             "metric": (
                 "full query-registry wall-clock at sf, local mode "
                 f"(per-query min of {reps} interleaved passes)"
             ),
-            "value": round(sum(timings.values()), 3),
+            "value": total,
             "unit": "sec",
             "queries": timings,
             "sf": sf,
             "reps": reps,
+            "calibration_sec": cal,
         }
     )
     print(line)
@@ -102,6 +135,30 @@ def main() -> None:
     # per-query map always survives the round.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
         f.write(line + "\n")
+
+    # LAST line: a compact record sized under the driver's 2000-char
+    # tail-retention cap, so BENCH_r*.json parses (r08's "parsed" was
+    # null — the retained tail of the full line is not valid JSON).
+    # "queries" holds the newest-K slice of the registry (the reversed
+    # map already leads with the least-evidenced queries); K shrinks
+    # until the WHOLE line fits with headroom for the trailing newline.
+    newest = list(timings.items())
+    for k in range(min(50, len(newest)), 0, -1):
+        compact = json.dumps(
+            {
+                "metric": f"compact: total + newest-{k} per-query min sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "reps": reps,
+                "calibration_sec": cal,
+                "n_queries": len(timings),
+                "queries": dict(newest[:k]),
+            }
+        )
+        if len(compact) <= 1900:
+            break
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -128,3 +128,76 @@ def test_bench_local_emits_reversed_registry_order():
     present = set(names)
     expected = [n for n in reversed(list(entry.queries())) if n in present]
     assert names == expected
+
+
+def test_load_calibration_all_artifact_shapes(tmp_path):
+    full = _write(tmp_path, "c_full.json", {"queries": {"a": 1}, "calibration_sec": 0.42})
+    wrapped = _write(
+        tmp_path, "c_wrap.json", {"tail": "x", "parsed": {"calibration_sec": 0.21}}
+    )
+    tail = _write(
+        tmp_path, "c_tail.json", {"tail": ', "reps": 3, "calibration_sec": 0.84}'}
+    )
+    missing = _write(tmp_path, "c_none.json", {"queries": {"a": 1}})
+    assert bench_compare.load_calibration(full) == 0.42
+    assert bench_compare.load_calibration(wrapped) == 0.21
+    assert bench_compare.load_calibration(tail) == 0.84
+    assert bench_compare.load_calibration(missing) is None
+
+
+def test_compare_calibration_normalizes_uniform_drift():
+    """A uniform 1.5x host slowdown (cal_ratio 1.5) must NOT flag
+    regressions; the same timings without normalization would flag at
+    ratio 1.4."""
+    old = {"q1": 1.0, "q2": 2.0}
+    new = {"q1": 1.5, "q2": 3.0}
+    raw = bench_compare.compare(old, new, ratio=1.4, floor_s=0.5)
+    assert [r[0] for r in raw["regressions"]] == ["q1", "q2"]
+    norm = bench_compare.compare(old, new, ratio=1.4, floor_s=0.5, cal_ratio=1.5)
+    assert norm["regressions"] == []
+    assert norm["old_total_common_normalized"] == 4.5
+    # a real regression on top of drift still flags
+    new2 = {"q1": 1.5, "q2": 6.0}
+    norm2 = bench_compare.compare(old, new2, ratio=1.4, floor_s=0.5, cal_ratio=1.5)
+    assert [r[0] for r in norm2["regressions"]] == ["q2"]
+
+
+def test_compare_host_speedup_cannot_mask_regression():
+    """cal_ratio < 1 (host got FASTER): an unchanged wall-clock reading
+    is then a real slowdown and must flag."""
+    old = {"q1": 2.0}
+    new = {"q1": 2.0}
+    r = bench_compare.compare(old, new, ratio=1.4, floor_s=0.5, cal_ratio=0.5)
+    assert [x[0] for x in r["regressions"]] == ["q1"]
+
+
+def test_bench_compact_line_contract():
+    """bench.py's LAST stdout line must fit the driver's 2000-char tail
+    cap and parse standalone with the calibration + newest-slice map.
+    Reproduces the sizing loop on a synthetic oversized registry."""
+    import json as _json
+
+    timings = {f"query_name_{i:03d}": round(0.1 * i, 3) for i in range(300)}
+    total = round(sum(timings.values()), 3)
+    newest = list(timings.items())
+    for k in range(min(50, len(newest)), 0, -1):
+        compact = _json.dumps(
+            {
+                "metric": f"compact: total + newest-{k} per-query min sec",
+                "value": total,
+                "unit": "sec",
+                "sf": 0.1,
+                "reps": 3,
+                "calibration_sec": 0.1234,
+                "n_queries": len(timings),
+                "queries": dict(newest[:k]),
+            }
+        )
+        if len(compact) <= 1900:
+            break
+    assert len(compact) <= 1900
+    parsed = _json.loads(compact)
+    assert parsed["value"] == total and parsed["calibration_sec"] == 0.1234
+    assert 0 < len(parsed["queries"]) <= 50
+    # and the queries it keeps are exactly the newest (front) slice
+    assert list(parsed["queries"]) == list(timings)[: len(parsed["queries"])]

@@ -6,6 +6,11 @@ minimums and flags real movement: regressions/improvements beyond a
 ratio threshold AND an absolute floor (tiny queries bounce ±50 ms from
 JIT/GC without meaning anything).
 
+When both artifacts carry bench.py's ``calibration_sec`` host-speed
+constant (round 9+), old timings are first scaled by the calibration
+ratio, so a uniformly slower/faster host is factored out before any
+flagging; pre-r9 artifacts compare unnormalized.
+
 Usage:
     python tools/bench_compare.py OLD.json NEW.json [ratio=2.0] [floor_s=0.5] [--artifact]
 
@@ -66,6 +71,21 @@ def load_queries(path: str) -> dict[str, float]:
     return out
 
 
+def load_calibration(path: str) -> float | None:
+    """The artifact's host-speed constant (``calibration_sec``, written
+    by bench.py since round 9): identical fixed work every round, so the
+    ratio of two artifacts' calibrations is the ambient host-speed ratio.
+    Works on full lines, driver wrappers (``parsed``), and raw tails.
+    None for pre-r9 artifacts — comparison then runs unnormalized."""
+    raw = json.load(open(path))
+    for obj in (raw, raw.get("parsed") or {}):
+        v = obj.get("calibration_sec") if isinstance(obj, dict) else None
+        if isinstance(v, (int, float)) and v > 0:
+            return float(v)
+    m = re.search(r'"calibration_sec"\s*:\s*([0-9]+(?:\.[0-9]+)?)', raw.get("tail", ""))
+    return float(m.group(1)) if m else None
+
+
 def _registry_names() -> set[str] | None:
     """Names of every registered query, or None when the package (and
     its pyspark dependency) is not importable in this interpreter."""
@@ -77,27 +97,38 @@ def _registry_names() -> set[str] | None:
         return None
 
 
-def compare(old: dict, new: dict, ratio: float, floor_s: float) -> dict:
+def compare(
+    old: dict, new: dict, ratio: float, floor_s: float, cal_ratio: float = 1.0
+) -> dict:
+    """``cal_ratio`` = new_calibration / old_calibration: >1 means the
+    host ran slower for the NEW artifact. Old timings are scaled by it
+    before flagging, so ambient drift the calibration probe also felt is
+    not reported as a code regression (and a host speedup cannot mask
+    one)."""
     oq, nq = old, new
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     dropped = sorted(set(oq) - set(nq))
     regressions, improvements = [], []
     for name in common:
-        a, b = oq[name], nq[name]
+        a, b = oq[name] * cal_ratio, nq[name]
         if max(a, b) < floor_s:
             continue
         if b >= a * ratio:
-            regressions.append((name, a, b))
+            regressions.append((name, round(a, 3), b))
         elif a >= b * ratio:
-            improvements.append((name, a, b))
+            improvements.append((name, round(a, 3), b))
     return {
         "common": common,
         "added": added,
         "dropped": dropped,
+        "cal_ratio": round(cal_ratio, 4),
         "regressions": sorted(regressions, key=lambda t: -t[2] / max(t[1], 1e-9)),
         "improvements": sorted(improvements, key=lambda t: -t[1] / max(t[2], 1e-9)),
         "old_total_common": round(sum(oq[n] for n in common), 2),
+        "old_total_common_normalized": round(
+            sum(oq[n] for n in common) * cal_ratio, 2
+        ),
         "new_total_common": round(sum(nq[n] for n in common), 2),
     }
 
@@ -112,7 +143,9 @@ def main(argv: list[str]) -> int:
     new = load_queries(argv[2])
     ratio = float(argv[3]) if len(argv) > 3 else 2.0
     floor_s = float(argv[4]) if len(argv) > 4 else 0.5
-    r = compare(old, new, ratio, floor_s)
+    cal_old, cal_new = load_calibration(argv[1]), load_calibration(argv[2])
+    cal_ratio = cal_new / cal_old if cal_old and cal_new else 1.0
+    r = compare(old, new, ratio, floor_s, cal_ratio=cal_ratio)
     if emit:
         from pathlib import Path
 
@@ -127,11 +160,13 @@ def main(argv: list[str]) -> int:
                     **{
                         k: r[k]
                         for k in (
+                            "cal_ratio",
                             "regressions",
                             "improvements",
                             "added",
                             "dropped",
                             "old_total_common",
+                            "old_total_common_normalized",
                             "new_total_common",
                         )
                     },
@@ -143,6 +178,12 @@ def main(argv: list[str]) -> int:
     print(
         f"common subset: {len(r['common'])} queries | "
         f"old {r['old_total_common']}s -> new {r['new_total_common']}s"
+        + (
+            f" | host cal ratio {cal_ratio:.2f}x "
+            f"(old normalized: {r['old_total_common_normalized']}s)"
+            if cal_ratio != 1.0
+            else " | no calibration in one/both artifacts"
+        )
     )
     if r["added"]:
         print(f"added ({len(r['added'])}): {', '.join(r['added'])}")

@@ -9,7 +9,9 @@ or the no-pair-join shape (substring) were wrong — the substring probe
 replicates docs EXACTLY, so every window is duplicated mult-fold and
 duplicate handling carries its worst-case load.
 
-    python tools/scale_probe.py [flagship|dedup|substring|dedup-worstcase|bigram-worstcase|span-worstcase]
+    python tools/scale_probe.py [flagship|dedup|substring|dedup-worstcase|
+                                 bigram-worstcase|span-worstcase|
+                                 dsir-worstcase|doremi-worstcase]
 """
 
 from __future__ import annotations
@@ -347,6 +349,106 @@ def main_span_worstcase() -> None:
     )
 
 
+def _one_bigram_corpus(spark, path: Path, n_docs: int, toks_per_doc: int) -> None:
+    """Adversarial selection-wave corpus: every document of a source is
+    ONE bigram repeated — per source the distinct-(w1,w2) grain collapses
+    to 2 rows carrying k ~ n_docs*toks_per_doc/20 instances each (the
+    opposite extreme of bigram-worstcase's all-unique corpus), and every
+    token of a source lands in <= 2 of DSIR's 256 hash buckets. This is
+    the maximal-skew shape: one white-hot reduce key per domain."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(toks_per_doc - 1)),
+                    lambda i: F.concat(
+                        F.when(i % 2 == 0, F.lit("w")).otherwise(F.lit("v")),
+                        (F.col("id") % 20).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+                "source"
+            ),
+            F.lit(200).cast("bigint").alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(str(path / "documents.parquet"))
+    )
+
+
+def _probe_tokens(spark, fn, name: str, toks_per_doc: int = 20) -> None:
+    tmp = Path(tempfile.mkdtemp(prefix=f"scale_probe_{name}_"))
+    base_docs = 40_000
+    results = []
+    for mult in (1, 4, 16):
+        n_docs = base_docs * mult
+        path = tmp / f"x{mult}"
+        _one_bigram_corpus(spark, path, n_docs, toks_per_doc)
+        n_tok = n_docs * toks_per_doc
+        fn(spark, str(path)).count()  # warm
+        t0 = time.perf_counter()
+        fn(spark, str(path)).count()
+        dt = time.perf_counter() - t0
+        results.append((mult, n_tok, dt, int(n_tok / dt)))
+        print(
+            f"x{mult:<3d} tokens={n_tok:>10,d}  wall={dt:6.2f}s"
+            f"  tokens/sec={int(n_tok/dt):,}"
+        )
+    r1, r16 = results[0][3], results[-1][3]
+    print(
+        f"\nthroughput ratio x16/x1 = {r16 / r1:.2f} "
+        "(>= ~0.7 means linear despite one white-hot key per domain)"
+    )
+
+
+def main_dsir_worstcase() -> None:
+    """docs_dsir_importance_by_source under maximal bucket skew: the
+    one-repeated-bigram corpus funnels each source's full token stream
+    into <= 2 of the 256 hash buckets, so the bucket agg's combine step
+    carries everything. Linear tokens/sec across 1x/4x/16x shows the
+    map-side partial aggregation absorbs the skew (the bucket table is
+    256 rows whatever the corpus — the reduce side cannot blow up)."""
+    from clashroyale_datapipeline_agent_spark.plans.selection_queries import (
+        docs_dsir_importance_by_source,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+
+    _probe_tokens(
+        get_spark("scale-probe-dsir-wc"),
+        docs_dsir_importance_by_source,
+        "dsir_wc",
+    )
+
+
+def main_doremi_worstcase() -> None:
+    """docs_doremi_mixture_weights under distinct-grain collapse: per
+    source ONE repeated bigram means the (source, w1, w2) reduce grain is
+    ~40 rows total while k per row grows with the corpus — the exact
+    opposite of bigram-worstcase's unique-token corpus, and the shape
+    where a hot (w1, w2) key would hurt if partial aggregation (or the
+    HUGEINT/decimal k*s9 sums) did not hold. Linear tokens/sec across
+    1x/4x/16x pins the skew story; together the two probes bracket the
+    grain spectrum."""
+    from clashroyale_datapipeline_agent_spark.plans.selection_queries import (
+        docs_doremi_mixture_weights,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+
+    _probe_tokens(
+        get_spark("scale-probe-doremi-wc"),
+        docs_doremi_mixture_weights,
+        "doremi_wc",
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "flagship"
     if which == "dedup":
@@ -359,5 +461,9 @@ if __name__ == "__main__":
         main_bigram_worstcase()
     elif which == "span-worstcase":
         main_span_worstcase()
+    elif which == "dsir-worstcase":
+        main_dsir_worstcase()
+    elif which == "doremi-worstcase":
+        main_doremi_worstcase()
     else:
         main()
