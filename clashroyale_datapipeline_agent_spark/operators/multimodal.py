@@ -340,6 +340,128 @@ def synthesize_png_assets(params: DataFrame) -> DataFrame:
     return params.mapInPandas(run, schema=PNG_ASSET_SCHEMA)
 
 
+WAV_ASSET_SCHEMA = "asset_id long, payload binary, media_type string"
+
+
+def wav_encode(
+    sample_rate: int, channels: int, samples: list[int]
+) -> bytes:
+    """Minimal REAL WAV encoder (stdlib struct): canonical 44-byte
+    RIFF/WAVE header + PCM16 little-endian data chunk. ``samples`` is
+    the flat interleaved int16 stream (len must be a multiple of
+    ``channels``). Spec-valid output any conformant reader accepts."""
+    import struct  # noqa: PLC0415
+
+    if len(samples) % channels:
+        raise ValueError("sample count not a multiple of channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL WAV decoder, stdlib-only: validates the RIFF/WAVE container,
+    walks chunks (tolerating extras like LIST/INFO), requires PCM16, and
+    returns ``(sample_rate, channels, flat int16 samples)``. The declared
+    data-chunk size must match the payload — truncated files fail loudly
+    rather than yielding silent partial audio."""
+    import struct  # noqa: PLC0415
+
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder would fetch/stream")
+    if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    pos = 12
+    rate = channels = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(payload):
+        tag = bytes(payload[pos : pos + 4])
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = bytes(payload[pos + 8 : pos + 8 + size])
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (need PCM16)")
+        elif tag == b"data":
+            if channels is None:
+                raise ValueError("WAV data chunk before fmt")
+            if size % 2:
+                raise ValueError("odd PCM16 data size")
+            samples = list(struct.unpack(f"<{size // 2}h", body))
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("truncated WAV: missing fmt or data")
+    if len(samples) % channels:
+        raise ValueError("sample count not a multiple of channels")
+    return rate, channels, samples
+
+
+def wav_features(payload: bytes | None, media_type: str) -> list[float]:
+    """REAL audio decoder with the ``extract_features`` contract —
+    FEATURE_DIM floats from a blind PCM16 parse: sample rate, channels,
+    frames, Σ|s|, max|s|, strict zero crossings over the flat stream
+    (s[k-1]·s[k] < 0), DC sum, payload bytes. All integers by
+    construction on the fixture signals, so every value round-trips
+    float32 exactly (FEATURE_SCHEMA is array<float>; fixtures keep
+    magnitudes far under 2^24)."""
+    rate, channels, s = wav_decode(payload)
+    zcross = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+    return [
+        float(rate),
+        float(channels),
+        float(len(s) // channels),
+        float(sum(abs(x) for x in s)),
+        float(max((abs(x) for x in s), default=0)),
+        float(zcross),
+        float(sum(s)),
+        float(len(payload)),
+    ]
+
+
+def synthesize_wav_assets(params: DataFrame) -> DataFrame:
+    """Turn ``(asset_id, n_frames, channels, rate, b)`` parameter rows
+    into REAL encoded WAV payloads via ``mapInPandas`` — flat sample k is
+    ``((b + 7k) mod 97) - 48``, a deterministic cyclic signal with sign
+    changes (so the zero-crossing feature is non-trivial). The decoder
+    downstream sees only bytes; the generation formula lives again only
+    in the DuckDB oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for aid, n, ch, rate, b in zip(
+                pdf["asset_id"], pdf["n_frames"], pdf["channels"],
+                pdf["rate"], pdf["b"],
+            ):
+                n, ch, rate, b = int(n), int(ch), int(rate), int(b)
+                samples = [((b + 7 * k) % 97) - 48 for k in range(n * ch)]
+                payloads.append(wav_encode(rate, ch, samples))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "media_type": ["audio/wav"] * len(payloads),
+                }
+            )
+
+    return params.mapInPandas(run, schema=WAV_ASSET_SCHEMA)
+
+
 def extract_features(assets: DataFrame, *, decoder=None) -> DataFrame:
     """Decode + featurize media assets via ``mapInPandas``.
 

@@ -300,3 +300,110 @@ def test_corrupt_payload_survives_stage(spark):
     assert out[1]["status"] == "ok"
     assert out[2]["status"].startswith("error:ValueError")
     assert out[3]["status"].startswith("error:NotImplementedError")
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (same module, same contract)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    for ch in (1, 2):
+        samples = [((5 + 7 * k) % 97) - 48 for k in range(20 * ch)]
+        payload = wav_encode(16000, ch, samples)
+        assert len(payload) == 44 + 2 * len(samples)
+        rate, channels, out = wav_decode(payload)
+        assert (rate, channels) == (16000, ch)
+        assert out == samples
+
+
+def test_wav_decode_tolerates_extra_chunks():
+    """Conformant readers skip unknown chunks (LIST/INFO metadata)."""
+    import struct
+
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    base = wav_encode(8000, 1, [1, -2, 3])
+    # splice a LIST chunk (odd size -> exercises word-alignment padding)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    payload = base[:36] + extra + base[36:]
+    payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+    rate, ch, samples = wav_decode(payload)
+    assert (rate, ch, samples) == (8000, 1, [1, -2, 3])
+
+
+def test_wav_rejects_corruption():
+    import struct
+
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+        wav_features,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"OggS" + b"\x00" * 60)
+    good = wav_encode(8000, 1, [1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(good[:-3])
+    # PCM8 / float formats refused
+    bad_fmt = bytearray(good)
+    bad_fmt[20:22] = struct.pack("<H", 3)  # IEEE float tag
+    with pytest.raises(ValueError, match="PCM16"):
+        wav_decode(bytes(bad_fmt))
+    with pytest.raises(NotImplementedError):
+        wav_features(None, "audio/wav")
+
+
+def test_wav_features_closed_form():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        wav_encode,
+        wav_features,
+    )
+
+    b, n, ch = 11, 16, 2
+    samples = [((b + 7 * k) % 97) - 48 for k in range(n * ch)]
+    payload = wav_encode(24000, ch, samples)
+    f = wav_features(payload, "audio/wav")
+    assert f[0] == 24000.0 and f[1] == 2.0 and f[2] == float(n)
+    assert f[3] == float(sum(abs(x) for x in samples))
+    assert f[4] == float(max(abs(x) for x in samples))
+    assert f[5] == float(
+        sum(1 for a, b2 in zip(samples, samples[1:]) if a * b2 < 0)
+    )
+    assert f[6] == float(sum(samples))
+    assert f[7] == float(len(payload))
+
+
+def test_wav_pipeline_in_spark(spark):
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        extract_features,
+        synthesize_wav_assets,
+        wav_features,
+    )
+
+    params = spark.createDataFrame(
+        [(i, i % 48 + 16, i % 2 + 1, 8000 * (1 + i % 3), i % 97) for i in range(30)],
+        "asset_id long, n_frames int, channels int, rate int, b int",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in extract_features(
+            synthesize_wav_assets(params), decoder=wav_features
+        ).collect()
+    }
+    assert len(out) == 30
+    for i in range(30):
+        f = [float(x) for x in out[i]["feature"]]
+        assert out[i]["status"] == "ok"
+        assert f[0] == 8000 * (1 + i % 3) and f[1] == i % 2 + 1
+        assert f[2] == i % 48 + 16
+        assert out[i]["n_bytes"] == 44 + 2 * (i % 48 + 16) * (i % 2 + 1)
