@@ -407,3 +407,107 @@ def test_wav_pipeline_in_spark(spark):
         assert f[0] == 8000 * (1 + i % 3) and f[1] == i % 2 + 1
         assert f[2] == i % 48 + 16
         assert out[i]["n_bytes"] == 44 + 2 * (i % 48 + 16) * (i % 2 + 1)
+
+
+# ---------------------------------------------------------------------------
+# y4m codec (same module, same contract)
+# ---------------------------------------------------------------------------
+
+
+def _y4m_planes(w, h, n, g):
+    return [
+        b"".join(bytes([(g + 3 * t + y) % 256]) * w for y in range(h))
+        for t in range(n)
+    ]
+
+
+def test_y4m_roundtrip():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        y4m_decode,
+        y4m_encode,
+    )
+
+    planes = _y4m_planes(6, 4, 3, 77)
+    payload = y4m_encode(6, 4, planes, rate="30:1")
+    w, h, num, den, out = y4m_decode(payload)
+    assert (w, h, num, den) == (6, 4, 30, 1)
+    assert out == planes
+    # exact container length: header + n*(FRAME\n + Y + 2 chroma)
+    header = len(b"YUV4MPEG2 W6 H4 F30:1 Ip A1:1 C420\n")
+    assert len(payload) == header + 3 * (6 + 24 + 2 * 6)
+
+
+def test_y4m_rejects_corruption():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        y4m_decode,
+        y4m_encode,
+        y4m_features,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        y4m_decode(b"RIFF....WAVE" + b"\x00" * 40)
+    good = y4m_encode(4, 4, _y4m_planes(4, 4, 2, 5))
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_decode(good[:-3])
+    with pytest.raises(ValueError, match="FRAME"):
+        y4m_decode(good[:40] + b"JUNK!\n" + good[46:])
+    # C444 refused; odd dims refused at encode
+    bad = good.replace(b"C420", b"C444", 1)
+    with pytest.raises(ValueError, match="chroma"):
+        y4m_decode(bad)
+    with pytest.raises(ValueError, match="even"):
+        y4m_encode(5, 4, [bytes(20)])
+    with pytest.raises(NotImplementedError):
+        y4m_features(None, "video/x-y4m")
+
+
+def test_y4m_features_frame_sampling_phase():
+    """every_n=2 keeps frames 0,2,4 — the feature must move when the
+    sampling phase would differ (frame luma varies with t)."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        y4m_encode,
+        y4m_features,
+    )
+
+    w, h, n, g = 4, 6, 5, 10
+    payload = y4m_encode(w, h, _y4m_planes(w, h, n, g))
+    f = y4m_features(payload, "video/x-y4m")
+    sums = [
+        w * sum((g + 3 * t + y) % 256 for y in range(h)) for t in range(n)
+    ]
+    assert f[:4] == [float(w), float(h), float(n), 3.0]
+    assert f[4] == float(sums[0] + sums[2] + sums[4])
+    assert f[5] == 25.0 and f[6] == float(sums[0])
+    assert f[7] == float(len(payload))
+    # all frames when every_n=1
+    f1 = y4m_features(payload, "video/x-y4m", every_n=1)
+    assert f1[3] == float(n) and f1[4] == float(sum(sums))
+
+
+def test_y4m_pipeline_in_spark(spark):
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        extract_features,
+        synthesize_y4m_assets,
+        y4m_features,
+    )
+
+    params = spark.createDataFrame(
+        [
+            (i, 4 + (i % 4) * 2, 4 + (i % 3) * 2, 2 + i % 5, i % 256)
+            for i in range(30)
+        ],
+        "asset_id long, w int, h int, n_frames int, g int",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in extract_features(
+            synthesize_y4m_assets(params), decoder=y4m_features
+        ).collect()
+    }
+    assert len(out) == 30
+    for i in range(30):
+        f = [float(x) for x in out[i]["feature"]]
+        assert out[i]["status"] == "ok"
+        assert f[0] == 4 + (i % 4) * 2 and f[1] == 4 + (i % 3) * 2
+        assert f[2] == 2 + i % 5
+        assert f[3] == (2 + i % 5 + 1) // 2
