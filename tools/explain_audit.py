@@ -44,6 +44,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 #: ``operators/packing.py:1-10``).
 EXPECTED_PYTHON_EVAL = {
     "multimodal_feature_stats",
+    "multimodal_png_decode_stats",
+    "multimodal_wav_decode_stats",
+    "multimodal_y4m_frame_sample_stats",
     "docs_pack_stats",
     "docs_pack_stats_det",
 }
