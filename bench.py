@@ -139,10 +139,11 @@ def main() -> None:
     # LAST line: a compact record sized under the driver's 2000-char
     # tail-retention cap, so BENCH_r*.json parses (r08's "parsed" was
     # null — the retained tail of the full line is not valid JSON).
-    # "queries" holds the newest-K slice of the registry (the reversed
-    # map already leads with the least-evidenced queries); K shrinks
+    # "queries" holds the newest-K registry slice — the REGISTRY head
+    # (correctness-window queries), which sits at the END of the
+    # reversed map, so slice from the back and un-reverse; K shrinks
     # until the WHOLE line fits with headroom for the trailing newline.
-    newest = list(timings.items())
+    newest = list(reversed(list(timings.items())))
     for k in range(min(50, len(newest)), 0, -1):
         compact = json.dumps(
             {

@@ -177,9 +177,11 @@ def test_bench_compact_line_contract():
     Reproduces the sizing loop on a synthetic oversized registry."""
     import json as _json
 
+    # bench.py's map is in REVERSED registry order (newest at the END);
+    # the compact slice re-reverses so it leads with the registry head
     timings = {f"query_name_{i:03d}": round(0.1 * i, 3) for i in range(300)}
     total = round(sum(timings.values()), 3)
-    newest = list(timings.items())
+    newest = list(reversed(list(timings.items())))
     for k in range(min(50, len(newest)), 0, -1):
         compact = _json.dumps(
             {
@@ -199,5 +201,9 @@ def test_bench_compact_line_contract():
     parsed = _json.loads(compact)
     assert parsed["value"] == total and parsed["calibration_sec"] == 0.1234
     assert 0 < len(parsed["queries"]) <= 50
-    # and the queries it keeps are exactly the newest (front) slice
-    assert list(parsed["queries"]) == list(timings)[: len(parsed["queries"])]
+    # and the queries it keeps are exactly the newest slice — the END of
+    # the reversed map, i.e. the head of the registry (the window)
+    assert (
+        list(parsed["queries"])
+        == list(reversed(list(timings)))[: len(parsed["queries"])]
+    )

@@ -38,9 +38,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-#: Queries whose plan is EXPECTED to carry Python eval nodes — the two
+#: Queries whose plan is EXPECTED to carry Python eval nodes — the
 #: documented Arrow-batched mapInPandas boundaries in the engine
-#: (multimodal decode plumbing, partition-local FFD packing; see
+#: (multimodal codec plumbing: byte-stats stub + the r9 real PNG/WAV/y4m
+#: blind-decode queries; partition-local FFD packing, see
 #: ``operators/packing.py:1-10``).
 EXPECTED_PYTHON_EVAL = {
     "multimodal_feature_stats",
