@@ -1711,6 +1711,80 @@ def embeddings_kmeans_iter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embeddings_minibatch_kmeans_readout",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    init AS (SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < 8),
+    d0 AS (
+        SELECT v.vec_id, i.cluster,
+               list_sum(list_transform(generate_series(1, 64),
+                   j -> (v.e[j] - i.c[j]) * (v.e[j] - i.c[j]))) AS d2
+        FROM v CROSS JOIN init i
+    ),
+    amap AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC
+            ) AS rn FROM d0
+        ) WHERE rn = 1
+    ),
+    dims AS (
+        SELECT a.cluster, gs.i AS dim,
+               CAST(ROUND(v.e[gs.i] * 1000000) AS BIGINT) AS vq
+        FROM amap a JOIN v USING (vec_id)
+        JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs ON TRUE
+    ),
+    stats AS (
+        SELECT cluster, dim, COUNT(*) AS cnt, SUM(vq) AS sq
+        FROM dims GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT cluster, cnt, sq * 1.0 / (cnt * 1000000.0) AS m FROM stats
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(MAX(cnt) AS BIGINT) AS n_assigned,
+           ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm
+    FROM means GROUP BY cluster ORDER BY cluster
+    """,
+)
+def embeddings_minibatch_kmeans_readout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The batch anchor of the streaming mini-batch k-means store
+    (``streaming/embed_stream.py``): assignment to the deterministic
+    init centroids (the 8 lowest vec_ids — the ``kmeans_lloyd`` no-RNG
+    convention), then the store's EXACT sufficient statistics — counts
+    and 1e6-quantized per-dimension integer sums — read out through the
+    same ``centroid_readout`` epilogue the streamed store uses. Because
+    the statistics are int64 sums, the streamed fold over any
+    micro-batch partitioning equals this one-pass batch aggregate
+    bit-for-bit (pinned in test_streaming), and this oracle row
+    therefore certifies the streaming readout too: stream ≡ batch by
+    shared code, batch ≡ DuckDB by hash. Scale: map-side argmin over
+    k×dim literals, one (k·dim)-key aggregate, state bounded at k×dim
+    rows forever."""
+    from clashroyale_datapipeline_agent_spark.streaming.embed_stream import (
+        minibatch_kmeans_readout,
+    )
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    init = [
+        list(r["e"])
+        for r in v.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    out = minibatch_kmeans_readout(v, init, vec_col="e")
+    return out.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_assigned",
+        "centroid_norm",
+    ).orderBy("cluster")
+
+
+@register(
     "docs_redaction_stats",
     """
     WITH salted AS (

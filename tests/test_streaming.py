@@ -992,3 +992,124 @@ def test_streaming_control_store_is_arrival_order_free(spark, tmp_path):
         sorted(map(key, s_late.daily().collect()))
     assert [tuple(r) for r in s_fwd.chart().collect()] == \
         [tuple(r) for r in s_late.chart().collect()]
+
+
+def _vec_rows(ids, dim=4):
+    """Deterministic synthetic vectors with non-terminating fractional
+    parts (so the 1e6 quantization is actually exercised), clustered
+    around 0-vector (even ids) and 1-vector (odd ids)."""
+    return [
+        {
+            "vec_id": i,
+            "embedding": [
+                (i % 2) + (((i * 7 + j * 3) % 10) - 5) / 70.0
+                for j in range(dim)
+            ],
+        }
+        for i in ids
+    ]
+
+
+def test_streaming_minibatch_kmeans_matches_batch(spark, tmp_path):
+    """Mini-batch k-means store over 3 micro-batches: the streamed
+    sufficient statistics equal the one-pass batch aggregate EXACTLY
+    (integer sums), the shared readout therefore matches bit-for-bit,
+    the per-batch census log is complete, and a replayed batch is a
+    no-op on the store and a dedup'd read on the log."""
+    import json as _json
+
+    from clashroyale_datapipeline_agent_spark.streaming.embed_stream import (
+        EmbeddingAssignStore,
+        batch_cluster_stats,
+        minibatch_kmeans_readout,
+        start_streaming_assign,
+    )
+
+    cents = [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]]
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    store = EmbeddingAssignStore(spark, str(tmp_path / "emb_store"))
+    splits = [range(0, 20), range(20, 45), range(45, 60)]
+    for i, ids in enumerate(splits):
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in _vec_rows(ids))
+        )
+        q = start_streaming_assign(
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).json(str(src)),
+            store,
+            cents,
+            checkpoint_dir=str(tmp_path / "emb_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    all_df = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in _vec_rows(range(60))],
+        "vec_id long, embedding array<double>",
+    )
+    want_stats = sorted(
+        tuple(r) for r in batch_cluster_stats(all_df, cents).collect()
+    )
+    got_stats = sorted(tuple(r) for r in store.stats().collect())
+    assert got_stats == want_stats  # exact: int64 sums, merge-order-free
+
+    want_chart = [
+        tuple(r) for r in minibatch_kmeans_readout(all_df, cents).collect()
+    ]
+    assert [tuple(r) for r in store.chart().collect()] == want_chart
+    # both clusters populated (even ids -> 0, odd -> 1)
+    n_by_c = {r["cluster"]: r["n_assigned"] for r in store.chart().collect()}
+    assert n_by_c == {0: 30, 1: 30}
+
+    log = {
+        (r["batch_id"], r["cluster"]): r["n"]
+        for r in store.assignments().collect()
+    }
+    assert {(b, c) for b, c in log} == {
+        (b, c) for b in range(3) for c in (0, 1)
+    }
+    assert log[(0, 0)] + log[(0, 1)] == 20
+
+    # replay batch 2: store unchanged, log read still one row per key
+    replay = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in _vec_rows(splits[2])],
+        "vec_id long, embedding array<double>",
+    )
+    store.merge_and_log(batch_cluster_stats(replay, cents), batch_id=2)
+    assert sorted(tuple(r) for r in store.stats().collect()) == want_stats
+    assert store.assignments().where(F.col("batch_id") == 2).count() == 2
+
+
+def test_minibatch_kmeans_store_is_arrival_order_free(spark, tmp_path):
+    """Integer sufficient statistics commute: two different micro-batch
+    partitionings of the same vectors produce bit-identical stores."""
+    from clashroyale_datapipeline_agent_spark.streaming.embed_stream import (
+        EmbeddingAssignStore,
+        batch_cluster_stats,
+    )
+
+    cents = [[0.0] * 4, [1.0] * 4]
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in _vec_rows(ids)],
+            "vec_id long, embedding array<double>",
+        )
+
+    a = EmbeddingAssignStore(spark, str(tmp_path / "a"))
+    for b, ids in enumerate([range(0, 30), range(30, 60)]):
+        a.merge_and_log(batch_cluster_stats(df_of(ids), cents), b)
+    b_ = EmbeddingAssignStore(spark, str(tmp_path / "b"))
+    for b, ids in enumerate(
+        [range(40, 60), range(10, 40), range(0, 10)]
+    ):
+        b_.merge_and_log(batch_cluster_stats(df_of(ids), cents), b)
+
+    key = lambda r: (r["cluster"], r["dim"], r["cnt"], r["sq"])  # noqa: E731
+    assert sorted(map(key, a.stats().collect())) == sorted(
+        map(key, b_.stats().collect())
+    )
+    assert [tuple(r) for r in a.chart().collect()] == [
+        tuple(r) for r in b_.chart().collect()
+    ]
