@@ -340,6 +340,58 @@ def synthesize_png_assets(params: DataFrame) -> DataFrame:
     return params.mapInPandas(run, schema=PNG_ASSET_SCHEMA)
 
 
+def png_box_downsample(payload: bytes) -> bytes:
+    """REAL image transform: decode → 2×2 box-filter downsample (each
+    output sample is the floor-mean of its 2×2 input block, per band) →
+    re-encode. The full codec loop a thumbnail stage runs at 100 TB,
+    here on the stdlib codec; dimensions must be even (one box per
+    output pixel, no edge special-cases)."""
+    w, h, bands, rows = png_decode(payload)
+    if w % 2 or h % 2:
+        raise ValueError("box downsample needs even dimensions")
+    out_rows = []
+    for y in range(0, h, 2):
+        r0, r1 = rows[y], rows[y + 1]
+        line = bytearray()
+        for x in range(0, w, 2):
+            for b in range(bands):
+                i0 = x * bands + b
+                i1 = (x + 1) * bands + b
+                line.append((r0[i0] + r0[i1] + r1[i0] + r1[i1]) >> 2)
+        out_rows.append(bytes(line))
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[bands]
+    return png_encode(w // 2, h // 2, out_rows, color_type=ctype)
+
+
+def downsample_png_assets(assets: DataFrame) -> DataFrame:
+    """Thumbnail stage over opaque PNG payloads via ``mapInPandas`` —
+    decode, 2×2 box filter, re-encode; same MEDIA-shaped output so it
+    chains straight into ``extract_features``. Per-row failures pass
+    the payload through untouched with media_type tagged ``+error`` (a
+    corrupt input must not kill the stage; downstream decode will
+    surface it in ``status``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes = [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                try:
+                    payloads.append(png_box_downsample(payload))
+                    mtypes.append(mtype)
+                except Exception:  # noqa: BLE001 — per-row tolerance
+                    payloads.append(payload)
+                    mtypes.append(f"{mtype}+error")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "media_type": mtypes,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=PNG_ASSET_SCHEMA)
+
+
 WAV_ASSET_SCHEMA = "asset_id long, payload binary, media_type string"
 
 

@@ -1019,6 +1019,99 @@ def multimodal_y4m_frame_sample_stats(
     )
 
 
+@register(
+    "multimodal_thumbnail_stats",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               2 + doc_id % 5 AS w2,
+               2 + doc_id % 4 AS h2,
+               doc_id % 200 AS g
+        FROM documents
+    ), f AS (
+        SELECT w2, h2,
+               w2 * list_sum([ g + 2*j
+                               for j in generate_series(0, h2 - 1) ])
+                   AS luma_sum,
+               h2 AS n_bins
+        FROM p
+    )
+    SELECT CAST(w2 AS BIGINT) AS width,
+           CAST(h2 AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(luma_sum) AS BIGINT) AS luma_sum,
+           CAST(SUM(n_bins) AS BIGINT) AS sum_bins,
+           ROUND(SUM(luma_sum) * 1.0 / SUM(w2 * h2), 4) AS avg_luma,
+           CAST(0 AS BIGINT) AS n_err
+    FROM f GROUP BY w2, h2 ORDER BY width, height
+    """,
+)
+def multimodal_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full codec LOOP under the driver gate — decode → transform →
+    re-encode → decode again: gradient PNGs (even dims 4-12×4-10, g ≤
+    200 so no mod-256 wrap) are synthesized, 2×2 box-downsampled
+    (``png_box_downsample`` — per-block floor means on decoded pixels),
+    re-encoded, and only THEN featurized by the blind decoder. The
+    oracle computes the downsampled image in closed form: input rows
+    y=2j, 2j+1 carry g+2j and g+2j+1, whose 2×2 floor-mean is exactly
+    g+2j — so thumbnail row j is the gradient g+2j, luma_sum =
+    w/2 · Σ_j (g+2j), and the occupied-bin count is h/2. A wrong filter
+    kernel, a half-pixel offset, or an encode bug in the middle of the
+    loop all shift integer luma sums and cannot hash-match. n_err = 0
+    additionally pins that every re-encoded payload is itself a valid
+    PNG. Scale: two Arrow-batched codec stages back to back, no shuffle
+    until the 20-group aggregate — the thumbnail-pipeline shape at
+    100 TB with the codec seam swapped for PIL/libvips."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        downsample_png_assets,
+        extract_features,
+        stdlib_png_features,
+        synthesize_png_assets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        (2 * (2 + F.col("doc_id") % 5)).cast("int").alias("w"),
+        (2 * (2 + F.col("doc_id") % 4)).cast("int").alias("h"),
+        (F.col("doc_id") % 200).cast("int").alias("g"),
+        F.lit(False).alias("rgb"),
+    )
+    thumbs = downsample_png_assets(synthesize_png_assets(params))
+    feats = extract_features(thumbs, decoder=stdlib_png_features)
+    per = feats.select(
+        F.element_at("feature", 1).cast("bigint").alias("width"),
+        F.element_at("feature", 2).cast("bigint").alias("height"),
+        F.round(
+            F.element_at("feature", 4)
+            * F.element_at("feature", 1)
+            * F.element_at("feature", 2)
+        )
+        .cast("bigint")
+        .alias("lsum"),
+        F.element_at("feature", 7).cast("bigint").alias("bins"),
+        (
+            (F.col("status") != "ok")
+            | F.col("media_type").endswith("+error")
+        )
+        .cast("int")
+        .alias("err"),
+    )
+    return (
+        per.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("lsum").cast("bigint").alias("luma_sum"),
+            F.sum("bins").cast("bigint").alias("sum_bins"),
+            F.round(
+                F.sum("lsum") / F.sum(F.col("width") * F.col("height")), 4
+            ).alias("avg_luma"),
+            F.sum("err").cast("bigint").alias("n_err"),
+        )
+        .orderBy("width", "height")
+    )
+
+
 @register("docs_pack_stats", None)  # rows-only: pack layout depends on partitioning
 def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (``operators/packing.py``) summarized: pack count,

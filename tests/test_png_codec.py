@@ -511,3 +511,70 @@ def test_y4m_pipeline_in_spark(spark):
         assert f[0] == 4 + (i % 4) * 2 and f[1] == 4 + (i % 3) * 2
         assert f[2] == 2 + i % 5
         assert f[3] == (2 + i % 5 + 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# 2x2 box downsample (decode -> transform -> re-encode loop)
+# ---------------------------------------------------------------------------
+
+
+def test_box_downsample_known_blocks():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        png_box_downsample,
+    )
+
+    # 4x2 gray: rows [10,20,30,40] and [50,60,70,80]
+    rows = [bytes([10, 20, 30, 40]), bytes([50, 60, 70, 80])]
+    thumb = png_box_downsample(png_encode(4, 2, rows, color_type=0))
+    w, h, bands, out = png_decode(thumb)
+    assert (w, h, bands) == (2, 1, 1)
+    assert out == [bytes([(10 + 20 + 50 + 60) >> 2, (30 + 40 + 70 + 80) >> 2])]
+
+
+def test_box_downsample_rgb_per_band():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        png_box_downsample,
+    )
+
+    px = lambda r, g, b: bytes([r, g, b])  # noqa: E731
+    rows = [px(10, 100, 200) + px(20, 110, 210), px(30, 120, 220) + px(40, 130, 230)]
+    thumb = png_box_downsample(png_encode(2, 2, rows, color_type=2))
+    w, h, bands, out = png_decode(thumb)
+    assert (w, h, bands) == (1, 1, 3)
+    assert out == [bytes([25, 115, 215])]
+
+
+def test_box_downsample_rejects_odd_dims():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        png_box_downsample,
+    )
+
+    with pytest.raises(ValueError, match="even"):
+        png_box_downsample(png_encode(3, 2, [bytes([1, 2, 3])] * 2, color_type=0))
+
+
+def test_downsample_stage_survives_corrupt_payload(spark):
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        downsample_png_assets,
+        extract_features,
+        stdlib_png_features,
+    )
+    from clashroyale_datapipeline_agent_spark.schemas import MEDIA_ASSET
+
+    good = png_encode(4, 2, _gradient_rows(4, 2, 9), color_type=0)
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(good), {}),
+         (2, "image/png", bytearray(b"not a png"), {})],
+        MEDIA_ASSET,
+    )
+    out = {r["asset_id"]: r for r in downsample_png_assets(df).collect()}
+    assert out[1]["media_type"] == "image/png"
+    assert out[2]["media_type"] == "image/png+error"
+    feats = {
+        r["asset_id"]: r
+        for r in extract_features(
+            downsample_png_assets(df), decoder=stdlib_png_features
+        ).collect()
+    }
+    assert [float(x) for x in feats[1]["feature"]][:2] == [2.0, 1.0]
+    assert feats[2]["status"].startswith("error:")
