@@ -514,6 +514,45 @@ def synthesize_wav_assets(params: DataFrame) -> DataFrame:
     return params.mapInPandas(run, schema=WAV_ASSET_SCHEMA)
 
 
+def wav_decimate(payload: bytes, factor: int = 2) -> bytes:
+    """REAL audio transform: decode → keep every ``factor``-th FRAME
+    (all channels of it — interleave-aware decimation, frame 0 first) →
+    re-encode at ``rate // factor`` so duration semantics survive. The
+    audio half of the thumbnail loop."""
+    rate, channels, s = wav_decode(payload)
+    frames = len(s) // channels
+    kept: list[int] = []
+    for f in range(0, frames, factor):
+        kept.extend(s[f * channels : (f + 1) * channels])
+    return wav_encode(rate // factor, channels, kept)
+
+
+def decimate_wav_assets(assets: DataFrame, *, factor: int = 2) -> DataFrame:
+    """Decimation stage over opaque WAV payloads via ``mapInPandas`` —
+    MEDIA-shaped output chaining into ``extract_features``; per-row
+    failures pass through with ``+error`` tagged media_type."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes = [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                try:
+                    payloads.append(wav_decimate(payload, factor))
+                    mtypes.append(mtype)
+                except Exception:  # noqa: BLE001 — per-row tolerance
+                    payloads.append(payload)
+                    mtypes.append(f"{mtype}+error")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "media_type": mtypes,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=WAV_ASSET_SCHEMA)
+
+
 Y4M_ASSET_SCHEMA = "asset_id long, payload binary, media_type string"
 
 Y4M_MAGIC = b"YUV4MPEG2"

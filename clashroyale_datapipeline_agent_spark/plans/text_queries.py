@@ -1112,6 +1112,110 @@ def multimodal_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_wav_decimate_stats",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               doc_id % 48 + 16 AS n,
+               1 + doc_id % 2 AS ch,
+               8000 * (1 + doc_id % 3) AS rate,
+               doc_id % 97 AS b
+        FROM documents
+    ), f AS (
+        SELECT ch, rate / 2 AS rate2, (n + 1) // 2 AS n2,
+               [ ((b + 7*k) % 97) - 48
+                 for k in generate_series(0, n*ch - 1)
+                 if (k // ch) % 2 = 0 ] AS s
+        FROM p
+    ), g AS (
+        SELECT ch, rate2, n2,
+               list_sum(list_transform(s, x -> abs(x))) AS sum_abs,
+               list_max(list_transform(s, x -> abs(x))) AS peak,
+               list_sum([ CASE WHEN s[k] * s[k+1] < 0 THEN 1 ELSE 0 END
+                          for k in generate_series(1, len(s) - 1) ])
+                   AS zcross,
+               list_sum(s) AS dc,
+               44 + 2 * n2 * ch AS n_bytes
+        FROM f
+    )
+    SELECT CAST(ch AS BIGINT) AS channels,
+           CAST(rate2 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n2) AS BIGINT) AS sum_frames,
+           CAST(SUM(sum_abs) AS BIGINT) AS sum_abs,
+           CAST(MAX(peak) AS BIGINT) AS max_peak,
+           CAST(SUM(zcross) AS BIGINT) AS sum_zcross,
+           CAST(SUM(dc) AS BIGINT) AS sum_dc,
+           CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+           CAST(0 AS BIGINT) AS n_err
+    FROM g GROUP BY ch, rate2 ORDER BY channels, sample_rate
+    """,
+)
+def multimodal_wav_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio TRANSFORM loop — decode → interleave-aware 2× frame
+    decimation → re-encode at half rate → blind decode
+    (``operators/multimodal.wav_decimate``): the WAV sibling of
+    ``multimodal_thumbnail_stats``. The oracle rebuilds the decimated
+    stream in closed form (flat sample k survives iff its FRAME k//ch
+    is even — a channel-unaware decimator that dropped every 2nd flat
+    sample would shear stereo frames and hash-mismatch immediately) and
+    re-checks Σ|s|/peak/zero-crossings/DC on the kept samples plus the
+    exact 44+2·⌈n/2⌉·ch re-encoded byte length and the halved sample
+    rate. All integers; n_err = 0 pins that every re-encoded payload is
+    itself a valid WAV. Scale: two Arrow-batched codec stages, one
+    6-group aggregate."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        decimate_wav_assets,
+        extract_features,
+        synthesize_wav_assets,
+        wav_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("doc_id") % 48 + 16).cast("int").alias("n_frames"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+        (8000 * (1 + F.col("doc_id") % 3)).cast("int").alias("rate"),
+        (F.col("doc_id") % 97).cast("int").alias("b"),
+    )
+    feats = extract_features(
+        decimate_wav_assets(synthesize_wav_assets(params)),
+        decoder=wav_features,
+    )
+    per = feats.select(
+        F.element_at("feature", 2).cast("bigint").alias("channels"),
+        F.element_at("feature", 1).cast("bigint").alias("sample_rate"),
+        F.element_at("feature", 3).cast("bigint").alias("frames"),
+        F.element_at("feature", 4).cast("bigint").alias("sum_abs"),
+        F.element_at("feature", 5).cast("bigint").alias("peak"),
+        F.element_at("feature", 6).cast("bigint").alias("zcross"),
+        F.element_at("feature", 7).cast("bigint").alias("dc"),
+        F.col("n_bytes"),
+        (
+            (F.col("status") != "ok")
+            | F.col("media_type").endswith("+error")
+        )
+        .cast("int")
+        .alias("err"),
+    )
+    return (
+        per.groupBy("channels", "sample_rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("frames").cast("bigint").alias("sum_frames"),
+            F.sum("sum_abs").cast("bigint").alias("sum_abs"),
+            F.max("peak").cast("bigint").alias("max_peak"),
+            F.sum("zcross").cast("bigint").alias("sum_zcross"),
+            F.sum("dc").cast("bigint").alias("sum_dc"),
+            F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+            F.sum("err").cast("bigint").alias("n_err"),
+        )
+        .orderBy("channels", "sample_rate")
+    )
+
+
 @register("docs_pack_stats", None)  # rows-only: pack layout depends on partitioning
 def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (``operators/packing.py``) summarized: pack count,

@@ -578,3 +578,42 @@ def test_downsample_stage_survives_corrupt_payload(spark):
     }
     assert [float(x) for x in feats[1]["feature"]][:2] == [2.0, 1.0]
     assert feats[2]["status"].startswith("error:")
+
+
+def test_wav_decimate_interleave_aware():
+    """Decimation keeps whole FRAMES: in stereo, samples (L0,R0),
+    (L2,R2)... survive together; a flat-stream decimator would produce
+    (L0, L1, L2, ...) instead."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        wav_decimate,
+        wav_decode,
+        wav_encode,
+    )
+
+    # frames: (1,-1) (2,-2) (3,-3) (4,-4) (5,-5)
+    s = [x for f in range(1, 6) for x in (f, -f)]
+    out = wav_decimate(wav_encode(16000, 2, s))
+    rate, ch, kept = wav_decode(out)
+    assert (rate, ch) == (8000, 2)
+    assert kept == [1, -1, 3, -3, 5, -5]
+    # mono, odd frame count: ceil(n/2) frames survive
+    out1 = wav_decimate(wav_encode(8000, 1, [1, 2, 3, 4, 5]))
+    assert wav_decode(out1) == (4000, 1, [1, 3, 5])
+
+
+def test_wav_decimate_stage_survives_corrupt_payload(spark):
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        decimate_wav_assets,
+        wav_encode,
+    )
+    from clashroyale_datapipeline_agent_spark.schemas import MEDIA_ASSET
+
+    good = wav_encode(8000, 1, [1, -2, 3, -4])
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(good), {}),
+         (2, "audio/wav", bytearray(b"garbage"), {})],
+        MEDIA_ASSET,
+    )
+    out = {r["asset_id"]: r for r in decimate_wav_assets(df).collect()}
+    assert out[1]["media_type"] == "audio/wav"
+    assert out[2]["media_type"] == "audio/wav+error"
