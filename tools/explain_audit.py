@@ -48,6 +48,8 @@ EXPECTED_PYTHON_EVAL = {
     "multimodal_png_decode_stats",
     "multimodal_wav_decode_stats",
     "multimodal_y4m_frame_sample_stats",
+    "multimodal_thumbnail_stats",
+    "multimodal_wav_decimate_stats",
     "docs_pack_stats",
     "docs_pack_stats_det",
 }
