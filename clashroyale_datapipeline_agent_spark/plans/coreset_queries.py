@@ -1,0 +1,608 @@
+"""Round-9 wave 2: selection geometry & affinity — the ops a 100 TB
+curation pass runs when "which documents" stops being a per-row filter
+and becomes a SET question:
+
+- **k-center coreset** (Gonzalez farthest-first traversal): the classic
+  2-approximation coverage coreset — pick the point farthest from
+  everything picked so far.  k linear scans, no pair join; the covering
+  radius sequence it emits is the stopping diagnostic ("radius stopped
+  shrinking → the set is covered").
+- **MMR diversified top-k** (Carbonell & Goldstein 1998): relevance
+  minus redundancy re-ranking over a bounded retrieval pool — the
+  standard fix for near-duplicate retrieval results feeding dedup'd
+  training batches.
+- **Kneser-Ney bigram perplexity per source** (the smoothing KenLM
+  actually ships): continuation-count interpolation, not add-one — the
+  cheap-LM fluency gate CCNet-style pipelines threshold on.
+- **Adamic-Adar co-purchase affinity**: link-prediction over the
+  bipartite customer-part graph — inverse-log-degree-weighted common
+  neighbors, the textbook "related items" candidate generator.
+
+House determinism discipline (SCALE.md "Float-ROUND ledger"):
+
+- k-center distances are EXACT BIGINT sums of squared 1e6-quantized
+  component deltas (max 64·(2e6)² ≈ 2.6e14 « 2⁶³) — the argmax orders
+  by (mind2 DESC, vec_id), total and engine-free; the farthest-first
+  recursion therefore never touches a float.
+- MMR is run on 1e6-scaled INTEGER cosines (one IEEE division+sqrt of
+  exact ints in fixed expression order, then ROUND): the greedy
+  objective 7·rel6 − 3·max(sim6) is pure int64 arithmetic, so the
+  entire selection path is exact.
+- Kneser-Ney probabilities are a SINGLE division of two exact integer
+  products (discount D=3/4 cleared to integers: P = ((4c₁₂−3)·B +
+  3·N1p(w₁)·Ncont(w₂)) / (4c(w₁)·B)); the per-bigram surprisal is
+  1e9-quantized to int64 and weight-summed in decimal(38,0)/HUGEINT.
+- Adamic-Adar weights are 1e9-quantized inverse-log-degrees summed as
+  BIGINT; top-k orders by (aa9 DESC, part_a, part_b).
+
+Scale shape: k-center is k bounded-literal scans (k×dim carrier, the
+``kmeans_lloyd`` convention); MMR touches only a top-20 pool after one
+TakeOrderedAndProject scan; Kneser-Ney scores the DISTINCT-bigram grain
+(multiplicity-weighted, corpus tokenized once — the
+``docs_bigram_lm_surprisal_by_source`` shape); Adamic-Adar prunes to
+2 ≤ degree ≤ 40 baskets before the c-keyed self-join (the documented
+fan-out ceiling: production recsys caps neighbor lists exactly here),
+and the pair agg is a map-side-combinable hash agg on (part_a, part_b).
+
+No reference counterpart (``/root/reference/src`` has no embedding,
+retrieval, or graph surface); these serve the 100 TB training-data
+story alongside selection_queries.py / audit_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
+
+#: house tokenizer, DuckDB side (≡ operators/text.tokens_col)
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " x -> x != '')"
+)
+
+_DIM = 64          #: embedding dimensionality (TESTDATA.md)
+_KC_K = 8          #: k-center coreset size
+_MMR_POOL = 20     #: MMR candidate pool (top-k by query cosine)
+_MMR_K = 5         #: MMR selections
+_AA_MIN_DEG = 2    #: Adamic-Adar: drop single-part customers (ln 1 = 0)
+_AA_MAX_DEG = 40   #: Adamic-Adar basket cap (quadratic fan-out ceiling)
+
+
+# ---------------------------------------------------------------------------
+# shared exact-integer vector helpers
+# ---------------------------------------------------------------------------
+
+def _vq_col() -> Column:
+    """1e6-quantized integer component array of ``embedding``."""
+    return F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("bigint"),
+    )
+
+
+def _least(cols: list[Column]) -> Column:
+    return cols[0] if len(cols) == 1 else F.least(*cols)
+
+
+def _greatest(cols: list[Column]) -> Column:
+    return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+
+def _d2_to_lit(vq: Column, pick: list[int]) -> Column:
+    """Exact squared distance from ``vq`` to a literal quantized vector."""
+    lit = F.array(*[F.lit(int(x)) for x in pick])
+    return F.aggregate(
+        F.zip_with(vq, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sim6_to_lit(vq: Column, na2: Column, pick: list[int], pn2: int) -> Column:
+    """1e6-scaled integer cosine between ``vq`` and a literal vector.
+
+    One IEEE division + sqrt of exact integers in fixed expression
+    order — both engines materialize the identical double, then ROUND
+    lands on the identical int64."""
+    lit = F.array(*[F.lit(int(x)) for x in pick])
+    cr = F.aggregate(
+        F.zip_with(vq, lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.round(
+        F.lit(1000000.0)
+        * cr.cast("double")
+        / F.sqrt(na2.cast("double") * F.lit(float(pn2)))
+    ).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset (Gonzalez farthest-first traversal)
+# ---------------------------------------------------------------------------
+
+def _kcenter_sql() -> str:
+    d2 = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " j -> (v.vq[j] - s.vq[j]) * (v.vq[j] - s.vq[j])))"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, label,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS vq"
+        " FROM embeddings)",
+        "s1 AS (SELECT vec_id, 1 AS step, CAST(0 AS BIGINT) AS mind2, vq"
+        " FROM v WHERE vec_id = 0)",
+    ]
+    for n in range(1, _KC_K):
+        ctes.append(
+            f"m{n} AS (SELECT v.vec_id,"
+            f" CAST(MIN({d2}) AS BIGINT) AS mind2"
+            f" FROM v, s{n} s"
+            f" WHERE v.vec_id NOT IN (SELECT vec_id FROM s{n})"
+            f" GROUP BY v.vec_id)"
+        )
+        ctes.append(
+            f"p{n + 1} AS (SELECT v.vec_id, {n + 1} AS step, m.mind2, v.vq"
+            f" FROM m{n} m JOIN v USING (vec_id)"
+            f" ORDER BY m.mind2 DESC, v.vec_id ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"s{n + 1} AS (SELECT * FROM s{n}"
+            f" UNION ALL SELECT * FROM p{n + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT CAST(s.step AS BIGINT) AS step,
+           CAST(s.vec_id AS BIGINT) AS vec_id,
+           CAST(v.label AS BIGINT) AS label,
+           s.mind2
+    FROM s{_KC_K} s JOIN v USING (vec_id)
+    ORDER BY step
+    """
+    )
+
+
+@register("embeddings_kcenter_coreset", _kcenter_sql())
+def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-first k-center coreset (k=8, seed = vec_id 0):
+    each round picks the vector maximizing its distance to the selected
+    set — the classic 2-approximate coverage coreset for embedding-space
+    data selection, and ``mind2`` per step is the covering-radius
+    sequence a curator reads to choose k. All distances are exact BIGINT
+    sums over 1e6-quantized components, so the greedy recursion is
+    engine-free; ties break on vec_id. Scale: k−1 linear scans, each an
+    in-row ``least`` over ≤k literal vectors (k×dim bounded carrier, the
+    ``kmeans_lloyd`` convention) feeding one TakeOrderedAndProject — no
+    pair join, no quadratic term anywhere."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vq_col().alias("vq")
+    )
+    seed = v.filter(F.col("vec_id") == 0).select("vq").collect()[0][0]
+    picks: list[tuple[int, list[int]]] = [(0, [int(x) for x in seed])]
+    for _ in range(_KC_K - 1):
+        cand = v.filter(
+            ~F.col("vec_id").isin([p[0] for p in picks])
+        ).select(
+            "vec_id",
+            _least(
+                [_d2_to_lit(F.col("vq"), p[1]) for p in picks]
+            ).alias("mind2"),
+            "vq",
+        )
+        row = (
+            cand.orderBy(F.desc("mind2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((int(row["vec_id"]), [int(x) for x in row["vq"]]))
+
+    step_expr = F.lit(None).cast("bigint")
+    mind2_expr = F.lit(None).cast("bigint")
+    for i, (vid, _) in enumerate(picks):
+        step_expr = F.when(
+            F.col("vec_id") == vid, F.lit(i + 1).cast("bigint")
+        ).otherwise(step_expr)
+        prior = [p[1] for p in picks[:i]]
+        md = (
+            F.lit(0).cast("bigint")
+            if not prior
+            else _least([_d2_to_lit(F.col("vq"), p) for p in prior])
+        )
+        mind2_expr = F.when(F.col("vec_id") == vid, md).otherwise(mind2_expr)
+    return (
+        v.filter(F.col("vec_id").isin([p[0] for p in picks]))
+        .select(
+            step_expr.alias("step"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("label").cast("bigint").alias("label"),
+            mind2_expr.alias("mind2"),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k
+# ---------------------------------------------------------------------------
+
+def _mmr_sql() -> str:
+    gs = "generate_series(1, 64)"
+    sim6 = (
+        "CAST(ROUND(1000000.0 * CAST(list_sum(list_transform("
+        f"{gs}, j -> p.vq[j] * g.vq[j])) AS DOUBLE)"
+        " / sqrt(CAST(p.na2 AS DOUBLE) * CAST(g.na2 AS DOUBLE)))"
+        " AS BIGINT)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS vq"
+        " FROM embeddings)",
+        "n2 AS (SELECT vec_id, vq,"
+        " CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS na2"
+        " FROM v)",
+        "q AS (SELECT vq AS qv, na2 AS qn2 FROM n2 WHERE vec_id = 0)",
+        "scored AS (SELECT e.vec_id, e.vq, e.na2,"
+        " CAST(ROUND(1000000.0 * CAST(list_sum(list_transform("
+        f"{gs}, j -> e.vq[j] * q.qv[j])) AS DOUBLE)"
+        " / sqrt(CAST(e.na2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)))"
+        " AS BIGINT) AS rel6"
+        " FROM n2 e, q WHERE e.vec_id <> 0)",
+        f"pool AS (SELECT * FROM scored"
+        f" ORDER BY rel6 DESC, vec_id ASC LIMIT {_MMR_POOL})",
+        "g1 AS (SELECT vec_id, vq, na2, rel6,"
+        " CAST(7 * rel6 AS BIGINT) AS mmr6, 1 AS step FROM pool"
+        " ORDER BY rel6 DESC, vec_id ASC LIMIT 1)",
+    ]
+    for n in range(1, _MMR_K):
+        ctes.append(
+            f"c{n} AS (SELECT p.vec_id, p.vq, p.na2, p.rel6,"
+            f" MAX({sim6}) AS msim6"
+            f" FROM pool p, g{n} g"
+            f" WHERE p.vec_id NOT IN (SELECT vec_id FROM g{n})"
+            f" GROUP BY p.vec_id, p.vq, p.na2, p.rel6)"
+        )
+        ctes.append(
+            f"t{n + 1} AS (SELECT vec_id, vq, na2, rel6,"
+            f" CAST(7 * rel6 - 3 * msim6 AS BIGINT) AS mmr6,"
+            f" {n + 1} AS step FROM c{n}"
+            f" ORDER BY mmr6 DESC, vec_id ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"g{n + 1} AS (SELECT * FROM g{n}"
+            f" UNION ALL SELECT * FROM t{n + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT CAST(step AS BIGINT) AS step,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           rel6, mmr6
+    FROM g{_MMR_K}
+    ORDER BY step
+    """
+    )
+
+
+@register("embeddings_mmr_diverse_topk", _mmr_sql())
+def embeddings_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (λ=0.7) of the top-20
+    cosine pool for the vec_id=0 query: greedily pick argmax of
+    0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s) — the standard
+    redundancy-suppressing selector for retrieval results feeding
+    training batches (Carbonell & Goldstein 1998). Run entirely on
+    1e6-scaled INTEGER cosines (×10: 7·rel6 − 3·msim6), so the greedy
+    path is exact int64 arithmetic with vec_id tiebreaks. Scale: one
+    full scan ends at TakeOrderedAndProject(pool=20); the k−1 greedy
+    rounds touch only the 20-row pool against ≤k literal picks — the
+    re-rank cost is independent of corpus size."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vq_col().alias("vq")
+    )
+    n2 = e.select(
+        "vec_id",
+        "vq",
+        F.aggregate(
+            F.transform(F.col("vq"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("na2"),
+    )
+    qrow = n2.filter(F.col("vec_id") == 0).select("vq", "na2").collect()[0]
+    qv, qn2 = [int(x) for x in qrow["vq"]], int(qrow["na2"])
+    pool = (
+        n2.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "vq",
+            "na2",
+            _sim6_to_lit(F.col("vq"), F.col("na2"), qv, qn2).alias("rel6"),
+        )
+        .orderBy(F.desc("rel6"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+    )
+    first = pool.orderBy(F.desc("rel6"), F.asc("vec_id")).limit(1).collect()[0]
+    picks = [
+        (int(first["vec_id"]), [int(x) for x in first["vq"]], int(first["na2"]))
+    ]
+    for _ in range(_MMR_K - 1):
+        msim = _greatest(
+            [
+                _sim6_to_lit(F.col("vq"), F.col("na2"), p[1], p[2])
+                for p in picks
+            ]
+        )
+        cand = pool.filter(
+            ~F.col("vec_id").isin([p[0] for p in picks])
+        ).select(
+            "vec_id",
+            "vq",
+            "na2",
+            (7 * F.col("rel6") - 3 * msim).alias("mmr6"),
+        )
+        row = (
+            cand.orderBy(F.desc("mmr6"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append(
+            (int(row["vec_id"]), [int(x) for x in row["vq"]], int(row["na2"]))
+        )
+
+    step_expr = F.lit(None).cast("bigint")
+    mmr_expr = F.lit(None).cast("bigint")
+    for i, (vid, _, _) in enumerate(picks):
+        step_expr = F.when(
+            F.col("vec_id") == vid, F.lit(i + 1).cast("bigint")
+        ).otherwise(step_expr)
+        prior = picks[:i]
+        if not prior:
+            m = (7 * F.col("rel6")).cast("bigint")
+        else:
+            ms = _greatest(
+                [
+                    _sim6_to_lit(F.col("vq"), F.col("na2"), p[1], p[2])
+                    for p in prior
+                ]
+            )
+            m = (7 * F.col("rel6") - 3 * ms).cast("bigint")
+        mmr_expr = F.when(F.col("vec_id") == vid, m).otherwise(mmr_expr)
+    return (
+        pool.filter(F.col("vec_id").isin([p[0] for p in picks]))
+        .select(
+            step_expr.alias("step"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "rel6",
+            mmr_expr.alias("mmr6"),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram perplexity per source
+# ---------------------------------------------------------------------------
+
+_KN_SQL = f"""
+    WITH base AS (
+        SELECT source, {_TOKS} AS ts FROM documents
+    ), big AS (
+        SELECT source,
+               unnest(ts[:len(ts) - 1]) AS w1,
+               unnest(ts[2:]) AS w2
+        FROM base WHERE len(ts) >= 2
+    ), k AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM big GROUP BY source, w1, w2
+    ), c12 AS (
+        SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM k GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1p
+        FROM c12 GROUP BY w1
+    ), cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM c12 GROUP BY w2
+    ), nbt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c12
+    ), scored AS (
+        SELECT k.source, k.k,
+               CAST(ROUND(-ln(
+                   CAST((4 * c12.c12 - 3) * CAST(nbt.b AS HUGEINT)
+                        + 3 * CAST(c1.n1p AS HUGEINT) * cont.ncont
+                        AS DOUBLE)
+                   / CAST(4 * CAST(c1.c1 AS HUGEINT) * nbt.b AS DOUBLE)
+               ) * 1000000000.0) AS BIGINT) AS s9
+        FROM k
+        JOIN c12 ON k.w1 = c12.w1 AND k.w2 = c12.w2
+        JOIN c1 ON k.w1 = c1.w1
+        JOIN cont ON k.w2 = cont.w2
+        CROSS JOIN nbt
+    )
+    SELECT source,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(k AS HUGEINT) * s9) AS DOUBLE)
+                 / (CAST(SUM(k) AS DOUBLE) * 1000000000.0), 4)
+               AS avg_kn_surprisal,
+           ROUND(exp(ROUND(CAST(SUM(CAST(k AS HUGEINT) * s9) AS DOUBLE)
+                 / (CAST(SUM(k) AS DOUBLE) * 1000000000.0), 4)), 2)
+               AS perplexity
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_kneser_ney_bigram_ppl_by_source", _KN_SQL)
+def docs_kneser_ney_bigram_ppl_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean surprisal and perplexity per source under an INTERPOLATED
+    KNESER-NEY bigram LM (absolute discount D=3/4) trained on the
+    corpus itself — the smoothing KenLM actually ships, and the upgrade
+    over ``docs_bigram_lm_surprisal_by_source``'s add-one baseline:
+    P(w₂|w₁) = (c(w₁w₂)−D)/c(w₁) + D·N1p(w₁)/c(w₁) · Ncont(w₂)/B,
+    with N1p(w₁) = distinct continuations of w₁, Ncont(w₂) = distinct
+    contexts of w₂, B = distinct bigram types. Every scored bigram is
+    seen (c₁₂ ≥ 1 > D), so the discounted term never clips.
+
+    Determinism: D=3/4 clears to a SINGLE division of two exact integer
+    products — P = ((4c₁₂−3)·B + 3·N1p·Ncont) / (4c(w₁)·B) — computed
+    in decimal(38,0)/HUGEINT (c₁₂, B ≤ ~1e12 at 100 TB keeps products
+    under 38 digits); the per-bigram −ln is 1e9-quantized to int64 and
+    multiplicity-weighted in exact arithmetic, so both engines
+    materialize bit-identical readouts. Scale: scored grain is DISTINCT
+    (source, w₁, w₂) with multiplicity — the corpus is tokenized once,
+    and the three count tables re-aggregate that grain; B is a 1-row
+    broadcast scalar."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("source", tokens_col(F.lower(F.col("text"))).alias("ts"))
+    n = F.size("ts")
+    big = (
+        base.filter(n >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, n - 1),
+                    F.slice(F.col("ts"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("source", "bg.w1", "bg.w2")
+    )
+    k = big.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    c12 = k.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ncont")
+    )
+    nbt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    dec = "decimal(38,0)"
+    num = (
+        (4 * F.col("c12") - 3).cast(dec) * F.col("b").cast(dec)
+        + F.lit(3).cast(dec) * F.col("n1p").cast(dec) * F.col("ncont").cast(dec)
+    ).cast("double")
+    den = (
+        F.lit(4).cast(dec) * F.col("c1").cast(dec) * F.col("b").cast(dec)
+    ).cast("double")
+    scored = (
+        k.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "source",
+            "k",
+            F.round(-F.ln(num / den) * 1000000000.0)
+            .cast("bigint")
+            .alias("s9"),
+        )
+    )
+    mean = F.sum(F.col("k").cast(dec) * F.col("s9")).cast("double") / (
+        F.sum("k").cast("double") * 1000000000.0
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(mean, 4).alias("avg_kn_surprisal"),
+            F.round(F.exp(F.round(mean, 4)), 2).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar co-purchase affinity
+# ---------------------------------------------------------------------------
+
+_AA_SQL = f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM cp GROUP BY c
+    ), w AS (
+        SELECT c,
+               CAST(ROUND(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+                   AS w9
+        FROM deg WHERE d BETWEEN {_AA_MIN_DEG} AND {_AA_MAX_DEG}
+    ), pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, w.w9
+        FROM cp a
+        JOIN cp b ON a.c = b.c AND a.p < b.p
+        JOIN w ON a.c = w.c
+    )
+    SELECT CAST(part_a AS BIGINT) AS part_a,
+           CAST(part_b AS BIGINT) AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(w9) AS BIGINT) AS aa9
+    FROM pairs
+    GROUP BY part_a, part_b
+    ORDER BY aa9 DESC, part_a ASC, part_b ASC
+    LIMIT 20
+"""
+
+
+@register("orders_adamic_adar_topk", _AA_SQL)
+def orders_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the bipartite customer-part
+    co-purchase graph: for each part pair, sum 1/ln(degree) over shared
+    customers — the inverse-log-degree weighting that discounts
+    promiscuous hubs, the textbook "related items" candidate generator.
+    Weights are 1e9-quantized int64 per customer, so the pair score is
+    an exact BIGINT sum with (part_a, part_b) tiebreaks under LIMIT.
+    Scale: the quadratic term is the per-customer basket pairing,
+    pruned to {_AA_MIN_DEG} ≤ degree ≤ {_AA_MAX_DEG} BEFORE the
+    self-join (the documented fan-out ceiling — production recsys caps
+    neighbor lists exactly here; the cap census is one cheap agg);
+    both cp legs and w share the c-key partitioning so AQE plans one
+    shuffle family, and the (part_a, part_b) agg is map-side
+    combinable into TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    cp = o.join(li, "ok").select("c", "p").distinct()
+    deg = cp.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    w = deg.filter(
+        (F.col("d") >= _AA_MIN_DEG) & (F.col("d") <= _AA_MAX_DEG)
+    ).select(
+        "c",
+        F.round(F.lit(1000000000.0) / F.log(F.col("d").cast("double")))
+        .cast("bigint")
+        .alias("w9"),
+    )
+    a = cp.select("c", F.col("p").alias("part_a"))
+    b = cp.select("c", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(w, "c")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w9").cast("bigint").alias("aa9"),
+        )
+        .select(
+            F.col("part_a").cast("bigint").alias("part_a"),
+            F.col("part_b").cast("bigint").alias("part_b"),
+            "n_common",
+            "aa9",
+        )
+        .orderBy(F.desc("aa9"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

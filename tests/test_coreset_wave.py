@@ -1,0 +1,225 @@
+"""Round-9 wave 2 (plans/coreset_queries.py) vs pure-Python oracles.
+
+Each query is re-derived at sf0.001 with plain Python over the same
+parquet (pyarrow + math only — no Spark, no DuckDB), so a bug shared
+by the Spark plan and its DuckDB oracle SQL cannot hide here."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR
+
+from clashroyale_datapipeline_agent_spark.plans import coreset_queries as cq
+
+
+def _vecs() -> dict[int, tuple[list[int], int]]:
+    """vec_id -> (1e6-quantized components, label)."""
+    t = pq.read_table(SF_DIR + "/embeddings.parquet")
+    out = {}
+    for vid, emb, lab in zip(
+        t.column("vec_id").to_pylist(),
+        t.column("embedding").to_pylist(),
+        t.column("label").to_pylist(),
+    ):
+        out[int(vid)] = (
+            [int(round(float(x) * 1000000.0)) for x in emb],
+            int(lab),
+        )
+    return out
+
+
+def _d2(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _sim6(a: list[int], b: list[int]) -> int:
+    cr = sum(x * y for x, y in zip(a, b))
+    na2 = sum(x * x for x in a)
+    nb2 = sum(x * x for x in b)
+    return int(round(1000000.0 * float(cr) / math.sqrt(float(na2) * float(nb2))))
+
+
+def test_kcenter_matches_pure_python_greedy(spark):
+    vecs = _vecs()
+    picks = [0]
+    expect = [(1, 0, vecs[0][1], 0)]
+    for step in range(2, cq._KC_K + 1):
+        best = None
+        for vid, (vq, _) in vecs.items():
+            if vid in picks:
+                continue
+            mind2 = min(_d2(vq, vecs[p][0]) for p in picks)
+            key = (-mind2, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, mind2)
+        picks.append(best[1])
+        expect.append((step, best[1], vecs[best[1]][1], best[2]))
+
+    got = [
+        (int(r["step"]), int(r["vec_id"]), int(r["label"]), int(r["mind2"]))
+        for r in cq.embeddings_kcenter_coreset(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_kcenter_radius_sequence_nonincreasing(spark):
+    rows = cq.embeddings_kcenter_coreset(spark, SF_DIR).collect()
+    radii = [int(r["mind2"]) for r in rows[1:]]  # step 1 is the seed (0)
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert len({int(r["vec_id"]) for r in rows}) == cq._KC_K
+
+
+def test_mmr_matches_pure_python_greedy(spark):
+    vecs = _vecs()
+    q = vecs[0][0]
+    rel = {
+        vid: _sim6(vq, q) for vid, (vq, _) in vecs.items() if vid != 0
+    }
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[: cq._MMR_POOL]
+    picks = [min(pool, key=lambda v: (-rel[v], v))]
+    expect = [(1, picks[0], rel[picks[0]], 7 * rel[picks[0]])]
+    for step in range(2, cq._MMR_K + 1):
+        best = None
+        for vid in pool:
+            if vid in picks:
+                continue
+            msim = max(_sim6(vecs[vid][0], vecs[p][0]) for p in picks)
+            mmr = 7 * rel[vid] - 3 * msim
+            key = (-mmr, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, mmr)
+        picks.append(best[1])
+        expect.append((step, best[1], rel[best[1]], best[2]))
+
+    got = [
+        (int(r["step"]), int(r["vec_id"]), int(r["rel6"]), int(r["mmr6"]))
+        for r in cq.embeddings_mmr_diverse_topk(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_mmr_first_pick_is_most_relevant_and_rest_tradeoff(spark):
+    rows = cq.embeddings_mmr_diverse_topk(spark, SF_DIR).collect()
+    assert int(rows[0]["mmr6"]) == 7 * int(rows[0]["rel6"])
+    # later picks: mmr6 = 7*rel6 - 3*msim6 with |msim6| <= 1e6
+    for r in rows[1:]:
+        assert abs(int(r["mmr6"]) - 7 * int(r["rel6"])) <= 3 * 1000000
+    assert len({int(r["vec_id"]) for r in rows}) == len(rows)
+
+
+def _kn_model():
+    """Global KN bigram counts from the sf0.001 documents."""
+    t = pq.read_table(SF_DIR + "/documents.parquet")
+    per_source: dict[tuple[str, str, str], int] = {}
+    for src, text in zip(
+        t.column("source").to_pylist(), t.column("text").to_pylist()
+    ):
+        ts = [w for w in text.lower().strip().split() if w]
+        for w1, w2 in zip(ts, ts[1:]):
+            key = (src, w1, w2)
+            per_source[key] = per_source.get(key, 0) + 1
+    c12: dict[tuple[str, str], int] = {}
+    for (_, w1, w2), k in per_source.items():
+        c12[(w1, w2)] = c12.get((w1, w2), 0) + k
+    c1: dict[str, int] = {}
+    n1p: dict[str, int] = {}
+    ncont: dict[str, int] = {}
+    for (w1, w2), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1p[w1] = n1p.get(w1, 0) + 1
+        ncont[w2] = ncont.get(w2, 0) + 1
+    return per_source, c12, c1, n1p, ncont, len(c12)
+
+
+def test_kneser_ney_matches_pure_python(spark):
+    per_source, c12, c1, n1p, ncont, b = _kn_model()
+    agg: dict[str, tuple[int, int]] = {}
+    for (src, w1, w2), k in per_source.items():
+        num = (4 * c12[(w1, w2)] - 3) * b + 3 * n1p[w1] * ncont[w2]
+        den = 4 * c1[w1] * b
+        s9 = int(round(-math.log(float(num) / float(den)) * 1e9))
+        nk, ns = agg.get(src, (0, 0))
+        agg[src] = (nk + k, ns + k * s9)
+    expect = {
+        src: (
+            nk,
+            round(float(ns) / (float(nk) * 1e9), 4),
+            round(math.exp(round(float(ns) / (float(nk) * 1e9), 4)), 2),
+        )
+        for src, (nk, ns) in agg.items()
+    }
+    got = {
+        r["source"]: (
+            int(r["n_bigrams"]),
+            float(r["avg_kn_surprisal"]),
+            float(r["perplexity"]),
+        )
+        for r in cq.docs_kneser_ney_bigram_ppl_by_source(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_kneser_ney_seen_mass_at_most_one(spark):
+    """For every context w1, the KN probability mass over SEEN
+    continuations is <= 1 (the held-out remainder goes to unseen w2)."""
+    _, c12, c1, n1p, ncont, b = _kn_model()
+    by_w1: dict[str, float] = {}
+    for (w1, w2), c in c12.items():
+        p = ((4 * c - 3) * b + 3 * n1p[w1] * ncont[w2]) / (4 * c1[w1] * b)
+        assert 0.0 < p <= 1.0
+        by_w1[w1] = by_w1.get(w1, 0.0) + p
+    assert max(by_w1.values()) <= 1.0 + 1e-9
+
+
+def test_adamic_adar_matches_pure_python(spark):
+    ords = pq.read_table(SF_DIR + "/orders.parquet")
+    li = pq.read_table(SF_DIR + "/lineitem.parquet")
+    cust_of = dict(
+        zip(
+            ords.column("o_orderkey").to_pylist(),
+            ords.column("o_custkey").to_pylist(),
+        )
+    )
+    cp = set()
+    for ok, p in zip(
+        li.column("l_orderkey").to_pylist(),
+        li.column("l_partkey").to_pylist(),
+    ):
+        cp.add((int(cust_of[ok]), int(p)))
+    parts_of: dict[int, list[int]] = {}
+    for c, p in cp:
+        parts_of.setdefault(c, []).append(p)
+    scores: dict[tuple[int, int], tuple[int, int]] = {}
+    for c, ps in parts_of.items():
+        d = len(ps)
+        if not (cq._AA_MIN_DEG <= d <= cq._AA_MAX_DEG):
+            continue
+        w9 = int(round(1e9 / math.log(float(d))))
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                key = (ps[i], ps[j])
+                n, s = scores.get(key, (0, 0))
+                scores[key] = (n + 1, s + w9)
+    expect = sorted(
+        ((k[0], k[1], n, s) for k, (n, s) in scores.items()),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:20]
+    got = [
+        (int(r["part_a"]), int(r["part_b"]), int(r["n_common"]), int(r["aa9"]))
+        for r in cq.orders_adamic_adar_topk(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+@pytest.mark.parametrize("d", [2, 3, 10, 40])
+def test_adamic_adar_weight_monotone_in_degree(d):
+    w = int(round(1e9 / math.log(float(d))))
+    w_next = int(round(1e9 / math.log(float(d + 1))))
+    assert w > w_next > 0
