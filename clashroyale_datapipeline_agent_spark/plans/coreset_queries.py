@@ -17,6 +17,16 @@ and becomes a SET question:
 - **Adamic-Adar co-purchase affinity**: link-prediction over the
   bipartite customer-part graph — inverse-log-degree-weighted common
   neighbors, the textbook "related items" candidate generator.
+- **Frequent 3-sequence mining** (PrefixSpan's bread-and-butter grain):
+  consecutive event-type triples per user with distinct-user support —
+  the sequence analog of the Markov-transition table.
+- **Pareto quality front** (size vs lexical diversity): the
+  non-dominated document set, computed at the DISTINCT-x grain (hash
+  agg → tiny suffix-max window → semi-join back) instead of a
+  quadratic dominance join.
+- **Covariance participation ratio** (effective rank): the
+  embedding-collapse diagnostic tr(C)²/tr(C²), computed from EXACT
+  integer Gram sums so the spectral readout is engine-free.
 
 House determinism discipline (SCALE.md "Float-ROUND ledger"):
 
@@ -51,7 +61,7 @@ story alongside selection_queries.py / audit_queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
@@ -605,4 +615,262 @@ def orders_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("aa9"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# frequent 3-sequence mining over user event streams
+# ---------------------------------------------------------------------------
+
+_SEQ3_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type AS t1,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS t2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS t3
+        FROM events
+    )
+    SELECT t1, t2, t3,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM seq
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n_users DESC, n_occurrences DESC, t1, t2, t3
+    LIMIT 20
+"""
+
+
+@register("events_freq_3seq_topk", _SEQ3_SQL)
+def events_freq_3seq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent consecutive event-type 3-sequences with distinct-user
+    support — the working grain of sequential-pattern mining
+    (PrefixSpan/GSP's contiguous special case) and the length-3 upgrade
+    of ``events_markov_transitions``: support = how many users ever
+    produce the triple, not just how often it occurs. Sequence order is
+    the house total order (ts, event_id). Scale: one shuffle on
+    user_id, two lead() columns inside the same window pass, then a
+    hash agg whose key space is |event_types|³ — bounded and map-side
+    combinable; the distinct-user count is a partial-agg on
+    (triple, user) first, never a row explosion."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(
+            F.desc("n_users"),
+            F.desc("n_occurrences"),
+            "t1",
+            "t2",
+            "t3",
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto quality front: document size vs lexical diversity
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS x,
+               CAST(ROUND(1000000.0
+                    * CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                    / CAST(len({_TOKS}) AS DOUBLE)) AS BIGINT) AS y
+        FROM documents
+        WHERE len({_TOKS}) > 0
+    ), g AS (
+        SELECT x, MAX(y) AS ymax FROM m GROUP BY x
+    ), f AS (
+        SELECT x, ymax,
+               COALESCE(MAX(ymax) OVER (
+                   ORDER BY x ASC
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ), -1) AS sufmax
+        FROM g
+    )
+    SELECT m.doc_id, m.x AS n_tokens, m.y AS ttr6
+    FROM m JOIN f ON m.x = f.x AND m.y = f.ymax
+    WHERE f.ymax > f.sufmax
+    ORDER BY n_tokens DESC, doc_id ASC
+"""
+
+
+@register("docs_pareto_quality_front", _PARETO_SQL)
+def docs_pareto_quality_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto-optimal document set on (token count, type-token
+    ratio): a doc is on the front iff no other doc is at least as long
+    AND at least as lexically diverse with one strict — the
+    non-dominated "biggest and cleanest" candidates a budgeted
+    selection pass keeps first. NOT a quadratic dominance join: metrics
+    reduce to the DISTINCT-x grain (one hash agg, key space bounded by
+    max document length), the front test is a suffix-max window over
+    that tiny grain (keep x iff ymax(x) > max of ymax over all larger
+    x — strict, so equal-(x,y) duplicates all survive, matching strict
+    dominance), and front membership semi-joins back to doc grain.
+    ttr6 is 1e6-scaled from one IEEE division of exact ints."""
+    d = _t(spark, sf_dir, "documents")
+    ts = tokens_col(F.lower(F.col("text")))
+    m = d.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("x"),
+        F.round(
+            F.lit(1000000.0)
+            * F.size(F.array_distinct(ts)).cast("double")
+            / F.size(ts).cast("double")
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).filter(F.col("x") > 0)
+    g = m.groupBy("x").agg(F.max("y").alias("ymax"))
+    w = Window.orderBy(F.asc("x")).rangeBetween(1, Window.unboundedFollowing)
+    f = (
+        g.select(
+            F.col("x").alias("fx"),
+            F.col("ymax").alias("fy"),
+            F.coalesce(F.max("ymax").over(w), F.lit(-1)).alias("sufmax"),
+        )
+        .filter(F.col("fy") > F.col("sufmax"))
+        .select("fx", "fy")
+    )
+    return (
+        m.join(
+            F.broadcast(f),
+            (F.col("x") == F.col("fx")) & (F.col("y") == F.col("fy")),
+        )
+        .select(
+            "doc_id",
+            F.col("x").alias("n_tokens"),
+            F.col("y").alias("ttr6"),
+        )
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# covariance participation ratio (effective rank)
+# ---------------------------------------------------------------------------
+
+_PR_SQL = f"""
+    WITH dims AS (
+        SELECT unnest(generate_series(1, {_DIM})) AS i
+    ), pe AS (
+        SELECT vec_id, dims.i,
+               CAST(ROUND(CAST(embedding[dims.i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS vq
+        FROM embeddings, dims
+    ), s1 AS (
+        SELECT i, SUM(vq) AS s, COUNT(*) AS n FROM pe GROUP BY i
+    ), gram AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(CAST(a.vq AS HUGEINT) * b.vq) AS sij
+        FROM pe a JOIN pe b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), c AS (
+        SELECT g.i, g.j,
+               g.sij * (SELECT MAX(n) FROM s1)
+                   - CAST(sa.s AS HUGEINT) * sb.s AS cij
+        FROM gram g
+        JOIN s1 sa ON g.i = sa.i
+        JOIN s1 sb ON g.j = sb.i
+    )
+    SELECT CAST((SELECT MAX(n) FROM s1) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CASE WHEN i = j THEN cij ELSE 0 END) AS DOUBLE)
+                     * CAST(SUM(CASE WHEN i = j THEN cij ELSE 0 END)
+                            AS DOUBLE)
+                 / CAST(SUM(cij * cij) AS DOUBLE), 4) AS eff_rank,
+           ROUND(CAST(SUM(CASE WHEN i = j THEN cij ELSE 0 END) AS DOUBLE)
+                     * CAST(SUM(CASE WHEN i = j THEN cij ELSE 0 END)
+                            AS DOUBLE)
+                 / (CAST(SUM(cij * cij) AS DOUBLE) * {_DIM}), 4)
+               AS eff_rank_frac
+    FROM c
+"""
+
+
+@register("embeddings_effective_rank_stats", _PR_SQL)
+def embeddings_effective_rank_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Participation ratio of the embedding covariance — the standard
+    representation-collapse diagnostic: eff_rank = tr(C)² / tr(C²)
+    (≈1 when variance collapses to one direction, ≈dim when isotropic;
+    the Frobenius/spectral readout behind "dimensional collapse" audits
+    of contrastive encoders). Scale factors cancel in the ratio, so it
+    is computed on UNNORMALIZED integer moments: with 1e6-quantized
+    components, c_ij = n·S_ij − s_i·s_j over exact Gram sums S_ij and
+    component sums s_i — decimal(38,0)/HUGEINT end to end (|c_ij| ≤
+    n²·1e12, squared ≤ 1e38-headroom at the 100 TB row count), one
+    IEEE division at the very end. Scale: the quadratic term is
+    per-vector dim² product pairs feeding ONE hash agg with a FIXED
+    dim²=4096-key space (map-side combinable, state independent of
+    corpus size); everything after the Gram agg is driver-trivial."""
+    e = _t(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id", F.posexplode(_vq_col()).alias("pos", "vq")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "vq")
+    s1 = pe.groupBy("i").agg(
+        F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dec = "decimal(38,0)"
+    gram = (
+        pe.alias("a")
+        .join(pe.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.col("a.vq").cast(dec) * F.col("b.vq").cast(dec)).alias(
+                "sij"
+            )
+        )
+    )
+    nrow = s1.agg(F.max("n").alias("n"))
+    c = (
+        gram.join(
+            F.broadcast(s1.select(F.col("i"), F.col("s").alias("sa"))), "i"
+        )
+        .join(
+            F.broadcast(
+                s1.select(F.col("i").alias("j"), F.col("s").alias("sb"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                F.col("sij") * F.col("n").cast(dec)
+                - F.col("sa").cast(dec) * F.col("sb").cast(dec)
+            ).alias("cij"),
+        )
+    )
+    tr = F.sum(F.when(F.col("i") == F.col("j"), F.col("cij")).otherwise(0))
+    fro2 = F.sum(F.col("cij") * F.col("cij"))
+    return c.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.round(
+            tr.cast("double") * tr.cast("double") / fro2.cast("double"), 4
+        ).alias("eff_rank"),
+        F.round(
+            tr.cast("double")
+            * tr.cast("double")
+            / (fro2.cast("double") * _DIM),
+            4,
+        ).alias("eff_rank_frac"),
     )

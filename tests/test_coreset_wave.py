@@ -223,3 +223,109 @@ def test_adamic_adar_weight_monotone_in_degree(d):
     w = int(round(1e9 / math.log(float(d))))
     w_next = int(round(1e9 / math.log(float(d + 1))))
     assert w > w_next > 0
+
+
+def test_freq_3seq_matches_pure_python(spark):
+    t = pq.read_table(SF_DIR + "/events.parquet")
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    by_user: dict[int, list[str]] = {}
+    for u, _, _, et in rows:
+        by_user.setdefault(int(u), []).append(et)
+    support: dict[tuple[str, str, str], set[int]] = {}
+    occ: dict[tuple[str, str, str], int] = {}
+    for u, seq in by_user.items():
+        for tri in zip(seq, seq[1:], seq[2:]):
+            support.setdefault(tri, set()).add(u)
+            occ[tri] = occ.get(tri, 0) + 1
+    expect = sorted(
+        (
+            (k[0], k[1], k[2], len(s), occ[k])
+            for k, s in support.items()
+        ),
+        key=lambda r: (-r[3], -r[4], r[0], r[1], r[2]),
+    )[:20]
+    got = [
+        (
+            r["t1"],
+            r["t2"],
+            r["t3"],
+            int(r["n_users"]),
+            int(r["n_occurrences"]),
+        )
+        for r in cq.events_freq_3seq_topk(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_pareto_front_matches_pure_python(spark):
+    t = pq.read_table(SF_DIR + "/documents.parquet")
+    pts = []
+    for did, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        ts = [w for w in text.lower().strip().split() if w]
+        if not ts:
+            continue
+        x = len(ts)
+        y = int(round(1000000.0 * float(len(set(ts))) / float(x)))
+        pts.append((int(did), x, y))
+    front = [
+        (d, x, y)
+        for d, x, y in pts
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for _, x2, y2 in pts
+        )
+    ]
+    expect = sorted(front, key=lambda r: (-r[1], r[0]))
+    got = [
+        (int(r["doc_id"]), int(r["n_tokens"]), int(r["ttr6"]))
+        for r in cq.docs_pareto_quality_front(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    assert len(got) >= 1
+
+
+def test_effective_rank_matches_pure_python(spark):
+    vecs = _vecs()
+    n = len(vecs)
+    dim = cq._DIM
+    s = [0] * dim
+    gram = [[0] * dim for _ in range(dim)]
+    for vq, _ in vecs.values():
+        for i in range(dim):
+            s[i] += vq[i]
+        for i in range(dim):
+            vi = vq[i]
+            gi = gram[i]
+            for j in range(dim):
+                gi[j] += vi * vq[j]
+    tr = 0
+    fro2 = 0
+    for i in range(dim):
+        for j in range(dim):
+            cij = n * gram[i][j] - s[i] * s[j]
+            fro2 += cij * cij
+            if i == j:
+                tr += cij
+    expect = (
+        n,
+        round(float(tr) * float(tr) / float(fro2), 4),
+        round(float(tr) * float(tr) / (float(fro2) * dim), 4),
+    )
+    r = cq.embeddings_effective_rank_stats(spark, SF_DIR).collect()[0]
+    got = (
+        int(r["n_vectors"]),
+        float(r["eff_rank"]),
+        float(r["eff_rank_frac"]),
+    )
+    assert got == expect
+    assert 1.0 <= got[1] <= dim
