@@ -921,3 +921,127 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((r - mu) / sig, 4).alias("z_stat"),
         (F.abs((r - mu) / sig) > 1.96).alias("reject_random"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint: optimal single split of the daily series
+# ---------------------------------------------------------------------------
+
+_BSEG_SQL = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sq
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT d,
+               SUM(n) OVER w AS nl,
+               SUM(sq) OVER w AS sl
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), tot AS (
+        SELECT SUM(n) AS nt, SUM(sq) AS st FROM daily
+    ), scored AS (
+        SELECT c.d, c.nl, t.nt - c.nl AS nr, c.sl, t.st - c.sl AS sr,
+               CAST((CAST(c.sl AS HUGEINT) * (t.nt - c.nl)
+                     - CAST(t.st - c.sl AS HUGEINT) * c.nl)
+                    * (CAST(c.sl AS HUGEINT) * (t.nt - c.nl)
+                       - CAST(t.st - c.sl AS HUGEINT) * c.nl)
+                    AS DOUBLE)
+                   / (CAST(c.nl AS DOUBLE) * (t.nt - c.nl)) AS bss
+        FROM cum c, tot t
+        WHERE t.nt - c.nl > 0
+    )
+    SELECT d AS split_day,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           ROUND(CAST(sl AS DOUBLE) / (nl * 100.0), 4) AS mean_left,
+           ROUND(CAST(sr AS DOUBLE) / (nr * 100.0), 4) AS mean_right,
+           ROUND(bss / 10000.0, 4) AS bss
+    FROM scored
+    ORDER BY bss DESC, split_day ASC
+    LIMIT 3
+"""
+
+
+@register("events_binary_segmentation_split", _BSEG_SQL)
+def events_binary_segmentation_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optimal single changepoint of the daily event-value series by
+    binary segmentation: the split that maximizes the between-segment
+    sum of squares BSS(t) = (S_L·n_R − S_R·n_L)² / (n_L·n_R·N) — the
+    first recursion of the classic top-down changepoint detector, and
+    the "where did the level shift actually happen" answer that the
+    CUSUM/EWMA monitors (this module) only flag. Top-3 candidate
+    splits are reported so a flat series is visibly flat.
+
+    Determinism: daily sums are exact cent-quantized BIGINTs; the BSS
+    numerator is an exact HUGEINT/decimal(38,0) square (|S_L·n_R| ≤
+    ~1e13 at sf0.1, ≤ ~1e26 squared — inside 38 digits at the 100 TB
+    row count with the same headroom math as the DoReMi sums); one
+    IEEE division, ROUND(…/1e4, 4) = cents² → value² units. The
+    constant N in the BSS denominator is dropped (rank-invariant).
+    Scale: one day-grain agg, then a prefix-sum window and argmax over
+    the calendar-bounded day set — the recursion depth is the only
+    multiplier, and each level re-runs the SAME day-grain epilogue."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("vq"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vq").alias("sq"),
+        )
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "d",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("sq").over(w).alias("sl"),
+    )
+    tot = daily.agg(
+        F.sum("n").alias("nt"), F.sum("sq").alias("st")
+    )
+    dec = "decimal(38,0)"
+    nr = F.col("nt") - F.col("nl")
+    sr = F.col("st") - F.col("sl")
+    num = (
+        F.col("sl").cast(dec) * nr.cast(dec)
+        - sr.cast(dec) * F.col("nl").cast(dec)
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(nr > 0)
+        .select(
+            "d",
+            F.col("nl"),
+            nr.alias("nr"),
+            "sl",
+            sr.alias("sr"),
+            ((num * num).cast("double") / (
+                F.col("nl").cast("double") * nr.cast("double")
+            )).alias("bss"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("d").alias("split_day"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.round(F.col("sl").cast("double") / (F.col("nl") * 100.0), 4)
+            .alias("mean_left"),
+            F.round(F.col("sr").cast("double") / (F.col("nr") * 100.0), 4)
+            .alias("mean_right"),
+            F.round(F.col("bss") / 10000.0, 4).alias("bss"),
+        )
+        .orderBy(F.desc("bss"), F.asc("split_day"))
+        .limit(3)
+    )

@@ -874,3 +874,141 @@ def embeddings_effective_rank_stats(
             4,
         ).alias("eff_rank_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear CKA between embedding halves (representation-redundancy audit)
+# ---------------------------------------------------------------------------
+
+_CKA_SQL = f"""
+    WITH dims AS (
+        SELECT unnest(generate_series(1, {_DIM})) AS i
+    ), pe AS (
+        SELECT vec_id, dims.i,
+               CAST(ROUND(CAST(embedding[dims.i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS vq
+        FROM embeddings, dims
+    ), s1 AS (
+        SELECT i, SUM(vq) AS s, COUNT(*) AS n FROM pe GROUP BY i
+    ), gram AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(CAST(a.vq AS HUGEINT) * b.vq) AS sij
+        FROM pe a JOIN pe b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), c AS (
+        SELECT g.i, g.j,
+               g.sij * (SELECT MAX(n) FROM s1)
+                   - CAST(sa.s AS HUGEINT) * sb.s AS cij
+        FROM gram g
+        JOIN s1 sa ON g.i = sa.i
+        JOIN s1 sb ON g.j = sb.i
+    ), fro AS (
+        SELECT
+            SUM(CASE WHEN i <= {_DIM // 2} AND j > {_DIM // 2}
+                     THEN cij * cij ELSE 0 END) AS fxy,
+            SUM(CASE WHEN i <= {_DIM // 2} AND j <= {_DIM // 2}
+                     THEN cij * cij ELSE 0 END) AS fxx,
+            SUM(CASE WHEN i > {_DIM // 2} AND j > {_DIM // 2}
+                     THEN cij * cij ELSE 0 END) AS fyy
+        FROM c
+    )
+    SELECT CAST((SELECT MAX(n) FROM s1) AS BIGINT) AS n_vectors,
+           ROUND(CAST(fxy AS DOUBLE)
+                 / (sqrt(CAST(fxx AS DOUBLE)) * sqrt(CAST(fyy AS DOUBLE))),
+                 4) AS cka
+    FROM fro
+"""
+
+
+@register("embeddings_cka_halves", _CKA_SQL)
+def embeddings_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment, Kornblith et al. 2019)
+    between the first and last 32 embedding dimensions:
+    ‖C_XY‖²_F / (‖C_XX‖_F·‖C_YY‖_F) over the centered cross- and
+    auto-covariance blocks — the representation-similarity score that
+    answers "do the two halves encode the same information" BEFORE a
+    truncation decision (`embeddings_truncation_fidelity` measures the
+    damage after; this predicts it). CKA ≈ 1 → halves are redundant,
+    truncate freely; ≈ 0 → they carry disjoint structure.
+
+    Shares the exact-integer machinery of
+    ``embeddings_effective_rank_stats``: c_ij = n·S_ij − s_i·s_j over
+    exact Gram/component sums, centering and scale factors cancel in
+    the ratio, Frobenius block sums stay decimal(38,0)/HUGEINT, and
+    the two sqrt's are taken SEPARATELY (fxx·fyy would overflow 38
+    digits) in fixed order — identical doubles in both engines.
+    Scale: the same fixed dim²-key Gram agg (map-side combinable,
+    state independent of corpus size); additive sufficient statistics
+    merge exactly across shards."""
+    e = _t(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id", F.posexplode(_vq_col()).alias("pos", "vq")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "vq")
+    s1 = pe.groupBy("i").agg(
+        F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dec = "decimal(38,0)"
+    gram = (
+        pe.alias("a")
+        .join(pe.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.col("a.vq").cast(dec) * F.col("b.vq").cast(dec)).alias(
+                "sij"
+            )
+        )
+    )
+    nrow = s1.agg(F.max("n").alias("n"))
+    half = _DIM // 2
+    c = (
+        gram.join(
+            F.broadcast(s1.select(F.col("i"), F.col("s").alias("sa"))), "i"
+        )
+        .join(
+            F.broadcast(
+                s1.select(F.col("i").alias("j"), F.col("s").alias("sb"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                F.col("sij") * F.col("n").cast(dec)
+                - F.col("sa").cast(dec) * F.col("sb").cast(dec)
+            ).alias("cij"),
+        )
+    )
+    c2 = F.col("cij") * F.col("cij")
+    zero = F.lit(0).cast(dec)
+    fro = c.groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when((F.col("i") <= half) & (F.col("j") > half), c2).otherwise(
+                zero
+            )
+        ).alias("fxy"),
+        F.sum(
+            F.when((F.col("i") <= half) & (F.col("j") <= half), c2).otherwise(
+                zero
+            )
+        ).alias("fxx"),
+        F.sum(
+            F.when((F.col("i") > half) & (F.col("j") > half), c2).otherwise(
+                zero
+            )
+        ).alias("fyy"),
+    )
+    return fro.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.col("fxy").cast("double")
+            / (
+                F.sqrt(F.col("fxx").cast("double"))
+                * F.sqrt(F.col("fyy").cast("double"))
+            ),
+            4,
+        ).alias("cka"),
+    )

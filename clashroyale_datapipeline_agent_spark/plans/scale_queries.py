@@ -2532,3 +2532,130 @@ def embeddings_power_iter_topeig(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iter")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction II: applying the first merges (compression readout)
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_SQL = """
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wl AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM words WHERE w <> '' GROUP BY lang, w
+    ), wf AS (
+        SELECT w, SUM(f) AS f FROM wl WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substr(w, i, 2))) AS pair,
+               f
+        FROM wf
+    ), merges AS (
+        SELECT pair, row_number() OVER (
+                   ORDER BY SUM(f) DESC, pair ASC
+               ) AS rk
+        FROM pairs GROUP BY pair
+    ), applied AS (
+        SELECT lang, f, length(w) AS len0,
+               length(
+                   replace(replace(replace(replace(w,
+                       (SELECT pair FROM merges WHERE rk = 1), chr(1)),
+                       (SELECT pair FROM merges WHERE rk = 2), chr(2)),
+                       (SELECT pair FROM merges WHERE rk = 3), chr(3)),
+                       (SELECT pair FROM merges WHERE rk = 4), chr(4))
+               ) AS len4
+        FROM wl
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(SUM(f * len0) AS BIGINT) AS symbols_before,
+           CAST(SUM(f * len4) AS BIGINT) AS symbols_after,
+           CAST(SUM(f * (len0 - len4)) AS BIGINT) AS merges_applied,
+           ROUND(CAST(SUM(f * len0) AS DOUBLE)
+                 / CAST(SUM(f * len4) AS DOUBLE), 4) AS compression
+    FROM applied
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@register("docs_bpe_apply_compression", _BPE_APPLY_SQL)
+def docs_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the BPE loop started by
+    ``docs_bpe_first_merges``: APPLY the first iteration's top-4 merges
+    (global frequency-desc, pair-asc — the same deterministic ranking)
+    to the corpus and read out the compression they buy per language —
+    symbol counts before/after and merges fired. Application is the
+    trainer's greedy left-to-right non-overlapping replace, realized as
+    a sequential 4-step replace chain into out-of-alphabet sentinel
+    codepoints (chr 1-4, absent from any corpus token by the corpus
+    whitespace discipline), identical semantics in both engines.
+    True BPE would re-count pairs between merges; this measures the
+    FIRST iteration's merge batch — the readout that decides whether
+    another (corpus-scale) counting round is worth scheduling.
+    Scale: like the trainer, ALL string work happens on the DISTINCT
+    per-language word dict (vocabulary-sized), never the raw corpus;
+    the merge table is a 4-row broadcast literal; per-language rollup
+    is one bounded agg. Integer symbol counts; one final division."""
+    d = _t(spark, sf_dir, "documents")
+    wl = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    wf = (
+        wl.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.sum("f").alias("f"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    merges = [
+        r["pair"]
+        for r in pairs.groupBy("pair")
+        .agg(F.sum("f").alias("nf"))
+        .orderBy(F.desc("nf"), F.asc("pair"))
+        .limit(4)
+        .collect()
+    ]
+    applied = F.col("w")
+    for i, m in enumerate(merges):
+        applied = F.replace(applied, F.lit(m), F.lit(chr(i + 1)))
+    stats = wl.select(
+        "lang",
+        "f",
+        F.length("w").alias("len0"),
+        F.length(applied).alias("len4"),
+    )
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+            F.sum("f").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("f") * F.col("len0"))
+            .cast("bigint")
+            .alias("symbols_before"),
+            F.sum(F.col("f") * F.col("len4"))
+            .cast("bigint")
+            .alias("symbols_after"),
+            F.sum(F.col("f") * (F.col("len0") - F.col("len4")))
+            .cast("bigint")
+            .alias("merges_applied"),
+            F.round(
+                F.sum(F.col("f") * F.col("len0")).cast("double")
+                / F.sum(F.col("f") * F.col("len4")).cast("double"),
+                4,
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )

@@ -329,3 +329,143 @@ def test_effective_rank_matches_pure_python(spark):
     )
     assert got == expect
     assert 1.0 <= got[1] <= dim
+
+
+def test_binary_segmentation_matches_pure_python(spark):
+    from clashroyale_datapipeline_agent_spark.plans import control_queries as ctl
+
+    t = pq.read_table(SF_DIR + "/events.parquet")
+    daily: dict = {}
+    for ts, v in zip(
+        t.column("ts").to_pylist(), t.column("value").to_pylist()
+    ):
+        d = ts.date()
+        n, s = daily.get(d, (0, 0))
+        daily[d] = (n + 1, s + int(round(float(v) * 100)))
+    days = sorted(daily)
+    nt = sum(n for n, _ in daily.values())
+    st = sum(s for _, s in daily.values())
+    rows = []
+    nl = sl = 0
+    for d in days:
+        n, s = daily[d]
+        nl, sl = nl + n, sl + s
+        nr, sr = nt - nl, st - sl
+        if nr <= 0:
+            continue
+        num = sl * nr - sr * nl
+        bss = float(num * num) / (float(nl) * float(nr))
+        rows.append(
+            (
+                d,
+                nl,
+                nr,
+                round(float(sl) / (nl * 100.0), 4),
+                round(float(sr) / (nr * 100.0), 4),
+                round(bss / 10000.0, 4),
+            )
+        )
+    expect = sorted(rows, key=lambda r: (-r[5], r[0]))[:3]
+    got = [
+        (
+            r["split_day"],
+            int(r["n_left"]),
+            int(r["n_right"]),
+            float(r["mean_left"]),
+            float(r["mean_right"]),
+            float(r["bss"]),
+        )
+        for r in ctl.events_binary_segmentation_split(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    # the winning split separates the segment means
+    assert got[0][3] != got[0][4]
+
+
+def test_bpe_apply_matches_pure_python(spark):
+    from clashroyale_datapipeline_agent_spark.plans import scale_queries as sq
+
+    t = pq.read_table(SF_DIR + "/documents.parquet")
+    wl: dict = {}
+    wf: dict = {}
+    for lang, text in zip(
+        t.column("lang").to_pylist(), t.column("text").to_pylist()
+    ):
+        for w in text.split(" "):
+            if not w:
+                continue
+            wl[(lang, w)] = wl.get((lang, w), 0) + 1
+    for (_, w), f in wl.items():
+        if len(w) >= 2:
+            wf[w] = wf.get(w, 0) + f
+    pair_f: dict = {}
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            pair_f[p] = pair_f.get(p, 0) + f
+    merges = sorted(pair_f, key=lambda p: (-pair_f[p], p))[:4]
+    agg: dict = {}
+    for (lang, w), f in wl.items():
+        w4 = w
+        for i, m in enumerate(merges):
+            w4 = w4.replace(m, chr(i + 1))
+        types, toks, b, a = agg.get(lang, (0, 0, 0, 0))
+        agg[lang] = (
+            types + 1,
+            toks + f,
+            b + f * len(w),
+            a + f * len(w4),
+        )
+    expect = {
+        lang: (ty, tk, b, a, b - a, round(float(b) / float(a), 4))
+        for lang, (ty, tk, b, a) in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            int(r["n_word_types"]),
+            int(r["n_tokens"]),
+            int(r["symbols_before"]),
+            int(r["symbols_after"]),
+            int(r["merges_applied"]),
+            float(r["compression"]),
+        )
+        for r in sq.docs_bpe_apply_compression(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert all(v[5] >= 1.0 for v in got.values())
+
+
+def test_cka_halves_matches_pure_python(spark):
+    vecs = _vecs()
+    n = len(vecs)
+    dim = cq._DIM
+    half = dim // 2
+    s = [0] * dim
+    gram = [[0] * dim for _ in range(dim)]
+    for vq, _ in vecs.values():
+        for i in range(dim):
+            s[i] += vq[i]
+        for i in range(dim):
+            vi = vq[i]
+            gi = gram[i]
+            for j in range(dim):
+                gi[j] += vi * vq[j]
+    fxy = fxx = fyy = 0
+    for i in range(dim):
+        for j in range(dim):
+            cij = n * gram[i][j] - s[i] * s[j]
+            c2 = cij * cij
+            if i < half and j >= half:
+                fxy += c2
+            elif i < half and j < half:
+                fxx += c2
+            elif i >= half and j >= half:
+                fyy += c2
+    expect = (
+        n,
+        round(float(fxy) / (math.sqrt(float(fxx)) * math.sqrt(float(fyy))), 4),
+    )
+    r = cq.embeddings_cka_halves(spark, SF_DIR).collect()[0]
+    got = (int(r["n_vectors"]), float(r["cka"]))
+    assert got == expect
+    assert 0.0 <= got[1] <= 1.0 + 1e-9
