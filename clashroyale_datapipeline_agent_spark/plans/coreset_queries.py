@@ -1012,3 +1012,263 @@ def embeddings_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cka"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH (bands x rows) parameter calibration against an observed
+# similarity histogram
+# ---------------------------------------------------------------------------
+
+_LSH_SAMPLE = 100   #: calibration sample (doc_id < sample), C(n,2) pairs
+_LSH_R = [1, 2, 4, 8]      #: rows per band (powers of two: exact squaring)
+_LSH_B = [4, 8, 16, 32]    #: bands
+
+
+def _sq_sql(expr: str, n: int) -> str:
+    """``expr`` raised to the power-of-two ``n`` by repeated squaring —
+    pure IEEE multiplications, identical in both engines (no libm pow)."""
+    while n > 1:
+        expr = f"({expr} * {expr})"
+        n //= 2
+    return expr
+
+
+def _lsh_param_sql() -> str:
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+    sh = (
+        "list_distinct(list_transform("
+        f" generate_series(1, greatest(len({toks}) - 2, 0)),"
+        f" i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))"
+    )
+    sr_case = " ".join(
+        f"WHEN {r} THEN {_sq_sql('s', r)}" for r in _LSH_R
+    )
+    xb_case = " ".join(
+        f"WHEN {b} THEN {_sq_sql('x', b)}" for b in _LSH_B
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles
+        FROM documents WHERE doc_id < {_LSH_SAMPLE}
+    ), sz AS (
+        SELECT doc_id, len(shingles) AS sz FROM sh
+    ), post AS (
+        SELECT doc_id, unnest(shingles) AS g FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), binned AS (
+        SELECT LEAST(20 * i.i // (sa.sz + sb.sz - i.i), 19) + 1 AS bin,
+               CAST(COUNT(*) AS BIGINT) AS h
+        FROM inter i
+        JOIN sz sa ON i.d1 = sa.doc_id
+        JOIN sz sb ON i.d2 = sb.doc_id
+        GROUP BY 1
+    ), nstat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM sh
+    ), hist AS (
+        SELECT spine.k AS bin,
+               COALESCE(b.h, 0)
+               + CASE WHEN spine.k = 1
+                      THEN (SELECT ns * (ns - 1) // 2 FROM nstat)
+                           - (SELECT COALESCE(SUM(h), 0) FROM binned)
+                      ELSE 0 END AS h
+        FROM (SELECT unnest(generate_series(1, 20)) AS k) spine
+        LEFT JOIN binned b ON b.bin = spine.k
+    ), grid AS (
+        SELECT rr.r, bb.b
+        FROM (SELECT unnest([{", ".join(map(str, _LSH_R))}]) AS r) rr,
+             (SELECT unnest([{", ".join(map(str, _LSH_B))}]) AS b) bb
+    ), c1 AS (
+        SELECT g.r, g.b, h.bin, h.h,
+               CAST(2 * h.bin - 1 AS DOUBLE) / 40.0 AS s
+        FROM grid g, hist h
+    ), c2 AS (
+        SELECT *, CASE r {sr_case} END AS sr FROM c1
+    ), c3 AS (
+        SELECT *, 1.0 - sr AS x FROM c2
+    ), c4 AS (
+        SELECT r, b, bin, h,
+               CAST(ROUND((1.0 - CASE b {xb_case} END)
+                          * 1000000000.0) AS BIGINT) AS p9
+        FROM c3
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN bin >= 11 THEN h ELSE 0 END) AS BIGINT)
+               AS n_dup_pairs,
+           ROUND(CASE WHEN SUM(CASE WHEN bin >= 11 THEN h ELSE 0 END) = 0
+                 THEN NULL
+                 ELSE CAST(SUM(CASE WHEN bin >= 11 THEN h * p9
+                               ELSE 0 END) AS DOUBLE)
+                      / (CAST(SUM(CASE WHEN bin >= 11 THEN h
+                                  ELSE 0 END) AS DOUBLE)
+                         * 1000000000.0) END, 4) AS est_recall,
+           ROUND(CAST(SUM(CASE WHEN bin <= 10 THEN h * p9
+                          ELSE 0 END) AS DOUBLE) / 1000000000.0, 4)
+               AS est_fp_pairs
+    FROM c4
+    GROUP BY r, b
+    ORDER BY r, b
+    """
+
+
+def _sq_col(c: Column, n: int) -> Column:
+    while n > 1:
+        c = c * c
+        n //= 2
+    return c
+
+
+@register("dedup_lsh_param_calibration", _lsh_param_sql())
+def dedup_lsh_param_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-LSH (bands × rows) parameter planner calibrated against
+    the corpus's OWN similarity profile: exact word-3-gram Jaccard on a
+    bounded doc sample (C({_LSH_SAMPLE},2) pairs, zero-overlap pairs
+    counted arithmetically) is binned into 20 exact integer-division
+    buckets, then for every (r, b) config the collision s-curve
+    p(s) = 1 − (1 − sʳ)ᵇ is evaluated at bin midpoints and integrated
+    against the histogram: expected recall over true near-dups
+    (J ≥ 0.5) and expected false-positive pair volume below the
+    threshold. This is the table a curator reads before spending a
+    corpus pass on ``dedup_shingle_minhash``/``dedup_lsh_band_sweep``
+    — the sweep MEASURES two configs end-to-end, this PREDICTS all 16
+    from one bounded census.
+
+    Determinism: r and b are powers of two, so sʳ and (1−sʳ)ᵇ are
+    REPEATED IEEE SQUARINGS (no libm pow anywhere); midpoints are
+    exact-ratio doubles; p is 1e9-quantized to int64 and integrated as
+    exact h·p9 integer sums. Jaccard bins are pure integer division
+    (20·∩ div ∪). Scale: the pair census touches only the bounded
+    sample (the dial); everything downstream is a 20×16-row epilogue."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.filter(F.col("doc_id") < _LSH_SAMPLE).select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
+    )
+    sz = sh.select("doc_id", F.size("shingles").alias("sz"))
+    post = sh.select("doc_id", F.explode("shingles").alias("g"))
+    inter = (
+        post.alias("a")
+        .join(post.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    binned = (
+        inter.join(F.broadcast(sz.withColumnRenamed("doc_id", "d1")
+                               .withColumnRenamed("sz", "sza")), "d1")
+        .join(F.broadcast(sz.withColumnRenamed("doc_id", "d2")
+                          .withColumnRenamed("sz", "szb")), "d2")
+        .select(
+            (
+                F.least(
+                    F.expr("(20 * i) div (sza + szb - i)"), F.lit(19)
+                )
+                + 1
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    )
+    scal = sh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    ).crossJoin(
+        F.broadcast(
+            binned.agg(
+                F.coalesce(F.sum("h"), F.lit(0)).cast("bigint").alias("np")
+            )
+        )
+    ).select(
+        ((F.col("ns") * (F.col("ns") - 1)) / 2 - F.col("np"))
+        .cast("bigint")
+        .alias("zero_pairs")
+    )
+    spine = spark.range(1, 21).select(F.col("id").alias("bin"))
+    hist = (
+        spine.join(binned, "bin", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "bin",
+            (
+                F.coalesce(F.col("h"), F.lit(0))
+                + F.when(F.col("bin") == 1, F.col("zero_pairs")).otherwise(0)
+            ).alias("h"),
+        )
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), F.lit(b).alias("b")
+                    )
+                    for r in _LSH_R
+                    for b in _LSH_B
+                ]
+            )
+        ).alias("g")
+    ).select("g.r", "g.b")
+    c1 = F.broadcast(grid).crossJoin(hist).select(
+        "r",
+        "b",
+        "bin",
+        "h",
+        ((2 * F.col("bin") - 1).cast("double") / 40.0).alias("s"),
+    )
+    sr = F.when(F.col("r") == _LSH_R[0], _sq_col(F.col("s"), _LSH_R[0]))
+    for r in _LSH_R[1:]:
+        sr = sr.when(F.col("r") == r, _sq_col(F.col("s"), r))
+    c2 = c1.withColumn("sr", sr)
+    c3 = c2.withColumn("x", F.lit(1.0) - F.col("sr"))
+    xb = F.when(F.col("b") == _LSH_B[0], _sq_col(F.col("x"), _LSH_B[0]))
+    for b in _LSH_B[1:]:
+        xb = xb.when(F.col("b") == b, _sq_col(F.col("x"), b))
+    c4 = c3.select(
+        "r",
+        "b",
+        "bin",
+        "h",
+        F.round((F.lit(1.0) - xb) * 1000000000.0)
+        .cast("bigint")
+        .alias("p9"),
+    )
+    dup_h = F.sum(F.when(F.col("bin") >= 11, F.col("h")).otherwise(0))
+    dup_hp = F.sum(
+        F.when(F.col("bin") >= 11, F.col("h") * F.col("p9")).otherwise(0)
+    )
+    fp_hp = F.sum(
+        F.when(F.col("bin") <= 10, F.col("h") * F.col("p9")).otherwise(0)
+    )
+    return (
+        c4.groupBy("r", "b")
+        .agg(
+            dup_h.cast("bigint").alias("n_dup_pairs"),
+            F.round(
+                F.when(
+                    dup_h == 0, F.lit(None).cast("double")
+                ).otherwise(
+                    dup_hp.cast("double")
+                    / (dup_h.cast("double") * 1000000000.0)
+                ),
+                4,
+            ).alias("est_recall"),
+            F.round(fp_hp.cast("double") / 1000000000.0, 4).alias(
+                "est_fp_pairs"
+            ),
+        )
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            F.col("b").cast("bigint").alias("b"),
+            "n_dup_pairs",
+            "est_recall",
+            "est_fp_pairs",
+        )
+        .orderBy("r", "b")
+    )

@@ -469,3 +469,90 @@ def test_cka_halves_matches_pure_python(spark):
     got = (int(r["n_vectors"]), float(r["cka"]))
     assert got == expect
     assert 0.0 <= got[1] <= 1.0 + 1e-9
+
+
+def _lsh_calibration_oracle():
+    t = pq.read_table(SF_DIR + "/documents.parquet")
+    sh = {}
+    for did, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        if int(did) >= cq._LSH_SAMPLE:
+            continue
+        ts = [w for w in text.lower().split() if w]
+        sh[int(did)] = {
+            " ".join(ts[i : i + 3]) for i in range(max(len(ts) - 2, 0))
+        }
+    ids = sorted(sh)
+    hist = {k: 0 for k in range(1, 21)}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                hist[1] += 1
+                continue
+            union = len(sh[a]) + len(sh[b]) - inter
+            hist[min(20 * inter // union, 19) + 1] += 1
+    out = {}
+    for r in cq._LSH_R:
+        for b in cq._LSH_B:
+            dup_h = dup_hp = fp_hp = 0
+            for k, h in hist.items():
+                s = (2 * k - 1) / 40.0
+                sr = s
+                n = r
+                while n > 1:
+                    sr = sr * sr
+                    n //= 2
+                x = 1.0 - sr
+                n = b
+                while n > 1:
+                    x = x * x
+                    n //= 2
+                p9 = int(round((1.0 - x) * 1e9))
+                if k >= 11:
+                    dup_h += h
+                    dup_hp += h * p9
+                else:
+                    fp_hp += h * p9
+            rec = (
+                None
+                if dup_h == 0
+                else round(float(dup_hp) / (float(dup_h) * 1e9), 4)
+            )
+            out[(r, b)] = (dup_h, rec, round(float(fp_hp) / 1e9, 4))
+    return out
+
+
+def test_lsh_param_calibration_matches_pure_python(spark):
+    expect = _lsh_calibration_oracle()
+    got = {
+        (int(r["r"]), int(r["b"])): (
+            int(r["n_dup_pairs"]),
+            None if r["est_recall"] is None else float(r["est_recall"]),
+            float(r["est_fp_pairs"]),
+        )
+        for r in cq.dedup_lsh_param_calibration(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_lsh_param_calibration_s_curve_monotonicity(spark):
+    rows = {
+        (int(r["r"]), int(r["b"])): r
+        for r in cq.dedup_lsh_param_calibration(spark, SF_DIR).collect()
+    }
+    # more bands -> higher collision probability everywhere: recall and
+    # FP volume both non-decreasing in b at fixed r
+    for r in cq._LSH_R:
+        for b1, b2 in zip(cq._LSH_B, cq._LSH_B[1:]):
+            a, c = rows[(r, b1)], rows[(r, b2)]
+            if a["est_recall"] is not None:
+                assert float(c["est_recall"]) >= float(a["est_recall"])
+            assert float(c["est_fp_pairs"]) >= float(a["est_fp_pairs"])
+    # more rows per band -> stricter bands: FP volume non-increasing in r
+    for b in cq._LSH_B:
+        for r1, r2 in zip(cq._LSH_R, cq._LSH_R[1:]):
+            assert float(rows[(r2, b)]["est_fp_pairs"]) <= float(
+                rows[(r1, b)]["est_fp_pairs"]
+            )
