@@ -333,6 +333,8 @@ def embeddings_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel6"), F.asc("vec_id"))
         .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)  # 20 rows; spares the greedy rounds
+        # the corpus-wide top-k rescan (the one real win measured here)
     )
     first = pool.orderBy(F.desc("rel6"), F.asc("vec_id")).limit(1).collect()[0]
     picks = [
@@ -584,7 +586,12 @@ def orders_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
-    cp = o.join(li, "ok").select("c", "p").distinct()
+    # cp feeds deg AND both self-join legs; checkpoint so the
+    # orders-lineitem join + distinct runs once, not three times (at
+    # cluster scale: persist/stage the deduped edge list the same way)
+    cp = o.join(li, "ok").select("c", "p").distinct().localCheckpoint(
+        eager=True
+    )
     deg = cp.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     w = deg.filter(
         (F.col("d") >= _AA_MIN_DEG) & (F.col("d") <= _AA_MAX_DEG)
