@@ -449,6 +449,70 @@ def main_doremi_worstcase() -> None:
     )
 
 
+def main_affinity_worstcase() -> None:
+    """orders_adamic_adar_topk under maximal pair-key heat: every
+    customer buys the IDENTICAL cap-sized basket (40 parts), so the
+    self-join emits C(40,2)=780 pair rows per customer that ALL collapse
+    onto the same 780 (part_a, part_b) reduce keys — count = n_cust on
+    each, the hottest shape the pair agg can see. Linear pairs/sec
+    across 1x/4x/16x customers shows map-side partial aggregation
+    absorbs the heat (the reduce grain is 780 rows whatever the corpus);
+    a failure here would mean the basket cap bounds fan-out but not the
+    reduce skew."""
+    from clashroyale_datapipeline_agent_spark.plans.coreset_queries import (
+        orders_adamic_adar_topk,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("scale-probe-affinity-wc")
+    tmp = Path(tempfile.mkdtemp(prefix="scale_probe_affinity_wc_"))
+    base = 10_000
+    results = []
+    for mult in (1, 4, 16):
+        n_cust = base * mult
+        path = tmp / f"x{mult}"
+        (
+            spark.range(n_cust)
+            .select(
+                F.col("id").alias("o_orderkey"),
+                F.col("id").alias("o_custkey"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(str(path / "orders.parquet"))
+        )
+        (
+            spark.range(n_cust)
+            .select(
+                F.col("id").alias("o_orderkey"),
+                F.explode(F.sequence(F.lit(0), F.lit(39))).alias("p"),
+            )
+            .select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("p").cast("long").alias("l_partkey"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(str(path / "lineitem.parquet"))
+        )
+        n_pairs = n_cust * (40 * 39 // 2)
+        orders_adamic_adar_topk(spark, str(path)).count()  # warm
+        t0 = time.perf_counter()
+        orders_adamic_adar_topk(spark, str(path)).count()
+        dt = time.perf_counter() - t0
+        results.append((mult, n_pairs, dt, int(n_pairs / dt)))
+        print(
+            f"x{mult:<3d} pairs={n_pairs:>12,d}  wall={dt:6.2f}s"
+            f"  pairs/sec={int(n_pairs/dt):,}"
+        )
+    r1, r16 = results[0][3], results[-1][3]
+    print(
+        f"\nthroughput ratio x16/x1 = {r16 / r1:.2f} "
+        "(>= ~0.7 means linear despite 780 white-hot pair keys)"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "flagship"
     if which == "dedup":
@@ -465,5 +529,7 @@ if __name__ == "__main__":
         main_dsir_worstcase()
     elif which == "doremi-worstcase":
         main_doremi_worstcase()
+    elif which == "affinity-worstcase":
+        main_affinity_worstcase()
     else:
         main()
