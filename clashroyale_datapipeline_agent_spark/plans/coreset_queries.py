@@ -1154,8 +1154,15 @@ def dedup_lsh_param_calibration(
     from clashroyale_datapipeline_agent_spark.operators.dedup import shingles_col
 
     d = _t(spark, sf_dir, "documents")
-    sh = d.filter(F.col("doc_id") < _LSH_SAMPLE).select(
-        "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
+    # checkpoint the bounded shingle projection: without it Catalyst
+    # pushes the whole shingle expression into BOTH self-join legs'
+    # scan filters (the N-traversal recompute pathology the round's
+    # LSH operator fix addressed) — 6 recomputes of the tokenizer per
+    # row instead of one pass over <=100 rows
+    sh = (
+        d.filter(F.col("doc_id") < _LSH_SAMPLE)
+        .select("doc_id", shingles_col(F.col("text"), 3).alias("shingles"))
+        .localCheckpoint(eager=True)
     )
     sz = sh.select("doc_id", F.size("shingles").alias("sz"))
     post = sh.select("doc_id", F.explode("shingles").alias("g"))
