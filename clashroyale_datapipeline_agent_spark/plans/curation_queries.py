@@ -1979,3 +1979,227 @@ def docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# order-invariant corpus content digest (dataset-version fingerprint)
+# ---------------------------------------------------------------------------
+
+_DIG_HEXP = "'0123456789abcdef'"
+
+
+def _hex8_sql(h: str) -> str:
+    terms = [
+        f"(strpos({_DIG_HEXP}, substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_DIGEST_SQL = f"""
+    WITH rows_h AS (
+        SELECT source, n_chars,
+               md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h1,
+               md5(text || '#' || lang) AS h2
+        FROM documents
+    ), vals AS (
+        SELECT source, n_chars,
+               CAST({_hex8_sql("h1")} AS HUGEINT) AS v1,
+               CAST({_hex8_sql("h2")} AS HUGEINT) AS v2
+        FROM rows_h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(SUM(v1) % 2147483647 AS BIGINT) AS digest_id_text,
+           CAST(SUM(v2) % 2147483647 AS BIGINT) AS digest_text_lang
+    FROM vals
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("corpus_digest_by_source", _DIGEST_SQL)
+def corpus_digest_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant per-source content digest — the dataset-version
+    fingerprint a 100 TB lakehouse stamps on every snapshot: each row
+    hashes to a 32-bit integer (md5 hex parsed by the house strpos
+    arithmetic, no engine hex-cast), and the per-source digest is the
+    EXACT SUM of those integers reduced mod 2^31−1. Addition commutes,
+    so the digest is independent of row order, partitioning, and merge
+    schedule — shards digest independently and the totals add — and any
+    single-row change moves it with probability ≈ 1−2⁻³². Two digests
+    under different salts ((doc_id:text) and (text#lang)) so an
+    id-preserving text swap and a text-preserving relabel are both
+    caught. Scale: one scan, one bounded (source) hash agg; HUGEINT /
+    decimal(38,0) sums carry ~1e12 rows x 2^32 without overflow."""
+    d = _t(spark, sf_dir, "documents")
+    h1 = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")))
+    h2 = F.md5(F.concat(F.col("text"), F.lit("#"), F.col("lang")))
+
+    def hex8(h):
+        dd = lambda i: (  # noqa: E731
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        )
+        out = F.lit(0).cast("decimal(38,0)")
+        for i in range(8):
+            out = out + (
+                dd(i).cast("long") * F.lit(16 ** (7 - i)).cast("long")
+            ).cast("decimal(38,0)")
+        return out
+
+    vals = d.select(
+        "source",
+        "n_chars",
+        hex8(h1).alias("v1"),
+        hex8(h2).alias("v2"),
+    )
+    return (
+        vals.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            (F.sum("v1") % 2147483647).cast("bigint").alias("digest_id_text"),
+            (F.sum("v2") % 2147483647).cast("bigint").alias("digest_text_lang"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup keep-policy divergence: keep-best-quality vs keep-longest
+# ---------------------------------------------------------------------------
+
+_POLICY_SQL = f"""
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 3 = 0
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+        WHERE a.doc_id % 9 = 0
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ), reach(v, r) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.v = s.v
+    ), comp AS (
+        SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+    ), q AS (
+        SELECT doc_id, len(list_distinct(t)) * 1.0 / len(t) AS quality
+        FROM (SELECT doc_id, {{toks}} AS t FROM documents)
+    ), m AS (
+        SELECT d.doc_id, d.source, d.n_chars, q.quality,
+               c.component AS rep
+        FROM documents d
+        JOIN comp c ON d.doc_id = c.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY rep
+                   ORDER BY quality DESC, doc_id ASC) AS rq,
+               row_number() OVER (PARTITION BY rep
+                   ORDER BY n_chars DESC, doc_id ASC) AS rl
+        FROM m
+    ), winners AS (
+        SELECT qw.rep, qw.source,
+               qw.doc_id AS q_doc, lw.doc_id AS l_doc,
+               qw.n_chars AS q_chars, lw.n_chars AS l_chars
+        FROM (SELECT * FROM ranked WHERE rq = 1) qw
+        JOIN (SELECT * FROM ranked WHERE rl = 1) lw ON qw.rep = lw.rep
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN q_doc <> l_doc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_divergent,
+           CAST(SUM(q_chars) AS BIGINT) AS kept_chars_quality,
+           CAST(SUM(l_chars) AS BIGINT) AS kept_chars_longest
+    FROM winners
+    GROUP BY source
+    ORDER BY source
+""".format(toks=_TOKS)
+
+
+@register("dedup_keep_policy_divergence", _POLICY_SQL)
+def dedup_keep_policy_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much the dedup SELECTION POLICY matters: within each
+    multi-member dup cluster (the same deterministic arithmetic edge
+    set + connected components as ``dedup_keep_best_quality``), compare
+    the keep-BEST-QUALITY winner (distinct-token ratio, ties to lowest
+    doc_id) against the keep-LONGEST winner (n_chars, same ties) —
+    per source of the quality winner: how many clusters pick different
+    survivors, and what character volume each policy keeps. The
+    policy-divergence census is what a curator reads before choosing —
+    when divergence is near zero the cheap length rule is safe; when it
+    isn't, the quality model earns its inference cost. Scale: both
+    winners come from the SAME per-cluster window pass (two
+    row_numbers, one shuffle on rep, cluster-size-bounded), and the
+    readout is a bounded source-grain agg."""
+    from clashroyale_datapipeline_agent_spark.operators.graph import (
+        connected_components,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.text import tokens_col
+    from clashroyale_datapipeline_agent_spark.sources.readers import spread_if_narrow
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    ids = d.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    e1 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.doc_id") % 3 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    e2 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 2)
+        & (F.col("a.doc_id") % 9 == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comps = connected_components(e1.unionByName(e2))
+    toks = tokens_col(F.lower(F.col("text")))
+    quality = (
+        F.size(F.array_distinct(toks)).cast("double")
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    m = (
+        d.select("doc_id", "source", "n_chars", quality.alias("quality"))
+        .join(comps, F.col("doc_id") == F.col("id"))
+        .select("doc_id", "source", "n_chars", "quality",
+                F.col("component").alias("rep"))
+    )
+    wq = Window.partitionBy("rep").orderBy(F.desc("quality"), F.asc("doc_id"))
+    wl = Window.partitionBy("rep").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = m.withColumn("rq", F.row_number().over(wq)).withColumn(
+        "rl", F.row_number().over(wl)
+    )
+    qw = ranked.filter(F.col("rq") == 1).select(
+        "rep",
+        "source",
+        F.col("doc_id").alias("q_doc"),
+        F.col("n_chars").alias("q_chars"),
+    )
+    lw = ranked.filter(F.col("rl") == 1).select(
+        "rep",
+        F.col("doc_id").alias("l_doc"),
+        F.col("n_chars").alias("l_chars"),
+    )
+    winners = qw.join(lw, "rep")
+    return (
+        winners.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum((F.col("q_doc") != F.col("l_doc")).cast("long"))
+            .cast("bigint")
+            .alias("n_divergent"),
+            F.sum("q_chars").cast("bigint").alias("kept_chars_quality"),
+            F.sum("l_chars").cast("bigint").alias("kept_chars_longest"),
+        )
+        .orderBy("source")
+    )

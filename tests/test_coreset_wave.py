@@ -556,3 +556,122 @@ def test_lsh_param_calibration_s_curve_monotonicity(spark):
             assert float(rows[(r2, b)]["est_fp_pairs"]) <= float(
                 rows[(r1, b)]["est_fp_pairs"]
             )
+
+
+def test_corpus_digest_matches_pure_python(spark):
+    import hashlib
+
+    from clashroyale_datapipeline_agent_spark.plans import curation_queries as cur
+
+    t = pq.read_table(SF_DIR + "/documents.parquet")
+    agg: dict = {}
+    for did, text, lang, src, nch in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+        t.column("source").to_pylist(),
+        t.column("n_chars").to_pylist(),
+    ):
+        v1 = int(hashlib.md5(f"{did}:{text}".encode()).hexdigest()[:8], 16)
+        v2 = int(hashlib.md5(f"{text}#{lang}".encode()).hexdigest()[:8], 16)
+        n, c, s1, s2 = agg.get(src, (0, 0, 0, 0))
+        agg[src] = (n + 1, c + int(nch), s1 + v1, s2 + v2)
+    expect = {
+        src: (n, c, s1 % 2147483647, s2 % 2147483647)
+        for src, (n, c, s1, s2) in agg.items()
+    }
+    got = {
+        r["source"]: (
+            int(r["n_docs"]),
+            int(r["n_chars_total"]),
+            int(r["digest_id_text"]),
+            int(r["digest_text_lang"]),
+        )
+        for r in cur.corpus_digest_by_source(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_corpus_digest_order_invariant_and_change_sensitive():
+    """The digest is a sum: permuting rows cannot move it; changing one
+    row's text moves it unless the 32-bit hashes collide."""
+    import hashlib
+
+    rows = [(i, f"text {i}") for i in range(50)]
+    dig = lambda rs: sum(  # noqa: E731
+        int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:8], 16)
+        for i, t in rs
+    ) % 2147483647
+    base = dig(rows)
+    assert dig(list(reversed(rows))) == base
+    mutated = [(i, t if i != 7 else t + "!") for i, t in rows]
+    assert dig(mutated) != base
+
+
+def test_keep_policy_divergence_matches_pure_python(spark):
+    from clashroyale_datapipeline_agent_spark.plans import curation_queries as cur
+
+    t = pq.read_table(SF_DIR + "/documents.parquet")
+    docs = {
+        int(d): (text, src, int(nch))
+        for d, text, src, nch in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    }
+    ids = set(docs)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    members = set()
+    for i in ids:
+        if i % 3 == 0 and i + 1 in ids:
+            union(i, i + 1)
+            members.update((i, i + 1))
+        if i % 9 == 0 and i + 2 in ids:
+            union(i, i + 2)
+            members.update((i, i + 2))
+    clusters: dict = {}
+    for i in members:
+        clusters.setdefault(find(i), []).append(i)
+
+    def quality(i):
+        ts = [w for w in docs[i][0].lower().strip().split() if w]
+        return len(set(ts)) * 1.0 / len(ts)
+
+    agg: dict = {}
+    for mem in clusters.values():
+        qwin = min(mem, key=lambda i: (-quality(i), i))
+        lwin = min(mem, key=lambda i: (-docs[i][2], i))
+        src = docs[qwin][1]
+        n, dv, qc, lc = agg.get(src, (0, 0, 0, 0))
+        agg[src] = (
+            n + 1,
+            dv + (1 if qwin != lwin else 0),
+            qc + docs[qwin][2],
+            lc + docs[lwin][2],
+        )
+    got = {
+        r["source"]: (
+            int(r["n_clusters"]),
+            int(r["n_divergent"]),
+            int(r["kept_chars_quality"]),
+            int(r["kept_chars_longest"]),
+        )
+        for r in cur.dedup_keep_policy_divergence(spark, SF_DIR).collect()
+    }
+    assert got == agg
+    # the policies genuinely diverge somewhere on this corpus
+    assert sum(v[1] for v in got.values()) >= 1
