@@ -574,7 +574,7 @@ def orders_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights are 1e9-quantized int64 per customer, so the pair score is
     an exact BIGINT sum with (part_a, part_b) tiebreaks under LIMIT.
     Scale: the quadratic term is the per-customer basket pairing,
-    pruned to {_AA_MIN_DEG} ≤ degree ≤ {_AA_MAX_DEG} BEFORE the
+    pruned to 2 ≤ degree ≤ 40 (``_AA_MIN_DEG``/``_AA_MAX_DEG``) BEFORE the
     self-join (the documented fan-out ceiling — production recsys caps
     neighbor lists exactly here; the cap census is one cheap agg);
     both cp legs and w share the c-key partitioning so AQE plans one
@@ -821,9 +821,14 @@ def embeddings_effective_rank_stats(
     of contrastive encoders). Scale factors cancel in the ratio, so it
     is computed on UNNORMALIZED integer moments: with 1e6-quantized
     components, c_ij = n·S_ij − s_i·s_j over exact Gram sums S_ij and
-    component sums s_i — decimal(38,0)/HUGEINT end to end (|c_ij| ≤
-    n²·1e12, squared ≤ 1e38-headroom at the 100 TB row count), one
-    IEEE division at the very end. Scale: the quadratic term is
+    component sums s_i — decimal(38,0)/HUGEINT end to end. Exactness
+    bound: worst-case |c_ij| ≤ 2n²·1e12, so c_ij² ≤ 4n⁴·1e24 fits 38
+    digits only while n_vectors ≲ 2.2k — beyond that the required path
+    is SCALE.md's "uniform sample or per-shard Gram + merged moments"
+    guidance (SCALE.md, effective-rank entry): the sufficient
+    statistics are additive, so shard-level Grams on bounded slices
+    merge exactly. One IEEE division at the very end. Scale: the
+    quadratic term is
     per-vector dim² product pairs feeding ONE hash agg with a FIXED
     dim²=4096-key space (map-side combinable, state independent of
     corpus size); everything after the Gram agg is driver-trivial."""
@@ -941,7 +946,9 @@ def embeddings_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares the exact-integer machinery of
     ``embeddings_effective_rank_stats``: c_ij = n·S_ij − s_i·s_j over
     exact Gram/component sums, centering and scale factors cancel in
-    the ratio, Frobenius block sums stay decimal(38,0)/HUGEINT, and
+    the ratio, Frobenius block sums stay decimal(38,0)/HUGEINT (same
+    n_vectors ≲ 2.2k exactness bound as the effective-rank audit —
+    past it, sample or shard-and-merge per SCALE.md), and
     the two sqrt's are taken SEPARATELY (fxx·fyy would overflow 38
     digits) in fixed order — identical doubles in both engines.
     Scale: the same fixed dim²-key Gram agg (map-side combinable,
@@ -1041,7 +1048,9 @@ def _sq_sql(expr: str, n: int) -> str:
 
 
 def _lsh_param_sql() -> str:
-    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+    # the shared house tokenizer (with trim) — keep textually aligned
+    # with operators/dedup.shingles_col (ADVICE r9)
+    toks = _TOKS
     sh = (
         "list_distinct(list_transform("
         f" generate_series(1, greatest(len({toks}) - 2, 0)),"
@@ -1134,7 +1143,8 @@ def dedup_lsh_param_calibration(
 ) -> DataFrame:
     """MinHash-LSH (bands × rows) parameter planner calibrated against
     the corpus's OWN similarity profile: exact word-3-gram Jaccard on a
-    bounded doc sample (C({_LSH_SAMPLE},2) pairs, zero-overlap pairs
+    bounded doc sample (C(100, 2) pairs at ``_LSH_SAMPLE`` = 100,
+    zero-overlap pairs
     counted arithmetically) is binned into 20 exact integer-division
     buckets, then for every (r, b) config the collision s-curve
     p(s) = 1 − (1 − sʳ)ᵇ is evaluated at bin midpoints and integrated

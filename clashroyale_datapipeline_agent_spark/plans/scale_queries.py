@@ -2559,11 +2559,20 @@ _BPE_APPLY_SQL = """
     ), applied AS (
         SELECT lang, f, length(w) AS len0,
                length(
+                   -- COALESCE to an impossible pair (chr(5) never occurs
+                   -- in corpus tokens): on a degenerate corpus with < 4
+                   -- distinct pairs the scalar subquery is NULL, and
+                   -- replace(w, NULL, ...) would null out len4 while the
+                   -- Spark side simply applies fewer merges (ADVICE r9)
                    replace(replace(replace(replace(w,
-                       (SELECT pair FROM merges WHERE rk = 1), chr(1)),
-                       (SELECT pair FROM merges WHERE rk = 2), chr(2)),
-                       (SELECT pair FROM merges WHERE rk = 3), chr(3)),
-                       (SELECT pair FROM merges WHERE rk = 4), chr(4))
+                       COALESCE((SELECT pair FROM merges WHERE rk = 1),
+                                chr(5) || chr(5)), chr(1)),
+                       COALESCE((SELECT pair FROM merges WHERE rk = 2),
+                                chr(5) || chr(5)), chr(2)),
+                       COALESCE((SELECT pair FROM merges WHERE rk = 3),
+                                chr(5) || chr(5)), chr(3)),
+                       COALESCE((SELECT pair FROM merges WHERE rk = 4),
+                                chr(5) || chr(5)), chr(4))
                ) AS len4
         FROM wl
     )
