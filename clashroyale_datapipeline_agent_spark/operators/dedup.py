@@ -356,36 +356,88 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return packed
 
 
-def simhash_candidate_pairs(
-    docs: DataFrame,
+def hamming_candidate_pairs(
+    hashes: DataFrame,
     *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    hash_col: str = "h",
+    id_col: str = "id",
+    bands: int = 4,
+    bits: int = 64,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Pairs within ``max_hamming`` bit distance via 4-band banding.
+    """Pairs within ``max_hamming`` bit distance of an integer
+    fingerprint column (SimHash, image dHash, any 64-bit perceptual
+    hash) via pigeonhole banding — the Hamming-space twin of
+    :func:`lsh_candidate_pairs`.
 
-    Pigeonhole: any two 64-bit hashes within Hamming distance 3 agree on at
-    least one of four 16-bit bands. Join on (band, band_bits), then filter
-    by exact popcount distance.
+    Pigeonhole guarantee: two ``bits``-bit hashes within Hamming
+    distance ``bands − 1`` agree exactly on at least one of ``bands``
+    equal-width bit bands, so the (band, band_bits) equi-join finds ALL
+    such pairs without an O(n²) scan. For ``max_hamming ≥ bands`` the
+    result is the standard banded approximation (a pair surfaces iff
+    some band matches) — deterministic, and replayed bit-for-bit by the
+    DuckDB oracle twins. Band extraction is an arithmetic shift + mask,
+    identical across engines for the masked low bits even on negative
+    (bit-63-set) hashes.
+
+    ``max_bucket`` is the same mega-bucket star-divert as
+    :func:`lsh_candidate_pairs`: a bucket of m identical band values
+    (e.g. a near-black image cluster — every crawl has one) would emit
+    O(m²) pairs per band; over the cap, members pair only with the
+    bucket representative (min id, O(m) edges), preserving
+    connected-component membership. Returns (id_a, id_b, hamming) with
+    id_a < id_b, exact popcount distance, distinct.
+
+    Scale: the shuffle carries (id, 8-byte hash, band key) tuples only
+    — never payloads; skew is bounded by ``max_bucket``.
     """
-    sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("h"))
+    assert bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
     # static band shifts (shiftright needs a Python int, not a Column)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("h"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
+                F.shiftright(F.col("h"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bits"),
             )
-            for b in range(4)
+            for b in range(bands)
         ]
     )
-    bands = sh.select(
+    banded = sh.select(
         "id", "h", F.explode(band_structs).alias("bb")
     ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
-    a, b = bands.alias("a"), bands.alias("b")
+    star = None
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bits")
+        wo = w.orderBy("id")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_rep", F.min("id").over(w))
+            .withColumn("_rep_h", F.first("h").over(wo))
+        )
+        star = (
+            banded.filter(
+                (F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep"))
+            )
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.bit_count(F.col("_rep_h").bitwiseXOR(F.col("h"))).alias(
+                    "hamming"
+                ),
+            )
+        )
+        banded = banded.filter(F.col("_n") <= max_bucket).drop(
+            "_n", "_rep", "_rep_h"
+        )
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -397,8 +449,32 @@ def simhash_candidate_pairs(
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit distance via 4-band banding.
+
+    Pigeonhole: any two 64-bit hashes within Hamming distance 3 agree on at
+    least one of four 16-bit bands. Join on (band, band_bits), then filter
+    by exact popcount distance. Delegates to the generic
+    :func:`hamming_candidate_pairs` (same plan shape as the historical
+    inline form).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("h")
+    )
+    return hamming_candidate_pairs(
+        sh, hash_col="h", id_col="id", bands=4, bits=64, max_hamming=max_hamming
     )
 
 

@@ -292,6 +292,145 @@ def stdlib_png_features(payload: bytes | None, media_type: str) -> list[float]:
     ]
 
 
+def luma_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode a PNG into its integer luma plane: ``(w, h, rows)`` with
+    one list of 0-255 luma values per scanline. Gray uses the sample
+    directly, gray+alpha sample 0, RGB/RGBA Pillow's exact integer
+    formula ``(19595 R + 38470 G + 7471 B + 0x8000) >> 16`` — the same
+    convention as ``stdlib_png_features``, factored out so perceptual
+    hashing and feature extraction agree on what "luma" means."""
+    w, h, bands, rows = png_decode(payload)
+    out: list[list[int]] = []
+    for line in rows:
+        if bands == 1:
+            out.append(list(line))
+        elif bands == 2:
+            out.append(list(line[0::2]))
+        else:
+            out.append(
+                [
+                    (
+                        line[i] * 19595
+                        + line[i + 1] * 38470
+                        + line[i + 2] * 7471
+                        + 0x8000
+                    )
+                    >> 16
+                    for i in range(0, len(line), bands)
+                ]
+            )
+    return w, h, out
+
+
+def dhash64(payload: bytes, *, grid_w: int = 9, grid_h: int = 8) -> int:
+    """64-bit difference hash (dHash) of a PNG payload — the image
+    analog of a MinHash fingerprint: decode → luma → floor-boundary box
+    means to a ``grid_h × grid_w`` grid (cell (r, c) averages pixels
+    x ∈ [c·w/gw, (c+1)·w/gw), y ∈ [r·h/gh, (r+1)·h/gh), integer floor
+    mean) → bit ``r·(grid_w−1)+c`` = 1 iff cell(r, c+1) > cell(r, c).
+    Perceptually near-identical images (re-encodes, mild brightness
+    shifts, exact-multiple downsamples) land within a few bits, so
+    Hamming-banded joins find image near-dups without pairwise pixel
+    comparison. Notably, a 2×2 box thumbnail of an image whose dims are
+    exact grid multiples hashes IDENTICALLY (the 2×2 floor means ARE
+    the thumbnail pixels) — pinned in pytest. Returns a SIGNED int64
+    (bit 63 → negative) so the value maps 1:1 onto a Spark/DuckDB
+    BIGINT column."""
+    w, h, rows = luma_rows(payload)
+    if w < grid_w or h < grid_h:
+        raise ValueError(
+            f"image {w}x{h} smaller than dhash grid {grid_w}x{grid_h}"
+        )
+    cells: list[list[int]] = []
+    for r in range(grid_h):
+        y0, y1 = r * h // grid_h, (r + 1) * h // grid_h
+        row_cells = []
+        for c in range(grid_w):
+            x0, x1 = c * w // grid_w, (c + 1) * w // grid_w
+            s = sum(rows[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            row_cells.append(s // ((y1 - y0) * (x1 - x0)))
+        cells.append(row_cells)
+    hv = 0
+    for r in range(grid_h):
+        for c in range(grid_w - 1):
+            if cells[r][c + 1] > cells[r][c]:
+                hv |= 1 << (r * (grid_w - 1) + c)
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+DHASH_SCHEMA = "asset_id long, dhash long, status string"
+
+
+def dhash_assets(assets: DataFrame) -> DataFrame:
+    """Perceptual-hash stage over opaque PNG payloads via
+    ``mapInPandas`` — binary in, one 64-bit dHash out per asset; the
+    front end of image near-dup dedup (feed the output to
+    ``dedup.hamming_candidate_pairs``). Per-row failures land in
+    ``status`` with dhash 0 instead of killing the stage. Scale: same
+    Arrow-batched codec boundary as ``extract_features`` — per-row
+    decode work, no shuffle, payloads never collected; the downstream
+    banded join shuffles only (id, 8-byte hash) tuples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, status = [], []
+            for payload in pdf["payload"]:
+                try:
+                    hashes.append(dhash64(payload))
+                    status.append("ok")
+                except Exception as e:  # noqa: BLE001 — per-row tolerance
+                    hashes.append(0)
+                    status.append(f"error:{type(e).__name__}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": hashes,
+                    "status": status,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def synthesize_gradient_png_assets(params: DataFrame) -> DataFrame:
+    """Turn ``(asset_id, w, h, g, d, e)`` parameter rows into REAL
+    gray PNGs carrying the 2-D gradient ``pixel(x, y) = (g + d·x +
+    e·y) mod 256`` — unlike ``synthesize_png_assets``'s vertical
+    gradients these vary along BOTH axes, so a dHash over them has
+    non-trivial horizontal structure (and mod-256 wrap positions that
+    move with g, making near-identical g values hash within a few
+    bits). Encoded with the Up filter after a None first row (row
+    deltas are the constant e), so decoding exercises real unfilter
+    paths. Deterministic per row: no RNG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for w, h, g, dd, ee in zip(
+                pdf["w"], pdf["h"], pdf["g"], pdf["d"], pdf["e"]
+            ):
+                w, h, g, dd, ee = int(w), int(h), int(g), int(dd), int(ee)
+                rows = [
+                    bytes((g + dd * x + ee * y) % 256 for x in range(w))
+                    for y in range(h)
+                ]
+                payloads.append(
+                    png_encode(
+                        w, h, rows,
+                        color_type=0, filters=[0] + [2] * (h - 1),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "media_type": ["image/png"] * len(payloads),
+                }
+            )
+
+    return params.mapInPandas(run, schema=PNG_ASSET_SCHEMA)
+
+
 def synthesize_png_assets(params: DataFrame) -> DataFrame:
     """Turn ``(asset_id, w, h, g, rgb)`` parameter rows into REAL
     encoded PNG payloads via ``mapInPandas`` (the encode is the same

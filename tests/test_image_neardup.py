@@ -1,0 +1,207 @@
+"""Image perceptual-hash near-dup (round 10): the 64-bit dHash over the
+from-scratch stdlib PNG decode path and the generic Hamming-banded
+candidate generator.
+
+Reference parity target: the reference treats media as opaque blobs
+(no image ops anywhere); this family is beyond-parity LLM-pipeline
+surface — the image analog of MinHash text dedup. The oracle-gated
+query is ``multimodal_image_neardup_pairs`` (plans/text_queries.py);
+this suite pins the pieces the SQL twin cannot see: thumbnail hash
+invariance, pigeonhole completeness, the star-divert, and the decode
+error path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.operators import dedup as D
+from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+    dhash64,
+    dhash_assets,
+    luma_rows,
+    png_box_downsample,
+    png_encode,
+    synthesize_gradient_png_assets,
+)
+
+
+def _grad_png(w: int, h: int, g: int, d: int, e: int) -> bytes:
+    rows = [
+        bytes((g + d * x + e * y) % 256 for x in range(w)) for y in range(h)
+    ]
+    return png_encode(w, h, rows, color_type=0, filters=[0] + [2] * (h - 1))
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_luma_rows_gray_roundtrip():
+    p = _grad_png(6, 5, 10, 3, 2)
+    w, h, rows = luma_rows(p)
+    assert (w, h) == (6, 5)
+    assert rows[2][4] == (10 + 3 * 4 + 2 * 2) % 256
+
+
+def test_luma_rows_rgb_pillow_formula():
+    color = bytes([200, 100, 50])
+    p = png_encode(4, 2, [color * 4] * 2, color_type=2)
+    _, _, rows = luma_rows(p)
+    expected = (200 * 19595 + 100 * 38470 + 50 * 7471 + 0x8000) >> 16
+    assert all(v == expected for line in rows for v in line)
+
+
+def test_dhash_closed_form():
+    """dhash64 equals an independent recompute from the gradient params
+    — the same closed form the DuckDB oracle twin uses."""
+    g, d, e = 37, 3, 2
+    p = _grad_png(18, 16, g, d, e)
+
+    def cell(r: int, c: int) -> int:
+        return (
+            sum(
+                (g + d * x + e * y) % 256
+                for x in (2 * c, 2 * c + 1)
+                for y in (2 * r, 2 * r + 1)
+            )
+            // 4
+        )
+
+    expect = 0
+    for r in range(8):
+        for c in range(8):
+            if cell(r, c + 1) > cell(r, c):
+                expect |= 1 << (r * 8 + c)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert dhash64(p) == expect
+
+
+def test_dhash_thumbnail_invariance_exact():
+    """2×2 box thumbnail of an exact-grid-multiple image hashes
+    IDENTICALLY: the 18×16 image's 2×2 dHash cells ARE the 9×8
+    thumbnail's pixels."""
+    for g, d, e in [(0, 1, 1), (37, 3, 2), (200, 5, 3), (113, 4, 1)]:
+        p = _grad_png(18, 16, g, d, e)
+        t = png_box_downsample(p)
+        assert dhash64(p) == dhash64(t)
+
+
+def test_dhash_thumbnail_near_for_nonmultiple_dims():
+    """Non-multiple dims (20×18 → 10×9 thumb) shift pooling boundaries
+    slightly: hashes stay within a small Hamming ball (measured worst
+    case 8 over the full g/d sweep — a near-dup banded join finds them)."""
+    for g in range(0, 240, 13):
+        for d in range(1, 6):
+            p = _grad_png(20, 18, g, d, 2)
+            t = png_box_downsample(p)
+            assert _ham(dhash64(p), dhash64(t)) <= 8
+
+
+def test_dhash_brightness_shift_mostly_stable():
+    """A +1 luma offset only moves mod-256 wrap positions / floor ties:
+    the bulk of images hash within Hamming 6 of their shifted twin."""
+    dists = [
+        _ham(
+            dhash64(_grad_png(18, 16, g, d, e)),
+            dhash64(_grad_png(18, 16, g + 1, d, e)),
+        )
+        for g in range(0, 230, 7)
+        for d in range(1, 6)
+        for e in range(1, 4)
+    ]
+    assert max(dists) <= 16
+    assert sum(1 for x in dists if x <= 6) / len(dists) >= 0.9
+
+
+def test_dhash_rejects_small_images():
+    with pytest.raises(ValueError, match="smaller than dhash grid"):
+        dhash64(_grad_png(8, 8, 0, 1, 1))
+
+
+def test_dhash_assets_and_synthesizer(spark):
+    """mapInPandas plumbing: synthesized gradient PNGs hash to the same
+    values as the local codec, and a corrupt payload lands in status
+    instead of killing the stage."""
+    params = spark.createDataFrame(
+        [(i, 18, 16, 10 + i, 1 + i % 5, 1 + i % 3) for i in range(6)],
+        "asset_id long, w int, h int, g int, d int, e int",
+    )
+    assets = synthesize_gradient_png_assets(params)
+    corrupt = spark.createDataFrame(
+        [(99, bytearray(b"not a png"), "image/png")],
+        "asset_id long, payload binary, media_type string",
+    )
+    out = {
+        r["asset_id"]: (r["dhash"], r["status"])
+        for r in dhash_assets(assets.unionByName(corrupt)).collect()
+    }
+    for i in range(6):
+        expect = dhash64(_grad_png(18, 16, 10 + i, 1 + i % 5, 1 + i % 3))
+        assert out[i] == (expect, "ok")
+    assert out[99][0] == 0 and out[99][1].startswith("error:")
+
+
+def test_hamming_pairs_pigeonhole_complete(spark):
+    """Any pair within Hamming distance bands−1 = 3 MUST surface (the
+    pigeonhole guarantee), with the exact popcount distance attached."""
+    hashes = spark.createDataFrame(
+        [
+            (1, 0b1010_0000),
+            (2, 0b1010_0001),          # d(1,2)=1
+            (3, 0b1010_0111),          # d(1,3)=3 (still guaranteed)
+            (4, -(1 << 63) | 0b1010_0000),  # d(1,4)=1 via the top band
+            (5, -1),                   # far from everything
+        ],
+        "id long, h long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.hamming_candidate_pairs(
+            hashes, hash_col="h", id_col="id", max_hamming=3
+        ).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 3 and got[(1, 4)] == 1
+    assert got[(2, 3)] == 2 and got[(2, 4)] == 2 and got[(3, 4)] == 4 if (3, 4) in got else True
+    assert not any(5 in p for p in got)
+
+
+def test_hamming_pairs_star_divert(spark):
+    """Over-full buckets divert to min-id star edges: member count is
+    preserved (every member reachable from the representative), clique
+    edges are dropped."""
+    # second cluster differs from 0 in EVERY 16-bit band (distance 4),
+    # so no cross-cluster band collision muddies the census
+    far = 0x0001000100010001
+    rows = [(i, 0) for i in range(1, 9)] + [(100, far), (101, far)]
+    hashes = spark.createDataFrame(rows, "id long, h long")
+    capped = D.hamming_candidate_pairs(
+        hashes, hash_col="h", id_col="id", max_hamming=3, max_bucket=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # the 8-member bucket becomes a star on id 1: exactly 7 edges
+    star = {p for p in pairs if p[0] == 1}
+    assert star == {(1, i) for i in range(2, 9)}
+    assert all(p[0] == 1 or p == (100, 101) for p in pairs)
+    assert (100, 101) in pairs  # small bucket unaffected
+    # uncapped: full clique C(8,2) + the small pair
+    full = D.hamming_candidate_pairs(
+        hashes, hash_col="h", id_col="id", max_hamming=3
+    ).count()
+    assert full == 28 + 1
+
+
+def test_simhash_delegation_unchanged(spark):
+    """simhash_candidate_pairs now delegates to the generic banding —
+    same results as the historical inline form on a known corpus."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_candidate_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == {(1, 2): 0}
