@@ -187,3 +187,73 @@ def test_incremental_dedup_bucketed_history_no_history_shuffle(spark):
         assert counts["kept"] == 60 - 20
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fp_store")
+
+
+def test_incremental_neardup_bucketed_store_and_replay(spark):
+    """Round-10: the near-dup grain of the incremental store. Batch
+    band keys join a band-key history bucketed on the key (history read
+    in place — 'Bucketed: true' scan under a SortMergeJoin); appending
+    the admitted docs' keys and replaying the SAME batch flips every
+    keyed doc to dup_history (replay idempotence, the property that
+    makes the accumulate loop safe to re-run after a crash)."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        dedup_incremental_neardup_bucketed,
+        lsh_band_keys,
+        write_lsh_band_store,
+    )
+
+    hist_docs = spark.createDataFrame(
+        [
+            (i, f"history doc number {i} about topic {i % 7} with more words")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    write_lsh_band_store(lsh_band_keys(hist_docs), "t_band_store", num_buckets=8)
+    try:
+        batch = spark.createDataFrame(
+            # exact copies of history docs 0-9 -> every band key hits
+            [
+                (1000 + i, f"history doc number {i} about topic {i % 7} with more words")
+                for i in range(10)
+            ]
+            # an in-batch clone pair (disjoint vocabulary from history)
+            + [
+                (1100, "zebra quokka wombat axolotl pangolin capuchin"),
+                (1101, "zebra quokka wombat axolotl pangolin capuchin"),
+            ]
+            # fresh singletons (disjoint vocabulary)
+            + [
+                (1200 + i, f"fresh item {i} entirely novel corpus entry {i}")
+                for i in range(5)
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup_incremental_neardup_bucketed(spark, batch, "t_band_store")
+        counts = {
+            r["status"]: r["n"]
+            for r in out.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert counts["dup_history"] == 10
+        assert counts["dup_batch"] == 1
+        assert counts["kept"] == 1 + 5
+        plan = spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Bucketed: true" in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # replay idempotence: append the admitted docs' keys, re-run
+        kept_docs = batch.join(
+            out.filter(F.col("status") == "kept").select("doc_id"), "doc_id"
+        )
+        write_lsh_band_store(
+            lsh_band_keys(kept_docs), "t_band_store",
+            num_buckets=8, mode="append",
+        )
+        out2 = dedup_incremental_neardup_bucketed(spark, batch, "t_band_store")
+        statuses = {r["doc_id"]: r["status"] for r in out2.collect()}
+        assert all(s == "dup_history" for s in statuses.values()), statuses
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_band_store")
