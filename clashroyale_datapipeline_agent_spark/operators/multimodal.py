@@ -835,6 +835,74 @@ def synthesize_y4m_assets(params: DataFrame) -> DataFrame:
     return params.mapInPandas(run, schema=Y4M_ASSET_SCHEMA)
 
 
+def y4m_scene_cut_features(
+    payload: bytes | None, media_type: str, *, min_jump: int = 8
+) -> list[float]:
+    """TEMPORAL video analysis under the ``extract_features`` contract —
+    scene-cut detection over the decoded luma sequence (the operator a
+    video-curation pipeline runs to split footage into shots before
+    frame sampling): blind-parse the y4m container, compute each
+    frame's luma sum, take consecutive-frame deltas, and flag a cut
+    wherever the mean per-pixel luma jump is ≥ ``min_jump`` (i.e.
+    |Σt − Σt−1| ≥ min_jump · w · h). Features: width, height, total
+    frames, number of cuts, max |delta|, Σ|delta|, first cut's frame
+    index (0 if none), payload bytes. All integers by construction on
+    the fixture signals — exact in float32."""
+    w, h, _num, _den, frames = y4m_decode(payload)
+    sums = [sum(f) for f in frames]
+    deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+    thresh = min_jump * w * h
+    cut_idx = [t + 1 for t, d in enumerate(deltas) if d >= thresh]
+    return [
+        float(w),
+        float(h),
+        float(len(frames)),
+        float(len(cut_idx)),
+        float(max(deltas, default=0)),
+        float(sum(deltas)),
+        float(cut_idx[0] if cut_idx else 0),
+        float(len(payload)),
+    ]
+
+
+def synthesize_y4m_scene_assets(params: DataFrame) -> DataFrame:
+    """Turn ``(asset_id, w, h, n_frames, g, cut, jump)`` parameter rows
+    into REAL y4m payloads with a SCENE CUT: frame t's luma is the row
+    gradient ``g + y`` plus ``jump`` once ``t >= cut`` (callers keep
+    ``g + h + jump < 256`` so no mod wrap — deltas are exactly
+    w·h·jump at the cut and 0 elsewhere). ``jump = 0`` or ``cut >=
+    n_frames`` synthesizes cut-free footage. The downstream decoder
+    sees only bytes; the cut position lives again only in the DuckDB
+    oracle's closed form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for w, h, n, g, cut, jump in zip(
+                pdf["w"], pdf["h"], pdf["n_frames"], pdf["g"],
+                pdf["cut"], pdf["jump"],
+            ):
+                w, h, n = int(w), int(h), int(n)
+                g, cut, jump = int(g), int(cut), int(jump)
+                planes = [
+                    b"".join(
+                        bytes([g + y + (jump if t >= cut else 0)]) * w
+                        for y in range(h)
+                    )
+                    for t in range(n)
+                ]
+                payloads.append(y4m_encode(w, h, planes))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "media_type": ["video/x-y4m"] * len(payloads),
+                }
+            )
+
+    return params.mapInPandas(run, schema=Y4M_ASSET_SCHEMA)
+
+
 def extract_features(assets: DataFrame, *, decoder=None) -> DataFrame:
     """Decode + featurize media assets via ``mapInPandas``.
 

@@ -617,3 +617,48 @@ def test_wav_decimate_stage_survives_corrupt_payload(spark):
     out = {r["asset_id"]: r for r in decimate_wav_assets(df).collect()}
     assert out[1]["media_type"] == "audio/wav"
     assert out[2]["media_type"] == "audio/wav+error"
+
+
+def test_y4m_scene_cut_features_known_cut():
+    """Scene-cut detector (round-10): a known mid-stream luma jump is
+    found at the exact frame with the exact w·h·jump delta; cut-free
+    and past-the-end-cut footage reports zero cuts."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        y4m_encode,
+        y4m_scene_cut_features,
+    )
+
+    w, h, g, jump, cut, n = 6, 4, 20, 30, 2, 5
+    planes = [
+        b"".join(
+            bytes([g + y + (jump if t >= cut else 0)]) * w for y in range(h)
+        )
+        for t in range(n)
+    ]
+    f = y4m_scene_cut_features(y4m_encode(w, h, planes), "video/x-y4m")
+    assert f[:4] == [6.0, 4.0, 5.0, 1.0]          # w, h, frames, n_cuts
+    assert f[4] == float(w * h * jump)            # max delta
+    assert f[5] == float(w * h * jump)            # sum |delta|
+    assert f[6] == float(cut)                     # first cut index
+    # cut-free: constant footage
+    flat = [planes[0]] * 4
+    f2 = y4m_scene_cut_features(y4m_encode(w, h, flat), "video/x-y4m")
+    assert f2[3] == 0.0 and f2[4] == 0.0 and f2[6] == 0.0
+    # sub-threshold jump (mean per-pixel < 8) is NOT a cut
+    soft = [planes[0], b"".join(bytes([g + y + 5]) * w for y in range(h))]
+    f3 = y4m_scene_cut_features(y4m_encode(w, h, soft), "video/x-y4m")
+    assert f3[3] == 0.0 and f3[5] == float(w * h * 5)
+
+
+def test_y4m_scene_cut_two_cuts():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        y4m_encode,
+        y4m_scene_cut_features,
+    )
+
+    w, h = 4, 4
+    lv = [10, 10, 60, 60, 110]  # cuts at frames 2 and 4
+    planes = [bytes([v]) * (w * h) for v in lv]
+    f = y4m_scene_cut_features(y4m_encode(w, h, planes), "video/x-y4m")
+    assert f[3] == 2.0 and f[6] == 2.0
+    assert f[5] == float(w * h * 100)
