@@ -76,10 +76,23 @@ def test_approx_count_distinct_error_bound(spark):
 
     rows = a_approx_count_distinct(spark, "/root/testdata/sf0.001").collect()
     assert rows
-    for r in rows:
-        rel = abs(r["approx_customers"] - r["exact_customers"]) / max(
-            r["exact_customers"], 1
+    assert all(r["within_3rsd"] for r in rows)
+    # strict profile recomputed from the raw sketch (the registry query
+    # hashes only the bound boolean since round 10)
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        load_star_table,
+    )
+
+    c = load_star_table(spark, "/root/testdata/sf0.001", "customer")
+    for r in (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("c_custkey", 0.02).alias("a"),
+            F.countDistinct("c_custkey").alias("e"),
         )
+        .collect()
+    ):
+        rel = abs(r["a"] - r["e"]) / max(r["e"], 1)
         assert rel <= 0.10  # 2% target rsd, wide margin
 
 
