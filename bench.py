@@ -114,6 +114,8 @@ def main() -> None:
         name: timings[name] for name in reversed(registry_order) if name in timings
     }
 
+    from tools.oracle_check import git_sha  # noqa: PLC0415
+
     total = round(sum(timings.values()), 3)
     line = json.dumps(
         {
@@ -127,6 +129,7 @@ def main() -> None:
             "sf": sf,
             "reps": reps,
             "calibration_sec": cal,
+            "git_sha": git_sha(),
         }
     )
     print(line)
@@ -153,6 +156,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "calibration_sec": cal,
+                "git_sha": git_sha(),
                 "n_queries": len(timings),
                 "queries": dict(newest[:k]),
             }

@@ -118,3 +118,102 @@ def start_incremental_meta_counters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class NearDupBandStore:
+    """Streaming near-dup history on plain parquet (round-10: the
+    near-dup grain of the Phase-0 accumulate loop, streaming plane).
+
+    Two append-only logs, PARTITIONED BY BATCH ID so replays are
+    idempotent by overwrite — ``keys/batch=<id>`` (the admitted docs'
+    LSH band keys, the membership set the next batch joins) and
+    ``docs/batch=<id>`` (the admitted docs themselves). Band-key
+    membership is a monotone set, so append-only needs no version
+    chain (cf. ``IncrementalCounterStore``, whose counters mutate):
+    duplicate keys across batches are harmless because the screen joins
+    ``left_semi``. A foreachBatch replay of batch N before batch N+1
+    has run recomputes against the same history and overwrites the same
+    partitions — exactly-once without a marker protocol. With
+    Delta/Iceberg both logs collapse to committed appends (SCALE.md,
+    lakehouse mapping)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        (self.root / "keys").mkdir(parents=True, exist_ok=True)
+        (self.root / "docs").mkdir(parents=True, exist_ok=True)
+
+    def _parts(self, sub: str, exclude_batch: int | None = None) -> list[Path]:
+        return sorted(
+            p
+            for p in (self.root / sub).glob("batch=*")
+            if exclude_batch is None or p.name != f"batch={exclude_batch}"
+        )
+
+    def read_keys(self, *, exclude_batch: int | None = None) -> DataFrame:
+        parts = self._parts("keys", exclude_batch)
+        if not parts:
+            return self.spark.createDataFrame([], "band_key string")
+        return self.spark.read.schema("band_key string").parquet(
+            *[str(p) for p in parts]
+        )
+
+    def admitted(self) -> DataFrame:
+        parts = self._parts("docs")
+        if not parts:
+            return self.spark.createDataFrame([], "doc_id long, text string")
+        return self.spark.read.parquet(*[str(p) for p in parts])
+
+    def apply_batch(
+        self, batch_docs: DataFrame, batch_id: int, **lsh_kwargs
+    ) -> None:
+        """Screen one micro-batch against history, admit the keepers,
+        and append their band keys. The kept docs are round-tripped
+        through their own parquet partition before key extraction so
+        the screen computes once and keys always describe exactly what
+        was admitted."""
+        from clashroyale_datapipeline_agent_spark.operators.dedup import (
+            dedup_incremental_neardup,
+            lsh_band_keys,
+        )
+
+        # history EXCLUDES this batch's own partition: on a foreachBatch
+        # replay the batch's first-run keys are already on disk, and
+        # screening a batch against its own keys would reject everything
+        # and wipe the partition — excluding them makes replay recompute
+        # the identical screen
+        screened = dedup_incremental_neardup(
+            batch_docs, self.read_keys(exclude_batch=batch_id), **lsh_kwargs
+        )
+        doc_part = self.root / "docs" / f"batch={batch_id}"
+        screened.filter(F.col("status") == "kept").drop("status").write.mode(
+            "overwrite"
+        ).parquet(str(doc_part))
+        kept = self.spark.read.parquet(str(doc_part))
+        lsh_band_keys(kept, **lsh_kwargs).select("band_key").write.mode(
+            "overwrite"
+        ).parquet(str(self.root / "keys" / f"batch={batch_id}"))
+
+
+def start_streaming_neardup_dedup(
+    docs_stream: DataFrame,
+    store: NearDupBandStore,
+    checkpoint: str,
+    **lsh_kwargs,
+):
+    """Attach near-dup admission control to a document stream: each
+    micro-batch is screened against everything admitted so far (band
+    keys only — history text is never rescanned) and the keepers extend
+    the store. foreachBatch + per-batch-partition overwrites give
+    exactly-once admission. ``availableNow`` so tests drain
+    deterministically."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        store.apply_batch(batch_df, batch_id, **lsh_kwargs)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

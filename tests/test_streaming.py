@@ -1113,3 +1113,59 @@ def test_minibatch_kmeans_store_is_arrival_order_free(spark, tmp_path):
     assert [tuple(r) for r in a.chart().collect()] == [
         tuple(r) for r in b_.chart().collect()
     ]
+
+
+def test_streaming_neardup_admission_and_replay(spark, tmp_path):
+    """Round-10: the near-dup accumulate loop on the streaming plane —
+    each micro-batch is screened against the band-key history of
+    everything admitted so far (history text never rescanned), keepers
+    extend the store, and re-applying a batch id is idempotent."""
+    import json as _json
+
+    from clashroyale_datapipeline_agent_spark.streaming.incremental import (
+        NearDupBandStore,
+        start_streaming_neardup_dedup,
+    )
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+
+    def land(name: str, rows: list[tuple[int, str]]):
+        with open(src / name, "w") as f:
+            for i, t in rows:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    b0 = [(i, f"original corpus document {i} with unique words w{i}")
+          for i in range(1, 6)]
+    land("b0.jsonl", b0)
+    store = NearDupBandStore(spark, str(tmp_path / "nd_state"))
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = start_streaming_neardup_dedup(stream, store, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    assert {r["doc_id"] for r in store.admitted().collect()} == {1, 2, 3, 4, 5}
+
+    b1 = [
+        (10, "original corpus document 1 with unique words w1"),  # = doc 1
+        (11, "zebra quokka wombat axolotl pangolin capuchin toad"),
+        (12, "zebra quokka wombat axolotl pangolin capuchin toad"),
+        (13, "completely fresh entry about entirely new material"),
+    ]
+    land("b1.jsonl", b1)
+    run_once()
+    got = {r["doc_id"] for r in store.admitted().collect()}
+    assert got == {1, 2, 3, 4, 5, 11, 13}
+
+    # idempotent replay: re-apply the last batch id with the same docs
+    batch1 = spark.createDataFrame(b1, "doc_id long, text string")
+    store.apply_batch(batch1, 1)
+    assert {r["doc_id"] for r in store.admitted().collect()} == got
+    # the history set now rejects the whole batch on a fresh id
+    store.apply_batch(batch1, 2)
+    assert {r["doc_id"] for r in store.admitted().collect()} == got

@@ -75,12 +75,15 @@ def main() -> int:
             runs = json.loads(art.read_text()).get("runs", [])
         except ValueError:
             runs = []
+    from tools.oracle_check import git_sha
+
     runs.append(
         {
             "sf_dir": sf_dir,
             "reps": reps,
             "checked": checked,
             "unstable": unstable,
+            "git_sha": git_sha(),
         }
     )
     art.write_text(json.dumps({"runs": runs[-20:]}, indent=1))

@@ -54,11 +54,21 @@ def main() -> None:
     import __spark_entry__ as e  # noqa: PLC0415
 
     reg = list(e.queries().keys())
+    forced = set(args.new)
     zero = [n for n in reg if not ev.get(n)]
-    # honor --new ordering first, then any other zero-evidence names
-    head = [n for n in args.new if n in reg] + sorted(n for n in zero if n not in args.new)
-    one = sorted((n for n in reg if len(ev.get(n, [])) == 1), key=lambda n: (ev[n][0], n))
-    multi = sorted(n for n in reg if len(ev.get(n, [])) >= 2)
+    # honor --new ordering first, then any other zero-evidence names;
+    # a --new name that already has driver rows (e.g. an oracle FLIP of
+    # a previously rows-only query) must not also reappear downstream
+    head = [n for n in args.new if n in reg] + sorted(
+        n for n in zero if n not in forced
+    )
+    one = sorted(
+        (n for n in reg if len(ev.get(n, [])) == 1 and n not in forced),
+        key=lambda n: (ev[n][0], n),
+    )
+    multi = sorted(
+        n for n in reg if len(ev.get(n, [])) >= 2 and n not in forced
+    )
 
     first = head + one
     window = first[:50]
