@@ -2203,3 +2203,200 @@ def dedup_keep_policy_divergence(
         )
         .orderBy("source")
     )
+
+
+def _image_curation_sql() -> str:
+    """DuckDB twin of ``curation_image_neardup_report``: closed-form
+    dHash recompute (shared builder with the pairs query) + full replay
+    of exact-keep, banding under the cap, Hamming verify, a
+    recursive-CTE components pass, and the keep-best window."""
+    from clashroyale_datapipeline_agent_spark.plans.text_queries import (
+        _dhash_sql_parts,
+    )
+
+    cells, hash_sum = _dhash_sql_parts()
+    return f"""
+    WITH RECURSIVE p AS (
+        SELECT doc_id, source, n_chars,
+               (doc_id // 2 * 7) % 240 + doc_id % 2 AS g,
+               1 + (doc_id // 2) % 5 AS d,
+               1 + (doc_id // 2 // 5) % 3 AS e
+        FROM documents
+    ), ek AS (
+        SELECT doc_id, source, n_chars, g, d, e FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY g, d, e ORDER BY doc_id
+            ) AS rn FROM p
+        ) WHERE rn = 1
+    ), cells AS (
+        SELECT doc_id, {cells} AS cl FROM ek
+    ), h AS (
+        SELECT doc_id,
+               CAST({hash_sum} AS BIGINT) AS dh
+        FROM cells
+    ), b AS (
+        SELECT doc_id, dh, band, (dh >> (band * 16)) & 65535 AS bits
+        FROM h, (SELECT unnest(generate_series(0, 3)) AS band)
+    ), bsz AS (
+        SELECT band, bits, COUNT(*) AS bn, MIN(doc_id) AS rep
+        FROM b GROUP BY band, bits
+    ), cand AS (
+        SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                   bit_count(xor(a.dh, b2.dh)) AS hamming
+            FROM b a
+            JOIN b b2 ON a.band = b2.band AND a.bits = b2.bits
+                      AND a.doc_id < b2.doc_id
+            JOIN bsz z ON z.band = a.band AND z.bits = a.bits
+            WHERE z.bn <= 16
+            UNION ALL
+            SELECT z.rep, bb.doc_id, bit_count(xor(rh.dh, bb.dh))
+            FROM b bb
+            JOIN bsz z ON z.band = bb.band AND z.bits = bb.bits
+            JOIN h rh ON rh.doc_id = z.rep
+            WHERE z.bn > 16 AND bb.doc_id != z.rep
+        ) WHERE hamming <= 6
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM cand
+        UNION
+        SELECT id_b, id_a FROM cand
+    ), reach(v, r) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.v = s.v
+    ), comp AS (
+        SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+    ), ranked AS (
+        SELECT e.source, e.n_chars,
+               row_number() OVER (
+                   PARTITION BY COALESCE(c.component, e.doc_id)
+                   ORDER BY e.n_chars DESC, e.doc_id ASC
+               ) AS krn
+        FROM ek e LEFT JOIN comp c ON c.doc_id = e.doc_id
+    ), per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_kept,
+               CAST(SUM(CASE WHEN krn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_near_kept,
+               CAST(SUM(CASE WHEN krn = 1 THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM ranked GROUP BY source
+    ), raw AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw_docs
+        FROM documents GROUP BY source
+    )
+    SELECT r.source, r.n_raw_docs, per.n_exact_kept, per.n_near_kept,
+           per.kept_chars
+    FROM raw r JOIN per ON per.source = r.source
+    ORDER BY r.source
+    """
+
+
+@register("curation_image_neardup_report", _image_curation_sql())
+def curation_image_neardup_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IMAGE curation recipe end-to-end as one oracle-gated lineage
+    — the multimodal twin of ``curation_neardup_pipeline_report``
+    (round 10, composing the round's new pieces): real gradient PNGs
+    are synthesized per document, EXACT-deduped content-addressed
+    (md5 of the encoded payload, keeper = min id — the cheap stage
+    that collapses byte-identical mega-clusters BEFORE any perceptual
+    work), the survivors are blind-decoded and dHashed
+    (``multimodal.dhash_assets``), near-dup candidates surface through
+    Hamming banding under the ``max_bucket=16`` star-divert with exact
+    popcount verify ≤ 6 (``dedup.hamming_candidate_pairs``), clusters
+    close under ``graph.connected_components``, and each cluster keeps
+    its highest-quality member (n_chars as the quality stand-in, ties
+    to the lowest doc_id). Per-source yield report. The DuckDB twin
+    replays EVERY stage — the closed-form hash, the cap's star divert,
+    a recursive-CTE transitive closure, the keep-best window — so the
+    oracle checks the composition, not just the pieces (each also
+    verified alone: ``multimodal_image_neardup_pairs``,
+    ``dedup_exact_groups``, ``graph_connected_components``,
+    ``dedup_keep_best_quality``). Ordering matters at scale and is the
+    point: exact dedup runs at the fingerprint grain on the RAW corpus
+    (hash-agg, no decode), so the Arrow decode + hash stage and the
+    banded join see only content-distinct survivors — at 100 TB that is
+    the difference between hashing a billion images and hashing the
+    ~distinct fraction; candidates (never image pairs) remain the only
+    super-linear surface and carry the cap. Plan-audit note: the
+    synthesis/dhash mapInPandas stages execute inside the eager
+    localCheckpoint materialization jobs (the components loop needs a
+    materialized edge list), so the FINAL audited plan starts from the
+    checkpointed RDDs and records the keep-best/report stage."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        hamming_candidate_pairs,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.graph import (
+        connected_components,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        dhash_assets,
+        synthesize_gradient_png_assets,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    grp = F.expr("doc_id div 2")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(18).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+        ((grp * 7) % 240 + F.col("doc_id") % 2).cast("int").alias("g"),
+        (grp % 5 + 1).cast("int").alias("d"),
+        (F.expr("doc_id div 2 div 5") % 3 + 1).cast("int").alias("e"),
+    )
+    # one synthesis, two consumers (fingerprint + survivor hashing):
+    # payloads are a few hundred bytes each, checkpoint instead of
+    # re-encoding the corpus twice
+    assets = synthesize_gradient_png_assets(params).localCheckpoint(
+        eager=True
+    )
+    fp_w = Window.partitionBy("fp").orderBy("asset_id")
+    exact_kept = (
+        assets.select("asset_id", F.md5("payload").alias("fp"))
+        .withColumn("rn", F.row_number().over(fp_w))
+        .filter(F.col("rn") == 1)
+        .select("asset_id")
+    )
+    hashes = dhash_assets(assets.join(exact_kept, "asset_id")).select(
+        F.col("asset_id").alias("id"), F.col("dhash").alias("h")
+    )
+    pairs = hamming_candidate_pairs(
+        hashes, hash_col="h", id_col="id", bands=4, bits=64,
+        max_hamming=6, max_bucket=16,
+    )
+    comp = connected_components(pairs)
+    quality = d.select(
+        F.col("doc_id").alias("id"), "source", "n_chars"
+    )
+    merged = (
+        exact_kept.select(F.col("asset_id").alias("id"))
+        .join(comp, "id", "left")
+        .join(quality, "id")
+        .withColumn("cluster", F.coalesce("component", F.col("id")))
+    )
+    keep_w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    ranked = merged.withColumn("krn", F.row_number().over(keep_w))
+    per = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_kept"),
+        F.sum((F.col("krn") == 1).cast("long"))
+        .cast("bigint")
+        .alias("n_near_kept"),
+        F.sum(F.when(F.col("krn") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+    raw = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw_docs")
+    )
+    return (
+        raw.join(F.broadcast(per), "source")
+        .select(
+            "source", "n_raw_docs", "n_exact_kept", "n_near_kept",
+            "kept_chars",
+        )
+        .orderBy("source")
+    )

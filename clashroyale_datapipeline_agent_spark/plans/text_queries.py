@@ -1323,14 +1323,12 @@ def multimodal_wav_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _image_neardup_sql() -> str:
-    """DuckDB twin of ``multimodal_image_neardup_pairs``: recompute each
-    asset's 64-bit dHash in CLOSED FORM from the gradient parameters
-    (pixel(x,y) = (g + d·x + e·y) mod 256 on an 18×16 canvas → 2×2
-    floor-mean cells → 72-cell grid → 64 gradient bits), then replay the
-    exact 4×16-bit Hamming banding. The Spark side never sees these
-    formulas — it decodes real PNG bytes — so a hash match proves the
-    whole decode → pool → hash → band → join pipeline."""
+def _dhash_sql_parts() -> tuple[str, str]:
+    """Shared closed-form dHash SQL pieces for the gradient-PNG fixture
+    family: the 72-cell floor-mean grid expression (over columns
+    g, d, e) and the 64-term signed hash sum (over a ``cl`` list
+    column). Used by ``multimodal_image_neardup_pairs`` and
+    ``curation_image_neardup_report``."""
     # 9×8 grid of 2×2 boxes over w=18, h=16: cell k (k//9 = row r,
     # k%9 = col c) is the floor mean of the 4 pixels at x∈{2c,2c+1},
     # y∈{2r,2r+1}.
@@ -1350,7 +1348,18 @@ def _image_neardup_sql() -> str:
         i1, i2 = r * 9 + c + 1, r * 9 + c + 2
         w = (1 << k) if k < 63 else -(1 << 63)
         terms.append(f"CASE WHEN cl[{i2}] > cl[{i1}] THEN {w} ELSE 0 END")
-    hash_sum = "\n                 + ".join(terms)
+    return cells, "\n                 + ".join(terms)
+
+
+def _image_neardup_sql() -> str:
+    """DuckDB twin of ``multimodal_image_neardup_pairs``: recompute each
+    asset's 64-bit dHash in CLOSED FORM from the gradient parameters
+    (pixel(x,y) = (g + d·x + e·y) mod 256 on an 18×16 canvas → 2×2
+    floor-mean cells → 72-cell grid → 64 gradient bits), then replay the
+    exact 4×16-bit Hamming banding. The Spark side never sees these
+    formulas — it decodes real PNG bytes — so a hash match proves the
+    whole decode → pool → hash → band → join pipeline."""
+    cells, hash_sum = _dhash_sql_parts()
     return f"""
     WITH p AS (
         SELECT doc_id,

@@ -275,6 +275,16 @@ def main() -> int:
     from tools.oracle_check import git_sha
 
     path = Path(__file__).resolve().parents[1] / "EXPLAIN_AUDIT.json"
+    # A SUBSET run merges into the existing artifact (same sf_dir) so
+    # auditing one new query doesn't wipe the other 250+ fact rows; a
+    # full run (no names) always rewrites from scratch.
+    if names and path.exists():
+        try:
+            prev = json.loads(path.read_text())
+            if prev.get("sf_dir") == sf_dir:
+                out = {**prev.get("queries", {}), **out}
+        except ValueError:
+            pass
     path.write_text(
         json.dumps(
             {"sf_dir": sf_dir, "git_sha": git_sha(), "queries": out},
