@@ -1481,6 +1481,85 @@ def multimodal_image_neardup_pairs(
     )
 
 
+def _image_hamming_topk_sql() -> str:
+    """DuckDB twin of ``multimodal_image_hamming_topk``: closed-form
+    dHash recompute for every asset, then exact brute-force Hamming
+    ranking against doc 0's hash."""
+    cells, hash_sum = _dhash_sql_parts()
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id // 2 * 7) % 240 + doc_id % 2 AS g,
+               1 + (doc_id // 2) % 5 AS d,
+               1 + (doc_id // 2 // 5) % 3 AS e
+        FROM documents
+    ), cells AS (
+        SELECT doc_id, {cells} AS cl FROM p
+    ), h AS (
+        SELECT doc_id,
+               CAST({hash_sum} AS BIGINT) AS dh
+        FROM cells
+    ), q AS (SELECT dh AS qh FROM h WHERE doc_id = 0)
+    SELECT h.doc_id,
+           CAST(bit_count(xor(h.dh, q.qh)) AS BIGINT) AS hamming
+    FROM h, q
+    WHERE h.doc_id <> 0
+    ORDER BY hamming ASC, h.doc_id ASC
+    LIMIT 20
+    """
+
+
+@register("multimodal_image_hamming_topk", _image_hamming_topk_sql())
+def multimodal_image_hamming_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMAGE similarity search — the brute-force baseline of the
+    perceptual-hash family (the image analog of ``ann_cosine_topk``):
+    every document's gradient PNG is blind-decoded and dHashed, and the
+    20 nearest neighbors of doc 0's image are ranked by exact 64-bit
+    Hamming distance (popcount of xor — one codegen'd expression per
+    row, TakeOrderedAndProject top-k, no global sort). The scale path
+    for this lookup is the banded form (``hamming_candidate_pairs``
+    probes only band-colliding buckets, the exact analog of IVF
+    nprobe); this query IS the recall baseline that sweep would be
+    measured against. The twin recomputes every hash in closed form, so
+    ranking-by-decoded-bytes must equal ranking-by-formula — a wrong
+    unfilter or pooling boundary reorders the neighbor list and cannot
+    hash-match. Scale: per-row Arrow decode + an 8-byte broadcast of
+    the query hash; the distance scan is map-local with per-partition
+    top-k."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        dhash_assets,
+        synthesize_gradient_png_assets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grp = F.expr("doc_id div 2")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(18).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+        ((grp * 7) % 240 + F.col("doc_id") % 2).cast("int").alias("g"),
+        (grp % 5 + 1).cast("int").alias("d"),
+        (F.expr("doc_id div 2 div 5") % 3 + 1).cast("int").alias("e"),
+    )
+    hashes = dhash_assets(synthesize_gradient_png_assets(params)).select(
+        F.col("asset_id").alias("doc_id"), F.col("dhash").alias("dh")
+    ).localCheckpoint(eager=True)
+    qh = hashes.filter(F.col("doc_id") == 0).collect()[0]["dh"]
+    return (
+        hashes.filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.bit_count(F.col("dh").bitwiseXOR(F.lit(qh)))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 @register("docs_pack_stats", None)  # rows-only: pack layout depends on partitioning
 def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (``operators/packing.py``) summarized: pack count,

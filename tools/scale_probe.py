@@ -220,6 +220,66 @@ def main_dedup_worstcase() -> None:
     )
 
 
+def main_image_worstcase() -> None:
+    """Image near-dup mega-cluster probe (round 10): EVERY asset carries
+    the IDENTICAL image (one params row replicated), so all dHashes are
+    equal and every Hamming band bucket holds the whole corpus — the
+    uncapped banded self-join would emit 4·C(n,2) pairs. With
+    ``max_bucket`` the star-divert keeps candidates at n−1 edges, so
+    assets/sec should stay near-flat across 1x/4x/16x — the image twin
+    of ``dedup-worstcase`` (near-constant images are every crawl's
+    mega-cluster: black frames, blank thumbnails)."""
+    from pyspark.sql import functions as F
+
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        hamming_candidate_pairs,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        dhash_assets,
+        synthesize_gradient_png_assets,
+    )
+    from clashroyale_datapipeline_agent_spark.session import get_spark
+
+    spark = get_spark("scale-probe-image-wc")
+    base = 20_000
+    results = []
+    for mult in (1, 4, 16):
+        n = base * mult
+        params = spark.range(n).select(
+            F.col("id").alias("asset_id"),
+            F.lit(18).cast("int").alias("w"),
+            F.lit(16).cast("int").alias("h"),
+            F.lit(37).cast("int").alias("g"),
+            F.lit(3).cast("int").alias("d"),
+            F.lit(2).cast("int").alias("e"),
+        ).repartition(32)
+        hashes = dhash_assets(
+            synthesize_gradient_png_assets(params)
+        ).select(F.col("asset_id").alias("id"), F.col("dhash").alias("h"))
+
+        def probe():
+            return hamming_candidate_pairs(
+                hashes, hash_col="h", id_col="id",
+                max_hamming=6, max_bucket=16,
+            ).count()
+
+        probe()  # warm
+        t0 = time.perf_counter()
+        cands = probe()
+        dt = time.perf_counter() - t0
+        results.append((mult, n, dt, int(n / dt)))
+        print(
+            f"x{mult:<3d} assets={n:>8,d} cands={cands:>9,d}  wall={dt:6.2f}s"
+            f"  assets/sec={int(n/dt):,}  cands/asset={cands/n:.2f}"
+        )
+
+    r1, r16 = results[0][3], results[-1][3]
+    print(
+        f"\nthroughput ratio x16/x1 = {r16 / r1:.2f} "
+        "(>= ~0.7 means the star-divert kept the mega-cluster load linear)"
+    )
+
+
 def main_bigram_worstcase() -> None:
     """Unique-bigram corpus probe for ``docs_bigram_lm_surprisal_by_source``:
     the query's scale note says the scored grain is DISTINCT (source, w1,
@@ -531,5 +591,7 @@ if __name__ == "__main__":
         main_doremi_worstcase()
     elif which == "affinity-worstcase":
         main_affinity_worstcase()
+    elif which == "image-worstcase":
+        main_image_worstcase()
     else:
         main()
