@@ -820,7 +820,15 @@ def lsh_band_keys(
         shingles_col(F.col(text_col), shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0).localCheckpoint(eager=True)
     sig = minhash_signature(F.col("sh"), num_hashes, hash_fn=fn)
-    signed = base.select("id", sig.alias("sig"))
+    # checkpoint the signature BEFORE the band explode: Project-collapse
+    # would otherwise inline the num_hashes-expression into every band
+    # row's slice — the recompute pathology lsh_candidate_pairs pins
+    # (here a modest measured win, 8.5 -> 7.9s on
+    # docs_incremental_neardup_counts at sf0.1: the md5-salted family
+    # itself dominates; that cost is the price of an engine-portable
+    # store and is bounded by batch size in steady state, where history
+    # keys are READ, never recomputed)
+    signed = base.select("id", sig.alias("sig")).localCheckpoint(eager=True)
     return signed.select(
         "id",
         F.explode(
