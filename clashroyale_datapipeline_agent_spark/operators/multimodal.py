@@ -358,6 +358,48 @@ def dhash64(payload: bytes, *, grid_w: int = 9, grid_h: int = 8) -> int:
     return hv - (1 << 64) if hv >= 1 << 63 else hv
 
 
+def wav_delta_hash64(payload: bytes) -> int:
+    """64-bit AUDIO difference hash — the PCM analog of :func:`dhash64`:
+    decode, mono-mix each frame (sum of channels), and set bit t iff
+    |frame t+1| > |frame t| over the first 65 frames. Near-identical
+    audio (re-encodes, small DC offsets) flips few bits, so the same
+    Hamming-banded join used for image near-dup finds audio near-dups.
+    Requires ≥ 65 frames. Returns a SIGNED int64 (bit 63 → negative)."""
+    _rate, channels, s = wav_decode(payload)
+    frames = len(s) // channels
+    if frames < 65:
+        raise ValueError(f"need >= 65 frames for delta hash, got {frames}")
+    mono = [
+        sum(s[f * channels : (f + 1) * channels]) for f in range(65)
+    ]
+    hv = 0
+    for t in range(64):
+        if abs(mono[t + 1]) > abs(mono[t]):
+            hv |= 1 << t
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def y4m_temporal_hash64(payload: bytes) -> int:
+    """64-bit VIDEO temporal hash — the time-axis analog of
+    :func:`dhash64`: decode, take each frame's luma sum, and set bit t
+    iff sum(frame t+1) > sum(frame t) over the first 65 frames. Encodes
+    the brightness-motion signature of a clip; re-encodes and mild
+    global brightness shifts preserve most bits, so Hamming banding
+    finds near-duplicate footage without frame-by-frame comparison.
+    Requires ≥ 65 frames. Returns a SIGNED int64."""
+    _w, _h, _num, _den, frames = y4m_decode(payload)
+    if len(frames) < 65:
+        raise ValueError(
+            f"need >= 65 frames for temporal hash, got {len(frames)}"
+        )
+    sums = [sum(f) for f in frames[:65]]
+    hv = 0
+    for t in range(64):
+        if sums[t + 1] > sums[t]:
+            hv |= 1 << t
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
 DHASH_SCHEMA = "asset_id long, dhash long, status string"
 
 
@@ -377,6 +419,36 @@ def dhash_assets(assets: DataFrame) -> DataFrame:
             for payload in pdf["payload"]:
                 try:
                     hashes.append(dhash64(payload))
+                    status.append("ok")
+                except Exception as e:  # noqa: BLE001 — per-row tolerance
+                    hashes.append(0)
+                    status.append(f"error:{type(e).__name__}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": hashes,
+                    "status": status,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def perceptual_hash_assets(assets: DataFrame, hasher) -> DataFrame:
+    """Generic perceptual-hash stage over opaque payloads via
+    ``mapInPandas`` — ``hasher`` is any ``payload -> signed int64``
+    callable (:func:`dhash64` for images, :func:`wav_delta_hash64` for
+    audio, :func:`y4m_temporal_hash64` for video), so ONE Arrow-batched
+    stage shape serves near-dup hashing across every modality; feed the
+    output to ``dedup.hamming_candidate_pairs``. Per-row failures land
+    in ``status`` with hash 0."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, status = [], []
+            for payload in pdf["payload"]:
+                try:
+                    hashes.append(hasher(payload))
                     status.append("ok")
                 except Exception as e:  # noqa: BLE001 — per-row tolerance
                     hashes.append(0)

@@ -1351,29 +1351,13 @@ def _dhash_sql_parts() -> tuple[str, str]:
     return cells, "\n                 + ".join(terms)
 
 
-def _image_neardup_sql() -> str:
-    """DuckDB twin of ``multimodal_image_neardup_pairs``: recompute each
-    asset's 64-bit dHash in CLOSED FORM from the gradient parameters
-    (pixel(x,y) = (g + d·x + e·y) mod 256 on an 18×16 canvas → 2×2
-    floor-mean cells → 72-cell grid → 64 gradient bits), then replay the
-    exact 4×16-bit Hamming banding. The Spark side never sees these
-    formulas — it decodes real PNG bytes — so a hash match proves the
-    whole decode → pool → hash → band → join pipeline."""
-    cells, hash_sum = _dhash_sql_parts()
-    return f"""
-    WITH p AS (
-        SELECT doc_id,
-               (doc_id // 2 * 7) % 240 + doc_id % 2 AS g,
-               1 + (doc_id // 2) % 5 AS d,
-               1 + (doc_id // 2 // 5) % 3 AS e
-        FROM documents
-    ), cells AS (
-        SELECT doc_id, {cells} AS cl FROM p
-    ), h AS (
-        SELECT doc_id,
-               CAST({hash_sum} AS BIGINT) AS dh
-        FROM cells
-    ), b AS (
+#: Shared DuckDB tail for every perceptual-hash near-dup census twin:
+#: 4×16-bit banding over a CTE ``h(doc_id, dh)``, the max_bucket=16
+#: star-divert, exact popcount verify ≤ 6, and the (hamming → n_pairs,
+#: n_docs) rollup — byte-identical across the image/audio/video twins
+#: so the banding replay is defined exactly once.
+_HAMMING_CENSUS_TAIL = """
+    , b AS (
         SELECT doc_id, dh, band, (dh >> (band * 16)) & 65535 AS bits
         FROM h, (SELECT unnest(generate_series(0, 3)) AS band)
     ), bsz AS (
@@ -1406,7 +1390,46 @@ def _image_neardup_sql() -> str:
     FROM side
     GROUP BY hamming
     ORDER BY hamming
-    """
+"""
+
+
+def _delta_hash_terms(list_col: str) -> str:
+    """64-term signed hash sum for a DELTA hash over a 65-element list
+    column: bit t set iff element t+2 > element t+1 (1-based lists);
+    bit 63 carries the negative two's-complement weight."""
+    terms = []
+    for t in range(64):
+        w = (1 << t) if t < 63 else -(1 << 63)
+        terms.append(
+            f"CASE WHEN {list_col}[{t + 2}] > {list_col}[{t + 1}]"
+            f" THEN {w} ELSE 0 END"
+        )
+    return "\n                 + ".join(terms)
+
+
+def _image_neardup_sql() -> str:
+    """DuckDB twin of ``multimodal_image_neardup_pairs``: recompute each
+    asset's 64-bit dHash in CLOSED FORM from the gradient parameters
+    (pixel(x,y) = (g + d·x + e·y) mod 256 on an 18×16 canvas → 2×2
+    floor-mean cells → 72-cell grid → 64 gradient bits), then replay the
+    exact 4×16-bit Hamming banding. The Spark side never sees these
+    formulas — it decodes real PNG bytes — so a hash match proves the
+    whole decode → pool → hash → band → join pipeline."""
+    cells, hash_sum = _dhash_sql_parts()
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id // 2 * 7) % 240 + doc_id % 2 AS g,
+               1 + (doc_id // 2) % 5 AS d,
+               1 + (doc_id // 2 // 5) % 3 AS e
+        FROM documents
+    ), cells AS (
+        SELECT doc_id, {cells} AS cl FROM p
+    ), h AS (
+        SELECT doc_id,
+               CAST({hash_sum} AS BIGINT) AS dh
+        FROM cells
+    ){_HAMMING_CENSUS_TAIL}"""
 
 
 @register("multimodal_image_neardup_pairs", _image_neardup_sql())
@@ -1557,6 +1580,182 @@ def multimodal_image_hamming_topk(
         )
         .orderBy(F.asc("hamming"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+def _wav_neardup_sql() -> str:
+    """DuckDB twin of ``multimodal_wav_neardup_pairs``: recompute each
+    asset's 64-bit audio delta hash in closed form from the signal
+    parameters (mono frame f = Σ over channels of ((b + 7k) mod 97) −
+    48; bit t iff |mono t+1| > |mono t|), then replay the shared
+    Hamming-banding census."""
+    ml = (
+        "[ CASE WHEN ch = 1 THEN abs(((b + 7*f) % 97) - 48)"
+        " ELSE abs(((b + 14*f) % 97) - 48 + ((b + 14*f + 7) % 97) - 48)"
+        " END for f in generate_series(0, 64) ]"
+    )
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               1 + (doc_id // 2) % 2 AS ch,
+               (doc_id // 2 * 11) % 96 + doc_id % 2 AS b
+        FROM documents
+    ), m AS (
+        SELECT doc_id, {ml} AS ml FROM p
+    ), h AS (
+        SELECT doc_id,
+               CAST({_delta_hash_terms("ml")} AS BIGINT) AS dh
+        FROM m
+    ){_HAMMING_CENSUS_TAIL}"""
+
+
+@register("multimodal_wav_neardup_pairs", _wav_neardup_sql())
+def multimodal_wav_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO near-dup dedup — completing the multimodal near-dup matrix
+    (text MinHash/SimHash, embeddings SemDeDup, image dHash → now
+    audio): per document a spec-valid PCM16 WAV is synthesized
+    (``synthesize_wav_assets`` — the cyclic ((b+7k) mod 97)−48 signal,
+    doc 2k+1 repeating doc 2k's signal at a +1 phase offset, measured
+    Hamming 0-5 from its twin), blind-decoded and perceptually hashed
+    by the 64-bit audio delta hash (``multimodal.wav_delta_hash64``:
+    RIFF walk → interleave-aware mono mix → |frame|-gradient bits over
+    the first 65 frames), and candidates surface through the SAME
+    generic Hamming banding as image near-dup
+    (``dedup.hamming_candidate_pairs``, 4×16-bit bands, cap 16,
+    popcount ≤ 6) — one stage shape (``perceptual_hash_assets``) and
+    one banding operator serve every modality. The twin recomputes each
+    hash in closed form (including the channel mix) and replays the
+    banding census, so a channel-unaware mono mix, an off-by-one frame
+    walk, or a wrong bit weight cannot hash-match. Scale: per-row Arrow
+    decode, (id, 8-byte hash) shuffle only, star-divert on the
+    constant-audio mega-cluster (every crawl's silence)."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        hamming_candidate_pairs,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        perceptual_hash_assets,
+        synthesize_wav_assets,
+        wav_delta_hash64,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grp = F.expr("doc_id div 2")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(80).cast("int").alias("n_frames"),
+        (grp % 2 + 1).cast("int").alias("channels"),
+        F.lit(8000).cast("int").alias("rate"),
+        ((grp * 11) % 96 + F.col("doc_id") % 2).cast("int").alias("b"),
+    )
+    hashes = perceptual_hash_assets(
+        synthesize_wav_assets(params), wav_delta_hash64
+    ).select(F.col("asset_id").alias("id"), F.col("dhash").alias("h"))
+    pairs = hamming_candidate_pairs(
+        hashes, hash_col="h", id_col="id", bands=4, bits=64,
+        max_hamming=6, max_bucket=16,
+    )
+    side = pairs.select(
+        "hamming", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    return (
+        side.groupBy("hamming")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("hamming").cast("bigint").alias("hamming"),
+            "n_pairs",
+            "n_docs",
+        )
+        .orderBy("hamming")
+    )
+
+
+def _y4m_neardup_sql() -> str:
+    """DuckDB twin of ``multimodal_y4m_neardup_pairs``: recompute each
+    clip's 64-bit temporal hash in closed form (frame t's luma sum =
+    w · Σ_y (g + 3t + y) mod 256; bit t iff sum t+1 > sum t), then
+    replay the shared Hamming-banding census."""
+    ml = (
+        "[ 4 * list_sum([ (g + 3*t + y) % 256"
+        " for y in generate_series(0, 3) ])"
+        " for t in generate_series(0, 64) ]"
+    )
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id // 2 * 13) % 255 + doc_id % 2 AS g
+        FROM documents
+    ), m AS (
+        SELECT doc_id, {ml} AS ml FROM p
+    ), h AS (
+        SELECT doc_id,
+               CAST({_delta_hash_terms("ml")} AS BIGINT) AS dh
+        FROM m
+    ){_HAMMING_CENSUS_TAIL}"""
+
+
+@register("multimodal_y4m_neardup_pairs", _y4m_neardup_sql())
+def multimodal_y4m_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO near-dup dedup — the last leg of the multimodal near-dup
+    matrix: per document a 65-frame YUV4MPEG2 clip is synthesized
+    (``synthesize_y4m_assets`` — the (g + 3t + y) mod 256 gradient; doc
+    2k+1 repeats doc 2k's clip one luma step brighter, measured Hamming
+    0-2 from its twin), blind-decoded and hashed by the 64-bit TEMPORAL
+    hash (``multimodal.y4m_temporal_hash64``: per-frame luma sums →
+    brightness-motion gradient bits — the time axis plays the role the
+    x axis plays in the image dHash), and candidates surface through
+    the same ``hamming_candidate_pairs`` banding (cap 16, popcount ≤
+    6). The twin recomputes every hash from the closed-form gradient
+    and replays the census. Scale: identical shape to the image/audio
+    legs — per-row Arrow decode of clips, 8-byte hash shuffle, star-
+    diverted mega-buckets (static footage); near-dup detection across
+    petabytes of video without a frame-by-frame comparison anywhere."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        hamming_candidate_pairs,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        perceptual_hash_assets,
+        synthesize_y4m_assets,
+        y4m_temporal_hash64,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grp = F.expr("doc_id div 2")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(4).cast("int").alias("w"),
+        F.lit(4).cast("int").alias("h"),
+        F.lit(65).cast("int").alias("n_frames"),
+        ((grp * 13) % 255 + F.col("doc_id") % 2).cast("int").alias("g"),
+    )
+    hashes = perceptual_hash_assets(
+        synthesize_y4m_assets(params), y4m_temporal_hash64
+    ).select(F.col("asset_id").alias("id"), F.col("dhash").alias("h"))
+    pairs = hamming_candidate_pairs(
+        hashes, hash_col="h", id_col="id", bands=4, bits=64,
+        max_hamming=6, max_bucket=16,
+    )
+    side = pairs.select(
+        "hamming", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    return (
+        side.groupBy("hamming")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("hamming").cast("bigint").alias("hamming"),
+            "n_pairs",
+            "n_docs",
+        )
+        .orderBy("hamming")
     )
 
 

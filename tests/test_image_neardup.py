@@ -205,3 +205,92 @@ def test_simhash_delegation_unchanged(spark):
         for r in D.simhash_candidate_pairs(docs, max_hamming=3).collect()
     }
     assert got == {(1, 2): 0}
+
+
+def test_wav_delta_hash_closed_form_and_stereo_mix():
+    """Audio delta hash equals the independent closed-form recompute,
+    and the mono mix is interleave-aware (a channel-unaware hash would
+    differ on stereo)."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        wav_delta_hash64,
+        wav_encode,
+    )
+
+    b, ch, n = 37, 2, 80
+    s = [((b + 7 * k) % 97) - 48 for k in range(n * ch)]
+    got = wav_delta_hash64(wav_encode(8000, ch, s))
+    mono = [abs(s[2 * f] + s[2 * f + 1]) for f in range(65)]
+    expect = 0
+    for t in range(64):
+        if mono[t + 1] > mono[t]:
+            expect |= 1 << t
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert got == expect
+    # phase-shifted twin stays within the banded-verify ball
+    s2 = [((b + 1 + 7 * k) % 97) - 48 for k in range(n * ch)]
+    got2 = wav_delta_hash64(wav_encode(8000, ch, s2))
+    assert _ham(got, got2) <= 6
+
+
+def test_wav_delta_hash_needs_65_frames():
+    import pytest as _pytest
+
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        wav_delta_hash64,
+        wav_encode,
+    )
+
+    with _pytest.raises(ValueError, match="65 frames"):
+        wav_delta_hash64(wav_encode(8000, 1, list(range(-30, 30))))
+
+
+def test_y4m_temporal_hash_closed_form_and_brightness_twin():
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        y4m_encode,
+        y4m_temporal_hash64,
+    )
+
+    g, w, h = 99, 4, 4
+
+    def clip(gv: int) -> bytes:
+        planes = [
+            b"".join(bytes([(gv + 3 * t + y) % 256]) * w for y in range(h))
+            for t in range(65)
+        ]
+        return y4m_encode(w, h, planes)
+
+    got = y4m_temporal_hash64(clip(g))
+    sums = [
+        w * sum((g + 3 * t + y) % 256 for y in range(h)) for t in range(65)
+    ]
+    expect = 0
+    for t in range(64):
+        if sums[t + 1] > sums[t]:
+            expect |= 1 << t
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert got == expect
+    assert _ham(got, y4m_temporal_hash64(clip(g + 1))) <= 6
+
+
+def test_perceptual_hash_assets_generic_stage(spark):
+    """One Arrow stage shape serves every modality: the generic hasher
+    runs wav payloads and routes per-row failures to status."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        perceptual_hash_assets,
+        wav_delta_hash64,
+        wav_encode,
+    )
+
+    good = wav_encode(8000, 1, [((5 + 7 * k) % 97) - 48 for k in range(80)])
+    df = spark.createDataFrame(
+        [(1, bytearray(good), "audio/wav"), (2, bytearray(b"xx"), "audio/wav")],
+        "asset_id long, payload binary, media_type string",
+    )
+    out = {
+        r["asset_id"]: (r["dhash"], r["status"])
+        for r in perceptual_hash_assets(df, wav_delta_hash64).collect()
+    }
+    assert out[1] == (wav_delta_hash64(good), "ok")
+    assert out[2][0] == 0 and out[2][1].startswith("error:")

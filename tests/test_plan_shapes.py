@@ -293,7 +293,9 @@ def test_registry_wide_no_cartesian_no_stray_python(spark):
     from explain_audit import EXPECTED_PYTHON_EVAL, plan_facts
 
     sf_dir = "/root/testdata/sf0.001"
-    bad_cartesian, bad_python = [], []
+    from explain_audit import EXPECTED_GLOBAL_WINDOW
+
+    bad_cartesian, bad_python, bad_window = [], [], []
     for name, fn in entry.queries().items():
         plan = _plan(spark, fn(spark, sf_dir))
         facts = plan_facts(plan)
@@ -301,8 +303,13 @@ def test_registry_wide_no_cartesian_no_stray_python(spark):
             bad_cartesian.append(name)
         if facts["python_eval"] and name not in EXPECTED_PYTHON_EVAL:
             bad_python.append(name)
+        # round-10 rule: an UNPARTITIONED window (single-task funnel)
+        # requires an allowlist entry naming its input bound
+        if facts.get("global_window") and name not in EXPECTED_GLOBAL_WINDOW:
+            bad_window.append(name)
     assert bad_cartesian == [], bad_cartesian
     assert bad_python == [], bad_python
+    assert bad_window == [], bad_window
 
 
 def test_float_rounded_queries_stable_across_reruns(spark):

@@ -55,6 +55,8 @@ EXPECTED_PYTHON_EVAL = {
     "multimodal_thumbnail_stats",
     "multimodal_wav_decimate_stats",
     "multimodal_image_neardup_pairs",
+    "multimodal_wav_neardup_pairs",
+    "multimodal_y4m_neardup_pairs",
     "docs_pack_stats",
     "docs_pack_stats_det",
 }
