@@ -634,6 +634,7 @@ def pq_adc_scores(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ asymmetric-distance computation (ADC, Jégou et al. 2011): score
     every vector against ``query`` using only its PQ code and a
@@ -703,4 +704,6 @@ def pq_adc_scores(
     adc = terms[0]
     for t in terms[1:]:
         adc = adc + t
-    return vectors.select(F.col(id_col), adc.alias("adc_d2"))
+    return vectors.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], adc.alias("adc_d2")
+    )

@@ -1,0 +1,1241 @@
+"""Round-10 wave 2: evaluation & training-loop operators — the ops that
+close the measurement loop around a 100 TB curation pipeline:
+
+- **Hashed linear quality classifier** (fastText / CCNet shape): hashed
+  bigram features -> fixed linear weights -> keep/drop gate.  The
+  cheap-classifier quality filter every web-scale corpus pass runs; here
+  the weight table is md5-derived so BOTH engines materialize identical
+  weights without shipping a model file.
+- **Iterative BPE merge learning**: the TRUE trainer loop (count pairs,
+  merge the argmax, RE-COUNT, repeat) that ``docs_bpe_first_merges`` /
+  ``docs_bpe_apply_compression`` only ran for one batch.  Four
+  iterations, each merge a single out-of-alphabet sentinel codepoint so
+  "adjacent symbol pair" stays a 2-char substring forever.
+- **Retrieval evaluation** (MRR@10 / NDCG@10 / hits@10): the IR-metrics
+  readout over BM25 rankings against deterministic md5 pseudo-qrels —
+  the eval harness run before committing a retrieval-augmented data mix.
+- **IPS / SNIPS off-policy evaluation**: logged-bandit value estimates
+  with empirical-propensity importance weights — the counterfactual
+  readout run on logged interaction data before a policy ships.
+- **Hamming band calibration**: exact recall / false-candidate census of
+  the pigeonhole banding used by every perceptual-hash near-dup family
+  (image dHash, audio delta hash, video temporal hash) over a bounded
+  all-pairs ground truth of REAL decoded-image hashes — including the
+  pigeonhole theorem itself as a cross-engine-hashed invariant column.
+
+House determinism discipline (SCALE.md "Float-ROUND ledger"):
+
+- classifier weights are integers derived from md5 hex (identical
+  lowercase hex in both engines); per-doc logits are exact int64 sums;
+- BPE pair counts and symbol counts are exact BIGINTs; the merge
+  argmax orders by (freq DESC, pair ASC) — total and engine-free; the
+  greedy left-to-right non-overlapping ``replace`` has identical
+  semantics in Spark and DuckDB;
+- NDCG discount gains 1e9/log2(r+1) for r = 1..10 are PRECOMPUTED
+  Python literals injected into BOTH engines — no libm at query time;
+  DCG/IDCG are exact integer sums, one final division;
+- IPS weights are 1e9-quantized at birth (one fixed-order division of
+  exact integer products); weighted sums run in decimal(38,0)/HUGEINT;
+- the banding calibration is pure bit arithmetic on BIGINT hashes
+  (arithmetic shift + mask, identical across engines on the masked low
+  bits even for bit-63-set hashes — the ``hamming_candidate_pairs``
+  convention).
+
+Scale shape: the classifier is one linear scan (feature hashing needs
+no vocabulary broadcast at all); BPE learning does k bounded
+(pair-count agg -> 1-row collect) rounds over the DISTINCT word dict —
+vocabulary-sized, never corpus-sized — exactly how production trainers
+schedule it; retrieval eval touches only the postings of |Q| literal
+terms; IPS is one scan plus a 5-row broadcast; the calibration census
+is a FIXED 128-asset pair table (8128 rows) joined twice by id — the
+preflight you run before committing a billion-image banding pass, cost
+independent of corpus size.
+
+No reference counterpart (``/root/reference/src`` has no classifier,
+tokenizer-training, retrieval-eval, or counterfactual surface); these
+serve the 100 TB training-data story alongside selection_queries.py,
+coreset_queries.py and the multimodal near-dup family.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clashroyale_datapipeline_agent_spark.plans.star_queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText/CCNet shape)
+# ---------------------------------------------------------------------------
+
+#: feature buckets (2 hex chars of md5 -> 0..255, the _DSIR convention)
+_HLQ_BUCKETS = 256
+#: weight range: +-0.1 in 1e6 quanta
+_HLQ_MOD = 200001
+_HLQ_OFF = 100000
+
+_HLQ_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> concat(t[i], ' ', t[i + 1]))) AS x
+        FROM toks WHERE len(t) >= 2
+    ), w AS (
+        SELECT doc_id, source,
+               CAST('0x' || md5('w:' || CAST(
+                   CAST('0x' || md5(x)[1:2] AS INTEGER) AS VARCHAR
+               ))[1:5] AS BIGINT) % {_HLQ_MOD} - {_HLQ_OFF} AS w6
+        FROM bg
+    ), per_doc AS (
+        SELECT doc_id, source,
+               CAST(SUM(w6) AS BIGINT) AS logit6,
+               CAST(COUNT(*) AS BIGINT) AS n_bg
+        FROM w GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN logit6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           ROUND(CAST(SUM(CASE WHEN logit6 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS keep_rate,
+           ROUND(CAST(SUM(logit6) AS DOUBLE)
+                 / (CAST(SUM(n_bg) AS DOUBLE) * 1000000.0), 6)
+               AS avg_token_weight
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_hashed_linear_quality", _HLQ_SQL)
+def docs_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality gate (the CCNet / LLaMA
+    corpus-filter archetype): token bigrams are feature-hashed into 256
+    md5 buckets (the ``docs_dsir_importance_by_source`` convention), a
+    fixed linear weight per bucket is derived from md5('w:'||bucket)
+    (5 hex chars -> +-0.1 in 1e6 quanta, so both engines materialize the
+    IDENTICAL weight table from nothing), and a document keeps iff its
+    summed logit is positive — exactly a linear text classifier with
+    hashed features and a frozen weight vector, minus the (offline)
+    gradient fit. Output: per-source keep census + mean per-token
+    weight. Determinism: per-bigram weights are exact int64; per-doc
+    logits are exact int64 sums; two final divisions, ROUNDed.
+    Scale: feature hashing means NO vocabulary table — the classifier
+    is one stateless linear scan (transform + aggregate in-row, then
+    one hash agg), the reason this filter family is the first pass of
+    every web-scale pipeline. A learned weight table would broadcast
+    the same way the md5 table is derived here."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                 lambda x: x != "")
+    bgs = F.expr(
+        "transform(sequence(1, size(_t) - 1),"
+        " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+    )
+    w6 = F.expr(
+        "transform(_bg, x -> CAST(conv(substring(md5(concat('w:', CAST("
+        "CAST(conv(substring(md5(x), 1, 2), 16, 10) AS INT) AS STRING"
+        "))), 1, 5), 16, 10) AS BIGINT)"
+        f" % {_HLQ_MOD} - {_HLQ_OFF})"
+    )
+    per_doc = (
+        d.select("doc_id", "source", t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select("doc_id", "source", bgs.alias("_bg"))
+        .select(
+            "doc_id",
+            "source",
+            F.aggregate(
+                w6, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("logit6"),
+            F.size("_bg").cast("bigint").alias("n_bg"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("logit6") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.round(
+                F.sum(F.when(F.col("logit6") > 0, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("keep_rate"),
+            F.round(
+                F.sum("logit6").cast("double")
+                / (F.sum("n_bg").cast("double") * 1000000.0),
+                6,
+            ).alias("avg_token_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge learning (the true trainer loop)
+# ---------------------------------------------------------------------------
+
+_BPE_ITERS = 4
+
+
+def _bpe_learn_sql() -> str:
+    """Programmatic CTE chain replaying the 4-iteration BPE trainer:
+    stage t counts adjacent symbol pairs over the stage-(t-1) word dict,
+    picks the (freq DESC, pair ASC) argmax, and rewrites the dict with
+    sentinel codepoint chr(t) — re-counting BETWEEN merges, which is
+    what separates the trainer from the first-iteration batch of
+    ``docs_bpe_apply_compression``."""
+    ctes = [
+        """w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    )"""
+    ]
+    for i in range(1, _BPE_ITERS + 1):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     j -> substr(w, j, 2))) AS pair, f
+        FROM w{i - 1} WHERE length(w) >= 2
+    ), m{i} AS (
+        SELECT pair, CAST(SUM(f) AS BIGINT) AS pf
+        FROM p{i} GROUP BY pair ORDER BY SUM(f) DESC, pair ASC LIMIT 1
+    ), w{i} AS (
+        SELECT replace(w, (SELECT pair FROM m{i}), chr({i})) AS w, f
+        FROM w{i - 1}
+    )"""
+        )
+    rows = []
+    for i in range(1, _BPE_ITERS + 1):
+        rows.append(
+            f"""SELECT {i} AS iter,
+               lower(hex((SELECT pair FROM m{i}))) AS pair_hex,
+               (SELECT pf FROM m{i}) AS pair_freq,
+               (SELECT CAST(SUM(f * length(w)) AS BIGINT) FROM w{i})
+                   AS symbols_after"""
+        )
+    body = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH {','.join(ctes)}
+    , before AS (
+        SELECT CAST(SUM(f * length(w)) AS BIGINT) AS s0 FROM w0
+    )
+    SELECT CAST(r.iter AS BIGINT) AS iter, r.pair_hex, r.pair_freq,
+           r.symbols_after,
+           ROUND(CAST(b.s0 AS DOUBLE) / CAST(r.symbols_after AS DOUBLE), 4)
+               AS compression
+    FROM ({body}) r, before b
+    ORDER BY iter
+"""
+
+
+@register("docs_bpe_learn_merges", _bpe_learn_sql())
+def docs_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE iterative BPE training (Sennrich et al. 2016 alg. 1): count
+    adjacent symbol pairs over the distinct word dict, merge the most
+    frequent pair into a fresh single-codepoint sentinel (chr 1..4 —
+    out-of-alphabet by the corpus whitespace discipline), RE-COUNT over
+    the rewritten dict, repeat. Because every merged symbol is ONE
+    codepoint, "adjacent symbol pair" stays a 2-char substring at every
+    iteration and the rewrite stays one ``replace`` — so iteration t's
+    counts genuinely reflect iterations 1..t-1 (e.g. a learned pair can
+    contain an earlier sentinel), which the one-batch
+    ``docs_bpe_apply_compression`` cannot see. Classic trainer quirks
+    preserved identically in both engines: pair counts are overlapping
+    occurrence counts ('aaa' counts 'aa' twice) while application is
+    greedy left-to-right non-overlapping — the standard count/apply
+    asymmetry. Output per iteration: learned pair (hex of its UTF-8
+    bytes — sentinels are unprintable), its count at learn time, total
+    dict symbols after, compression vs iteration 0.
+    Scale: ALL work happens on the DISTINCT word dict (vocabulary-
+    sized); each iteration is one map-side-combinable pair agg plus a
+    1-row collect (bounded literal carrier) — k rounds of exactly the
+    job a production tokenizer trainer schedules. The corpus itself is
+    scanned once, for the dict."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    words = words.localCheckpoint(eager=False)
+    merges: list[tuple[str, int]] = []
+    cur = words
+    for it in range(1, _BPE_ITERS + 1):
+        pairs = cur.filter(F.length("w") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " j -> substring(w, j, 2))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((top["pair"], int(top["pf"])))
+        cur = cur.select(
+            F.replace(F.col("w"), F.lit(top["pair"]), F.lit(chr(it))).alias(
+                "w"
+            ),
+            "f",
+        )
+    applied = F.col("w")
+    lens = [F.length("w").alias("len0")]
+    for it, (p, _) in enumerate(merges, start=1):
+        applied = F.replace(applied, F.lit(p), F.lit(chr(it)))
+        lens.append(F.length(applied).alias(f"len{it}"))
+    stats = words.select("f", *lens)
+    row = stats.agg(
+        *[
+            F.sum(F.col("f") * F.col(f"len{i}")).cast("bigint").alias(f"s{i}")
+            for i in range(_BPE_ITERS + 1)
+        ]
+    )
+    lit_merges = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("iter"),
+                F.lit(p.encode("utf-8").hex()).alias("pair_hex"),
+                F.lit(pf).cast("bigint").alias("pair_freq"),
+            )
+            for i, (p, pf) in enumerate(merges)
+        ]
+    )
+    return (
+        row.select(
+            F.explode(lit_merges).alias("m"),
+            F.array(*[F.col(f"s{i}") for i in range(1, _BPE_ITERS + 1)]).alias(
+                "_after"
+            ),
+            "s0",
+        )
+        .select(
+            F.col("m.iter").cast("bigint").alias("iter"),
+            F.col("m.pair_hex").alias("pair_hex"),
+            F.col("m.pair_freq").alias("pair_freq"),
+            F.element_at("_after", F.col("m.iter")).alias("symbols_after"),
+            F.round(
+                F.col("s0").cast("double")
+                / F.element_at("_after", F.col("m.iter")).cast("double"),
+                4,
+            ).alias("compression"),
+        )
+        .orderBy("iter")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: MRR@10 / NDCG@10 over BM25 vs md5 pseudo-qrels
+# ---------------------------------------------------------------------------
+
+_EVAL_TERMS = ["join", "query", "spark", "stream", "window"]
+#: 1e9/log2(r+1) for r=1..10 — precomputed so NO libm runs at query time
+_GAIN9 = [round(1e9 / math.log2(r + 1)) for r in range(1, 11)]
+#: ideal-DCG prefix sums for 1..10 relevant docs
+_IDCG9 = [sum(_GAIN9[: m + 1]) for m in range(10)]
+
+
+def _retrieval_eval_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _EVAL_TERMS)
+    gains = ", ".join(str(g) for g in _GAIN9)
+    idcgs = ", ".join(str(s) for s in _IDCG9)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x != '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tc GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(dl AS DOUBLE)) AS avgdl
+        FROM dl
+    ),
+    postings AS (
+        SELECT doc_id, term, tf,
+               CASE WHEN md5(term || ':' || CAST(doc_id AS VARCHAR))[1:1]
+                        IN ('0', '1', '2', '3')
+                    THEN 1 ELSE 0 END AS rel
+        FROM tc WHERE term IN ({terms})
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    scored AS (
+        SELECT p.term, p.doc_id, p.rel,
+               ROUND(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                   4) AS sc
+        FROM postings p
+        JOIN dl l USING (doc_id)
+        JOIN dfreq d USING (term), stats s
+    ),
+    ranked AS (
+        SELECT term, rel,
+               row_number() OVER (
+                   PARTITION BY term ORDER BY sc DESC, doc_id ASC
+               ) AS rk
+        FROM scored
+    ),
+    per AS (
+        SELECT term,
+               CAST(SUM(rel) AS BIGINT) AS n_relevant,
+               CAST(SUM(CASE WHEN rel = 1 AND rk <= 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits_at_10,
+               MIN(CASE WHEN rel = 1 AND rk <= 10 THEN rk END) AS first_rel,
+               CAST(SUM(CASE WHEN rel = 1 AND rk <= 10
+                             THEN ([{gains}])[rk] ELSE 0 END)
+                    AS BIGINT) AS dcg9
+        FROM ranked GROUP BY term
+    )
+    SELECT term, n_relevant, hits_at_10,
+           ROUND(COALESCE(1.0 / first_rel, 0.0), 4) AS mrr_at_10,
+           CASE WHEN n_relevant > 0 THEN
+               ROUND(CAST(dcg9 AS DOUBLE) / CAST(
+                   ([{idcgs}])[least(n_relevant, 10)] AS DOUBLE), 4)
+           END AS ndcg_at_10
+    FROM per
+    ORDER BY term
+"""
+
+
+@register("docs_bm25_retrieval_eval", _retrieval_eval_sql())
+def docs_bm25_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric evaluation of BM25 retrieval (the readout run before a
+    retrieval-augmented data mix ships): for 5 literal query terms,
+    rank candidate docs by the Robertson/Lucene BM25 used by
+    ``docs_bm25_topk`` (k1=1.2, b=0.75, scores ROUNDed to 4 before
+    ranking so the rank order itself is cross-engine total with the
+    doc_id tiebreak), mark pseudo-qrels deterministically (a posting is
+    relevant iff md5(term:doc_id) starts with hex 0-3 — a 25% scatter,
+    so rankings are genuinely discriminative), and read out hits@10,
+    MRR@10 and NDCG@10 per query. The log2 discount gains 1e9/log2(r+1)
+    for r=1..10 and the IDCG prefix sums are PRECOMPUTED literals
+    injected into both engines — DCG is an exact integer sum, one final
+    division. Scale: only the |Q|-term postings ever leave the scan
+    (predicate-pushed isin), ranking is a per-term window over those
+    postings, metrics are one hash agg — the qrel join in a real
+    harness broadcasts the same way the md5 rule computes in-row."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    postings = tc.filter(F.col("term").isin(_EVAL_TERMS)).withColumn(
+        "rel",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("term"), F.lit(":"),
+                               F.col("doc_id").cast("string"))),
+                1, 1,
+            ).isin("0", "1", "2", "3"),
+            1,
+        ).otherwise(0),
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "rel",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                4,
+            ).alias("sc"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.desc("sc"), F.asc("doc_id"))
+    )
+    gains = F.array(*[F.lit(g).cast("bigint") for g in _GAIN9])
+    idcgs = F.array(*[F.lit(s).cast("bigint") for s in _IDCG9])
+    ranked = scored.select("term", "rel", rk.alias("rk"))
+    per = ranked.groupBy("term").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("rk") <= 10), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_10"),
+        F.min(
+            F.when((F.col("rel") == 1) & (F.col("rk") <= 10), F.col("rk"))
+        ).alias("first_rel"),
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("rk") <= 10),
+                F.element_at(gains, F.col("rk")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg9"),
+    )
+    return per.select(
+        "term",
+        "n_relevant",
+        "hits_at_10",
+        F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 4).alias(
+            "mrr_at_10"
+        ),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.round(
+                F.col("dcg9").cast("double")
+                / F.element_at(
+                    idcgs,
+                    F.least(F.col("n_relevant"), F.lit(10)).cast("int"),
+                ).cast("double"),
+                4,
+            ),
+        ).alias("ndcg_at_10"),
+    ).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# IPS / SNIPS off-policy evaluation
+# ---------------------------------------------------------------------------
+
+_IPS_SQL = """
+    WITH base AS (
+        SELECT event_type, CAST(ROUND(value * 1000000.0) AS BIGINT) AS r6
+        FROM events
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+    ), acts AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS na,
+               row_number() OVER (ORDER BY event_type) AS pos
+        FROM base GROUP BY event_type
+    ), sp AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS sum_pos,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM acts
+    ), wts AS (
+        SELECT a.event_type,
+               CAST(ROUND(1000000000.0 * (a.pos * t.n)
+                          / (s.sum_pos * a.na)) AS BIGINT) AS w9
+        FROM acts a, tot t, sp s
+    ), joined AS (
+        SELECT b.r6, w.w9, least(w.w9, 2000000000) AS w9c
+        FROM base b JOIN wts w USING (event_type)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           (SELECT k FROM sp) AS n_actions,
+           ROUND(CAST(SUM(r6) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 4) AS mean_logged,
+           ROUND(CAST(SUM(CAST(w9 AS HUGEINT) * r6) AS DOUBLE)
+                 / (COUNT(*) * 1e15), 4) AS ips_estimate,
+           ROUND(CAST(SUM(CAST(w9 AS HUGEINT) * r6) AS DOUBLE)
+                 / (CAST(SUM(w9) AS DOUBLE) * 1000000.0), 4)
+               AS snips_estimate,
+           ROUND(CAST(SUM(CAST(w9c AS HUGEINT) * r6) AS DOUBLE)
+                 / (COUNT(*) * 1e15), 4) AS ips_clip2,
+           ROUND(100.0 * CAST(CAST(SUM(w9) AS HUGEINT)
+                              * CAST(SUM(w9) AS HUGEINT) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(CAST(w9 AS HUGEINT) * w9) AS DOUBLE)),
+                 2) AS ess_pct
+    FROM joined
+"""
+
+
+@register("events_ips_offpolicy_eval", _IPS_SQL)
+def events_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual (off-policy) evaluation of a target action policy
+    over logged interaction data — the IPS/SNIPS readout (Horvitz-
+    Thompson; Swaminathan & Joachims 2015) a bandit/RLHF data pipeline
+    runs before a policy ships. Logged propensity = the empirical action
+    frequency n_a/N; target policy weights actions by their alphabetical
+    rank (pos/sum_pos — a deterministic non-uniform preference, so the
+    reweighting is non-trivial). Importance ratios are 1e9-quantized AT
+    BIRTH from one fixed-order division of exact integer products
+    (pos·N / (sum_pos·n_a), products < 2^53 so the double path is
+    exact); weighted reward sums run in decimal(38,0)/HUGEINT. Output:
+    plain mean of logged rewards, IPS and self-normalized (SNIPS)
+    estimates, a clip-2.0 IPS variant (the variance-bias knob every
+    production OPE stack exposes), and the effective-sample-size
+    percentage (ess = (Σw)²/(N·Σw²)) that says whether the estimate is
+    trustworthy. Scale: one scan plus a |actions|-row broadcast — the
+    estimator is a pure map-side-combinable sum; the action census
+    itself is the only (tiny) shuffle."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.round(F.col("value") * 1000000.0).cast("bigint").alias("r6"),
+    )
+    acts = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    acts = acts.select(
+        "event_type",
+        "na",
+        F.row_number().over(Window.orderBy("event_type")).alias("pos"),
+    )
+    sp = acts.agg(
+        F.sum("pos").cast("bigint").alias("sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wts = (
+        acts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sp))
+        .select(
+            "event_type",
+            "k",
+            F.round(
+                1000000000.0
+                * (F.col("pos") * F.col("n"))
+                / (F.col("sum_pos") * F.col("na"))
+            )
+            .cast("bigint")
+            .alias("w9"),
+        )
+    )
+    j = base.join(F.broadcast(wts), "event_type").select(
+        "r6",
+        "w9",
+        "k",
+        F.least(F.col("w9"), F.lit(2000000000)).alias("w9c"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.first("k").alias("n_actions"),
+        F.sum("r6").cast("bigint").alias("sr"),
+        F.sum(dec("w9") * dec("r6")).alias("swr"),
+        F.sum("w9").cast("bigint").alias("sw"),
+        F.sum(dec("w9c") * dec("r6")).alias("swrc"),
+        F.sum(dec("w9") * dec("w9")).alias("sw2"),
+    )
+    return agg.select(
+        "n_events",
+        "n_actions",
+        F.round(F.col("sr").cast("double") / (F.col("n_events") * 1000000.0), 4)
+        .alias("mean_logged"),
+        F.round(F.col("swr").cast("double") / (F.col("n_events") * 1e15), 4)
+        .alias("ips_estimate"),
+        F.round(
+            F.col("swr").cast("double")
+            / (F.col("sw").cast("double") * 1000000.0),
+            4,
+        ).alias("snips_estimate"),
+        F.round(F.col("swrc").cast("double") / (F.col("n_events") * 1e15), 4)
+        .alias("ips_clip2"),
+        F.round(
+            100.0
+            * (F.col("sw").cast("decimal(18,0)") * F.col("sw").cast("decimal(18,0)")).cast("double")
+            / (F.col("n_events") * F.col("sw2").cast("double")),
+            2,
+        ).alias("ess_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hamming band calibration over real decoded-image dHashes
+# ---------------------------------------------------------------------------
+
+_CAL_N = 128        #: bounded asset census (8128 exact pairs)
+_CAL_T = 6          #: near-dup threshold (the family's max_hamming)
+_CAL_BANDS = (2, 4, 8)
+
+
+def _band_catch_sql(b: int) -> str:
+    width = 64 // b
+    mask = (1 << width) - 1
+    return " OR ".join(
+        f"((ha >> {i * width}) & {mask}) = ((hb >> {i * width}) & {mask})"
+        for i in range(b)
+    )
+
+
+def _hamming_cal_sql() -> str:
+    from clashroyale_datapipeline_agent_spark.plans.text_queries import (
+        _dhash_sql_parts,
+    )
+
+    cells, hash_sum = _dhash_sql_parts()
+    rows = []
+    for b in _CAL_BANDS:
+        rows.append(
+            f"""SELECT {b} AS bands,
+               CAST(SUM(CASE WHEN d <= {_CAL_T} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_near_pairs,
+               CAST(SUM(CASE WHEN d <= {_CAL_T} AND ({_band_catch_sql(b)})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_near_caught,
+               CAST(SUM(CASE WHEN d > {_CAL_T} AND ({_band_catch_sql(b)})
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_far_candidates,
+               CAST(SUM(CASE WHEN d <= {b - 1}
+                             AND NOT ({_band_catch_sql(b)})
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pigeonhole_violations
+        FROM pairs"""
+        )
+    body = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id // 2 * 7) % 240 + doc_id % 2 AS g,
+               1 + (doc_id // 2) % 5 AS d,
+               1 + (doc_id // 2 // 5) % 3 AS e
+        FROM documents WHERE doc_id < {_CAL_N}
+    ), cells AS (
+        SELECT doc_id, {cells} AS cl FROM p
+    ), h AS (
+        SELECT doc_id, CAST({hash_sum} AS BIGINT) AS dh FROM cells
+    ), pairs AS (
+        SELECT a.dh AS ha, b2.dh AS hb, bit_count(xor(a.dh, b2.dh)) AS d
+        FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+    )
+    SELECT bands, n_near_pairs, n_near_caught,
+           ROUND(CASE WHEN n_near_pairs > 0 THEN
+                 CAST(n_near_caught AS DOUBLE) / n_near_pairs END, 4)
+               AS recall,
+           n_far_candidates, pigeonhole_violations
+    FROM ({body})
+    ORDER BY bands
+"""
+
+
+@register("multimodal_hamming_band_calibration", _hamming_cal_sql())
+def multimodal_hamming_band_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Band-count calibration for the perceptual-hash near-dup family
+    (the Hamming sibling of ``dedup_lsh_param_calibration``): over a
+    FIXED 128-asset census of REAL decoded-image dHashes (the
+    ``multimodal_image_neardup_pairs`` gradient-PNG fixture, decoded
+    blind by the stdlib codec), compute the exact all-pairs Hamming
+    ground truth (8128 pairs) and, for band counts 2/4/8, the exact
+    recall at the family's max_hamming=6 threshold, the false-candidate
+    volume the popcount-verify stage must absorb, and — hashed
+    cross-engine as an output column — the pigeonhole theorem itself
+    (a pair within distance bands-1 MUST share a band; violations = 0
+    or the banding implementation is broken). This is the preflight a
+    curation team runs before committing a billion-image banding pass:
+    more bands buy recall above the pigeonhole bound at the price of
+    candidate volume. Determinism: pure bit arithmetic on BIGINT hashes
+    (arithmetic shift + mask — identical across engines on masked low
+    bits); one ROUNDed division. Scale: the census is O(1) — a fixed
+    128-asset sample joined twice by id (two broadcast joins over an
+    8128-row literal pair spine, NO cartesian node), cost independent
+    of corpus size; the Spark side exercises the actual decode → hash
+    production path while the twin recomputes hashes in closed form,
+    so a banding-math bug in ``dedup.hamming_candidate_pairs``'s shift
+    convention cannot survive the hash-compare."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        dhash_assets,
+        synthesize_gradient_png_assets,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _CAL_N)
+    grp = F.expr("doc_id div 2")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(18).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+        ((grp * 7) % 240 + F.col("doc_id") % 2).cast("int").alias("g"),
+        (grp % 5 + 1).cast("int").alias("d"),
+        (F.expr("doc_id div 2 div 5") % 3 + 1).cast("int").alias("e"),
+    )
+    hashes = dhash_assets(synthesize_gradient_png_assets(params)).select(
+        F.col("asset_id").alias("id"), F.col("dhash").alias("h")
+    )
+    spine = spark.range(_CAL_N * _CAL_N).select(
+        (F.col("id") / _CAL_N).cast("bigint").alias("ia"),
+        (F.col("id") % _CAL_N).alias("ib"),
+    ).filter(F.col("ia") < F.col("ib"))
+    pairs = (
+        spine.join(F.broadcast(hashes.withColumnRenamed("h", "ha")),
+                   spine.ia == F.col("id"))
+        .drop("id")
+        .join(F.broadcast(hashes.withColumnRenamed("h", "hb")),
+              F.col("ib") == F.col("id"))
+        .select(
+            "ha",
+            "hb",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("d"),
+        )
+    )
+
+    def catch(b: int) -> F.Column:
+        width = 64 // b
+        mask = (1 << width) - 1
+        c = F.lit(False)
+        for i in range(b):
+            c = c | (
+                F.shiftright(F.col("ha"), i * width).bitwiseAND(F.lit(mask))
+                == F.shiftright(F.col("hb"), i * width).bitwiseAND(F.lit(mask))
+            )
+        return c
+
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("bigint").alias("bands"),
+                    catch(b).alias("caught"),
+                )
+                for b in _CAL_BANDS
+            ]
+        )
+    ).alias("c")
+    rows = pairs.select("d", cfg).select(
+        "d", F.col("c.bands").alias("bands"), F.col("c.caught").alias("caught")
+    )
+    per = rows.groupBy("bands").agg(
+        F.sum(F.when(F.col("d") <= _CAL_T, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_pairs"),
+        F.sum(F.when((F.col("d") <= _CAL_T) & F.col("caught"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_caught"),
+        F.sum(F.when((F.col("d") > _CAL_T) & F.col("caught"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_far_candidates"),
+        F.sum(
+            F.when(
+                (F.col("d") <= F.col("bands") - 1) & ~F.col("caught"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pigeonhole_violations"),
+    )
+    return per.select(
+        "bands",
+        "n_near_pairs",
+        "n_near_caught",
+        F.round(
+            F.when(
+                F.col("n_near_pairs") > 0,
+                F.col("n_near_caught").cast("double") / F.col("n_near_pairs"),
+            ),
+            4,
+        ).alias("recall"),
+        "n_far_candidates",
+        "pigeonhole_violations",
+    ).orderBy("bands")
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: coarse routing + PQ asymmetric distance + exact rerank
+# ---------------------------------------------------------------------------
+
+_IVFADC_PROBES = 2
+_IVFADC_K = 10
+
+_IVFADC_SQL = f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), q AS (
+        SELECT e AS qv FROM emb WHERE vec_id = 7
+    ), coarse AS (
+        SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < 8
+    ), probes AS (
+        SELECT cell FROM (
+            SELECT coarse.cell,
+                   list_sum(list_transform(list_zip(coarse.c, q.qv),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+            FROM coarse, q
+        ) ORDER BY d2 ASC, cell ASC LIMIT {_IVFADC_PROBES}
+    ), routed AS (
+        SELECT vec_id, cell FROM (
+            SELECT emb.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY emb.vec_id
+                       ORDER BY list_sum(list_transform(list_zip(emb.e, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                                c.cell ASC) AS rn
+            FROM emb, coarse c WHERE emb.vec_id <> 7
+        ) WHERE rn = 1
+    ), flt AS (
+        SELECT vec_id, cell FROM routed
+        WHERE cell IN (SELECT cell FROM probes)
+    ), grid AS (
+        SELECT unnest(generate_series(0, 7)) AS g
+    ), cent AS (
+        SELECT emb.vec_id AS code, grid.g AS subspace,
+               list_slice(e, grid.g * 8 + 1, grid.g * 8 + 8) AS c
+        FROM emb, grid WHERE emb.vec_id < 4
+    ), lut AS (
+        SELECT cent.subspace, cent.code,
+               list_sum(list_transform(
+                   list_zip(list_slice(q.qv, cent.subspace * 8 + 1,
+                                       cent.subspace * 8 + 8), cent.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+        FROM cent, q
+    ), sub AS (
+        SELECT emb.vec_id, flt.cell, grid.g AS subspace,
+               list_slice(e, grid.g * 8 + 1, grid.g * 8 + 8) AS v
+        FROM emb JOIN flt USING (vec_id), grid
+    ), assigned AS (
+        SELECT vec_id, cell, subspace, code FROM (
+            SELECT s.vec_id, s.cell, s.subspace, c.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.subspace
+                       ORDER BY list_sum(list_transform(list_zip(s.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                                c.code ASC) AS rn
+            FROM sub s JOIN cent c ON c.subspace = s.subspace
+        ) WHERE rn = 1
+    ), adc AS (
+        SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+               ROUND(SUM(l.qd2), 6) AS adc_d2
+        FROM assigned a
+        JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+        GROUP BY a.vec_id, a.cell
+        ORDER BY adc_d2 ASC, vec_id ASC LIMIT {_IVFADC_K}
+    ), exact AS (
+        SELECT emb.vec_id,
+               ROUND(list_sum(list_transform(list_zip(emb.e, q.qv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS exact_d2
+        FROM emb, q WHERE emb.vec_id <> 7
+    )
+    SELECT CAST(adc.vec_id AS BIGINT) AS vec_id, adc.cell,
+           adc.adc_d2, exact.exact_d2
+    FROM adc JOIN exact ON exact.vec_id = adc.vec_id
+    ORDER BY adc.adc_d2 ASC, vec_id ASC
+"""
+
+
+@register("ann_ivfadc_topk", _IVFADC_SQL)
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the full production ANN cascade (Jegou et al. 2011; the
+    FAISS IVF+PQ default for billion-vector indexes), composing the
+    engine's verified pieces end-to-end: (1) a seeded 8-cell coarse
+    quantizer routes every vector to its nearest cell
+    (``similarity.nearest_centroid_col`` — map-side argmin over literal
+    centroids, ties to the lowest cell in BOTH engines); (2) the query
+    probes only its 2 nearest cells (driver-computed literal list — the
+    partition-pruning step that reads ~2/8 of a real index); (3) inside
+    the probed cells, distances come from PQ asymmetric-distance lookups
+    (``similarity.pq_adc_scores``, the 4-code x 8-subspace deterministic
+    codebooks shared with ``ann_pq_adc_topk``) — zero shuffle, zero UDF;
+    (4) the top-10 ADC survivors are reranked with exact distances via a
+    broadcast join. Output carries the routing cell so the oracle also
+    verifies step (1). Determinism: all distances are identical
+    left-to-right IEEE folds; ADC is ROUNDed to 6 before the rank; ties
+    to vec_id. Scale: this is THE layout for vector search over 100 TB
+    — cells become partition keys (scan 2/8 of the table), codes are
+    bytes instead of raw floats, and only k survivors ever touch raw
+    vectors again."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        nearest_centroid_col,
+        pq_adc_scores,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    e = spread_if_narrow(_t(spark, sf_dir, "embeddings"))
+    seed = (
+        e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    coarse = [list(r[0]) for r in seed]
+    codebooks = [
+        [list(coarse[code][g * 8 : g * 8 + 8]) for code in range(4)]
+        for g in range(8)
+    ]
+    query = coarse[7]
+    probes = sorted(
+        range(len(coarse)),
+        key=lambda i: (
+            sum((a - b) * (a - b) for a, b in zip(coarse[i], query)),
+            i,
+        ),
+    )[:_IVFADC_PROBES]
+    corpus = e.filter(F.col("vec_id") != 7).withColumn(
+        "cell", nearest_centroid_col(F.col("embedding"), coarse)
+    )
+    flt = corpus.filter(F.col("cell").isin(probes))
+    topk = (
+        pq_adc_scores(flt, codebooks, query, extra_cols=("cell",))
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.round("adc_d2", 6).alias("adc_d2"),
+        )
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(_IVFADC_K)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    rerank = e.select(
+        F.col("vec_id").alias("r_vec_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    qlit,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("exact_d2"),
+    )
+    return (
+        rerank.join(
+            F.broadcast(topk), F.col("r_vec_id") == F.col("vec_id"), "inner"
+        )
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "cell",
+            "adc_d2",
+            "exact_d2",
+        )
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal dedup divergence census (text md5 vs image dHash)
+# ---------------------------------------------------------------------------
+
+
+def _crossmodal_sql() -> str:
+    from clashroyale_datapipeline_agent_spark.plans.text_queries import (
+        _dhash_sql_parts,
+    )
+
+    cells, hash_sum = _dhash_sql_parts()
+    return f"""
+    WITH p AS (
+        SELECT doc_id, source, md5(text) AS fp,
+               (doc_id // 2 * 7) % 240 + doc_id % 2 AS g,
+               1 + (doc_id // 2) % 5 AS d,
+               1 + (doc_id // 2 // 5) % 3 AS e
+        FROM documents
+    ), cells AS (
+        SELECT doc_id, source, fp, {cells} AS cl FROM p
+    ), h AS (
+        SELECT doc_id, source, fp,
+               CAST({hash_sum} AS BIGINT) AS dh
+        FROM cells
+    ), flags AS (
+        SELECT source,
+               COUNT(*) OVER (PARTITION BY fp) > 1 AS text_dup,
+               COUNT(*) OVER (PARTITION BY dh) > 1 AS image_dup
+        FROM h
+    )
+    SELECT text_dup, image_dup,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM flags
+    GROUP BY text_dup, image_dup
+    ORDER BY text_dup, image_dup
+"""
+
+
+@register("curation_crossmodal_dedup_divergence", _crossmodal_sql())
+def curation_crossmodal_dedup_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-MODAL dedup agreement census — the question a multimodal
+    curation pass must answer before choosing its dedup key: of the
+    documents whose TEXT is an exact duplicate (md5 fingerprint shared,
+    the ``dedup_exact_groups`` grain), how many are ALSO image-level
+    duplicates (identical 64-bit dHash of the document's real decoded
+    PNG — the distance-0 grain of ``multimodal_image_neardup_pairs``),
+    and vice versa? The 2x2 (text_dup, image_dup) matrix counts docs
+    and distinct sources per quadrant; the off-diagonal quadrants are
+    exactly the documents a single-modality dedup would mis-keep or
+    mis-drop (e.g. same boilerplate text under different images, or
+    re-encoded identical images under paraphrased captions). Spark
+    computes the image leg through the REAL decode -> luma -> dHash
+    production path (Arrow mapInPandas); the DuckDB twin recomputes
+    the hash in closed form from the gradient parameters, so the
+    census cross-checks the whole pipeline. Scale: two fingerprint
+    windows (hash-partitioned by fp / dh — never a pair join) and one
+    4-row rollup; exactly the two-pass shape of the exact-dedup
+    operator, run once per modality."""
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        dhash_assets,
+        synthesize_gradient_png_assets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grp = F.expr("doc_id div 2")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(18).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+        ((grp * 7) % 240 + F.col("doc_id") % 2).cast("int").alias("g"),
+        (grp % 5 + 1).cast("int").alias("d"),
+        (F.expr("doc_id div 2 div 5") % 3 + 1).cast("int").alias("e"),
+    )
+    # the Arrow hash stage emits its fixed (asset_id, dhash, status)
+    # schema, so the text fingerprint rides a doc_id equi-join back
+    hashed = dhash_assets(synthesize_gradient_png_assets(params)).join(
+        d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.md5("text").alias("fp"),
+            "source",
+        ),
+        "asset_id",
+    )
+    flags = hashed.select(
+        "source",
+        (F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1).alias(
+            "text_dup"
+        ),
+        (F.count(F.lit(1)).over(Window.partitionBy("dhash")) > 1).alias(
+            "image_dup"
+        ),
+    )
+    return (
+        flags.groupBy("text_dup", "image_dup")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("text_dup", "image_dup")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer sizing readout)
+# ---------------------------------------------------------------------------
+
+_VOCAB_KS = (100, 1000, 10000)
+
+_VOCAB_SQL = f"""
+    WITH words AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'),
+                      x -> x != '')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM vocab
+    ), head AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rk
+        FROM vocab ORDER BY f DESC, w ASC LIMIT {max(_VOCAB_KS)}
+    ), ks AS (
+        SELECT unnest([{', '.join(str(k) for k in _VOCAB_KS)}]) AS k
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           least(CAST(ks.k AS BIGINT), t.n_types) AS n_types_used,
+           CAST(SUM(CASE WHEN h.rk <= ks.k THEN h.f ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           ROUND(CAST(SUM(CASE WHEN h.rk <= ks.k THEN h.f ELSE 0 END)
+                      AS DOUBLE) / t.n_tokens, 6) AS coverage,
+           t.n_types, t.n_tokens
+    FROM head h, ks, tot t
+    GROUP BY ks.k, t.n_types, t.n_tokens
+    ORDER BY k
+"""
+
+
+@register("docs_vocab_coverage_curve", _VOCAB_SQL)
+def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size sizing curve (the readout that decides a
+    tokenizer's vocab budget): what fraction of the corpus token mass
+    does a top-k word vocabulary cover, for k in 100/1000/10000? The
+    vocabulary is ranked (freq DESC, word ASC — total and engine-free)
+    and only the top-max(k) head ever leaves the vocab agg
+    (TakeOrderedAndProject); the rank/cumulation window runs over that
+    BOUNDED head, never the corpus. Zipf's law makes this curve the
+    whole tokenizer-economics story: the bend locates the OOV cliff
+    that ``docs_oov_rate_by_lang`` then measures for a chosen cutoff.
+    Exact integer token counts; one ROUNDed division per k.
+    Scale: vocab is the distinct-word grain (sublinear in corpus); the
+    head is a fixed 10k rows — the global rank is a bounded epilogue,
+    the same discipline as ``docs_pareto_quality_front``."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    tot = vocab.agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    head = (
+        vocab.orderBy(F.desc("f"), F.asc("w"))
+        .limit(max(_VOCAB_KS))
+        .select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.desc("f"), F.asc("w")))
+            .alias("rk"),
+        )
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in _VOCAB_KS])
+    ).alias("k")
+    return (
+        head.select("f", "rk", ks)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_types", "n_tokens")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("f")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens")
+        )
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("n_types")).alias("n_types_used"),
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("coverage"),
+            "n_types",
+            "n_tokens",
+        )
+        .orderBy("k")
+    )

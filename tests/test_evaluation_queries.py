@@ -1,0 +1,502 @@
+"""Round-10 wave 2 (plans/evaluation_queries.py) vs pure-Python oracles.
+
+Each query is re-derived at sf0.001 with plain Python over the same
+parquet (pyarrow + hashlib + math only — no Spark, no DuckDB), so a bug
+shared by the Spark plan and its DuckDB oracle SQL cannot hide here."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_DIR
+
+from clashroyale_datapipeline_agent_spark.plans import (
+    evaluation_queries as eq,
+)
+
+
+def _docs() -> list[tuple[int, str, str]]:
+    t = pq.read_table(SF_DIR + "/documents.parquet")
+    return list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _r(x: float, n: int) -> float:
+    """Spark/DuckDB ROUND (half away from zero for positives)."""
+    return float(Decimal(repr(x)).quantize(Decimal(10) ** -n, ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def _hlq_weight(bigram: str) -> int:
+    bucket = int(_md5(bigram)[:2], 16)
+    return int(_md5(f"w:{bucket}")[:5], 16) % eq._HLQ_MOD - eq._HLQ_OFF
+
+
+def test_hashed_linear_quality_matches_pure_python(spark):
+    per_source: dict[str, list[tuple[int, int]]] = {}
+    for _, text, source in _docs():
+        toks = [w for w in re.split(r"\s+", text.lower().strip()) if w]
+        if len(toks) < 2:
+            continue
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        logit6 = sum(_hlq_weight(bg) for bg in bgs)
+        per_source.setdefault(source, []).append((logit6, len(bgs)))
+    expect = {}
+    for src, rows in per_source.items():
+        n = len(rows)
+        keep = sum(1 for lg, _ in rows if lg > 0)
+        slog = sum(lg for lg, _ in rows)
+        sbg = sum(nb for _, nb in rows)
+        expect[src] = (
+            n,
+            keep,
+            _r(keep / n, 4),
+            _r(slog / (sbg * 1e6), 6),
+        )
+    got = {
+        r["source"]: (
+            int(r["n_docs"]),
+            int(r["n_keep"]),
+            float(r["keep_rate"]),
+            float(r["avg_token_weight"]),
+        )
+        for r in eq.docs_hashed_linear_quality(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the gate genuinely splits the corpus (not all-keep / all-drop)
+    keeps = sum(v[1] for v in got.values())
+    total = sum(v[0] for v in got.values())
+    assert 0 < keeps < total
+
+
+# ---------------------------------------------------------------------------
+# iterative BPE merge learning
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_learn_matches_pure_python_trainer(spark):
+    freq: dict[str, int] = {}
+    for _, text, _ in _docs():
+        for w in text.split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    s0 = sum(f * len(w) for w, f in freq.items())
+    cur = dict(freq)
+    expect = []
+    for it in range(1, eq._BPE_ITERS + 1):
+        pc: dict[str, int] = {}
+        for w, f in cur.items():
+            for j in range(len(w) - 1):
+                p = w[j : j + 2]
+                pc[p] = pc.get(p, 0) + f
+        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        nxt: dict[str, int] = {}
+        for w, f in cur.items():
+            nw = w.replace(top[0], chr(it))
+            nxt[nw] = nxt.get(nw, 0) + f
+        cur = nxt
+        s_after = sum(f * len(w) for w, f in cur.items())
+        expect.append(
+            (
+                it,
+                top[0].encode("utf-8").hex(),
+                top[1],
+                s_after,
+                _r(s0 / s_after, 4),
+            )
+        )
+    got = [
+        (
+            int(r["iter"]),
+            r["pair_hex"],
+            int(r["pair_freq"]),
+            int(r["symbols_after"]),
+            float(r["compression"]),
+        )
+        for r in eq.docs_bpe_learn_merges(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    # compression strictly improves every iteration (each merge fires)
+    comps = [g[4] for g in got]
+    assert all(a < b for a, b in zip(comps, comps[1:]))
+    # later iterations may merge earlier sentinels — re-counting is real
+    assert len({g[1] for g in got}) == eq._BPE_ITERS
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_matches_pure_python(spark):
+    tc: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    for doc_id, text, _ in _docs():
+        toks = [w for w in re.split(r"\s+", text.lower().strip()) if w]
+        dl[doc_id] = len(toks)
+        for w in toks:
+            tc[(doc_id, w)] = tc.get((doc_id, w), 0) + 1
+    n_docs = float(len(dl))
+    avgdl = sum(dl.values()) / n_docs
+    expect = {}
+    for term in eq._EVAL_TERMS:
+        posts = [
+            (doc, tf) for (doc, t), tf in tc.items() if t == term
+        ]
+        df = len(posts)
+        scored = []
+        for doc, tf in posts:
+            rel = 1 if _md5(f"{term}:{doc}")[0] in "0123" else 0
+            sc = _r(
+                math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                * tf
+                * 2.2
+                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl[doc] / avgdl)),
+                4,
+            )
+            scored.append((sc, doc, rel))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        nrel = sum(r for _, _, r in scored)
+        top10 = scored[:10]
+        hits = sum(r for _, _, r in top10)
+        first = next(
+            (i + 1 for i, (_, _, r) in enumerate(top10) if r), None
+        )
+        mrr = _r(1.0 / first, 4) if first else 0.0
+        dcg9 = sum(
+            eq._GAIN9[i] for i, (_, _, r) in enumerate(top10) if r
+        )
+        ndcg = (
+            _r(dcg9 / eq._IDCG9[min(nrel, 10) - 1], 4) if nrel else None
+        )
+        expect[term] = (nrel, hits, mrr, ndcg)
+    got = {
+        r["term"]: (
+            int(r["n_relevant"]),
+            int(r["hits_at_10"]),
+            float(r["mrr_at_10"]),
+            None if r["ndcg_at_10"] is None else float(r["ndcg_at_10"]),
+        )
+        for r in eq.docs_bm25_retrieval_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # pseudo-qrels are a ~25% scatter: metrics must be genuinely
+    # discriminative, not saturated
+    for term, (nrel, hits, mrr, ndcg) in got.items():
+        assert 0 < nrel, term
+        assert 0.0 <= mrr <= 1.0 and hits <= 10
+        if ndcg is not None:
+            assert 0.0 <= ndcg <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# IPS / SNIPS off-policy evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_ips_offpolicy_matches_pure_python(spark):
+    t = pq.read_table(SF_DIR + "/events.parquet")
+    types = t.column("event_type").to_pylist()
+    values = t.column("value").to_pylist()
+    n = len(types)
+    na: dict[str, int] = {}
+    for a in types:
+        na[a] = na.get(a, 0) + 1
+    acts = sorted(na)
+    pos = {a: i + 1 for i, a in enumerate(acts)}
+    sum_pos = sum(pos.values())
+    w9 = {
+        a: int(_r(1e9 * (pos[a] * n) / (sum_pos * na[a]), 0))
+        for a in acts
+    }
+    r6 = [int(_r(v * 1e6, 0)) for v in values]
+    sw = sum(w9[a] for a in types)
+    swr = sum(w9[a] * r for a, r in zip(types, r6))
+    swrc = sum(min(w9[a], 2_000_000_000) * r for a, r in zip(types, r6))
+    sw2 = sum(w9[a] * w9[a] for a in types)
+    expect = (
+        n,
+        len(acts),
+        _r(sum(r6) / (n * 1e6), 4),
+        _r(swr / (n * 1e15), 4),
+        _r(swr / (sw * 1e6), 4),
+        _r(swrc / (n * 1e15), 4),
+        _r(100.0 * (sw * sw) / (n * sw2), 2),
+    )
+    row = eq.events_ips_offpolicy_eval(spark, SF_DIR).collect()[0]
+    got = (
+        int(row["n_events"]),
+        int(row["n_actions"]),
+        float(row["mean_logged"]),
+        float(row["ips_estimate"]),
+        float(row["snips_estimate"]),
+        float(row["ips_clip2"]),
+        float(row["ess_pct"]),
+    )
+    assert got == expect
+    # near-uniform logging + rank-weighted target: SNIPS stays near the
+    # logged mean's scale and ESS is high but NOT 100% (weights differ)
+    assert 0 < got[6] < 100.0
+
+
+# ---------------------------------------------------------------------------
+# Hamming band calibration
+# ---------------------------------------------------------------------------
+
+
+def _closed_form_dhash(doc_id: int) -> int:
+    g = (doc_id // 2 * 7) % 240 + doc_id % 2
+    d = 1 + (doc_id // 2) % 5
+    e = 1 + (doc_id // 2 // 5) % 3
+
+    def px(x: int, y: int) -> int:
+        return (g + d * x + e * y) % 256
+
+    cells = []
+    for k in range(72):
+        r, c = divmod(k, 9)
+        cells.append(
+            (
+                px(2 * c, 2 * r)
+                + px(2 * c + 1, 2 * r)
+                + px(2 * c, 2 * r + 1)
+                + px(2 * c + 1, 2 * r + 1)
+            )
+            // 4
+        )
+    h = 0
+    for k in range(64):
+        r, c = divmod(k, 8)
+        if cells[r * 9 + c + 1] > cells[r * 9 + c]:
+            h |= 1 << k
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_hamming_band_calibration_matches_pure_python(spark):
+    ids = [
+        i for i, _, _ in _docs() if i < eq._CAL_N
+    ]
+    hashes = {i: _closed_form_dhash(i) for i in ids}
+    expect = {}
+    for b in eq._CAL_BANDS:
+        width = 64 // b
+        mask = (1 << width) - 1
+        near = caught = far = viol = 0
+        for i in ids:
+            for j in ids:
+                if i >= j:
+                    continue
+                ha, hb = hashes[i], hashes[j]
+                dist = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                hit = any(
+                    (ha >> (k * width)) & mask == (hb >> (k * width)) & mask
+                    for k in range(b)
+                )
+                if dist <= eq._CAL_T:
+                    near += 1
+                    caught += hit
+                elif hit:
+                    far += 1
+                if dist <= b - 1 and not hit:
+                    viol += 1
+        expect[b] = (
+            near,
+            caught,
+            _r(caught / near, 4) if near else None,
+            far,
+            viol,
+        )
+    got = {
+        int(r["bands"]): (
+            int(r["n_near_pairs"]),
+            int(r["n_near_caught"]),
+            None if r["recall"] is None else float(r["recall"]),
+            int(r["n_far_candidates"]),
+            int(r["pigeonhole_violations"]),
+        )
+        for r in eq.multimodal_hamming_band_calibration(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expect
+    # the pigeonhole theorem holds for every config
+    assert all(v[4] == 0 for v in got.values())
+    # finer bands are strict refinements: catches nest, so recall and
+    # false-candidate volume are both monotone in the band count
+    bs = sorted(got)
+    for a, b in zip(bs, bs[1:]):
+        assert got[a][1] <= got[b][1]
+        assert got[a][3] <= got[b][3]
+
+
+# ---------------------------------------------------------------------------
+# IVFADC cascade
+# ---------------------------------------------------------------------------
+
+
+def _embs() -> dict[int, list[float]]:
+    t = pq.read_table(SF_DIR + "/embeddings.parquet")
+    return {
+        int(v): [float(x) for x in e]
+        for v, e in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        )
+    }
+
+
+def _fold_d2(a: list[float], b: list[float]) -> float:
+    """Left-to-right IEEE fold, the engines' zip_with/list_sum order."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += (x - y) * (x - y)
+    return s
+
+
+def test_ivfadc_matches_pure_python(spark):
+    vecs = _embs()
+    coarse = [vecs[i] for i in range(8)]
+    codebooks = [
+        [coarse[code][g * 8 : g * 8 + 8] for code in range(4)]
+        for g in range(8)
+    ]
+    query = coarse[7]
+    probes = sorted(
+        range(8), key=lambda i: (_fold_d2(coarse[i], query), i)
+    )[: eq._IVFADC_PROBES]
+    lut = [
+        [_fold_d2(query[g * 8 : g * 8 + 8], cw) for cw in codebooks[g]]
+        for g in range(8)
+    ]
+    scored = []
+    for vid, v in vecs.items():
+        if vid == 7:
+            continue
+        cell = min(range(8), key=lambda i: (_fold_d2(v, coarse[i]), i))
+        if cell not in probes:
+            continue
+        adc = 0.0
+        for g in range(8):
+            sv = v[g * 8 : g * 8 + 8]
+            code = min(
+                range(4), key=lambda c: (_fold_d2(sv, codebooks[g][c]), c)
+            )
+            adc += lut[g][code]
+        scored.append((_r(adc, 6), vid, cell))
+    scored.sort(key=lambda x: (x[0], x[1]))
+    expect = [
+        (vid, cell, adc, _r(_fold_d2(vecs[vid], query), 6))
+        for adc, vid, cell in scored[: eq._IVFADC_K]
+    ]
+    got = [
+        (
+            int(r["vec_id"]),
+            int(r["cell"]),
+            float(r["adc_d2"]),
+            float(r["exact_d2"]),
+        )
+        for r in eq.ann_ivfadc_topk(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    # routing is real: every survivor sits in a probed cell
+    assert {c for _, c, _, _ in got} <= set(probes)
+
+
+# ---------------------------------------------------------------------------
+# cross-modal dedup divergence
+# ---------------------------------------------------------------------------
+
+
+def test_crossmodal_divergence_matches_pure_python(spark):
+    docs = _docs()
+    fp_count: dict[str, int] = {}
+    dh_count: dict[int, int] = {}
+    rows = []
+    for doc_id, text, source in docs:
+        fp = _md5(text)
+        dh = _closed_form_dhash(doc_id)
+        fp_count[fp] = fp_count.get(fp, 0) + 1
+        dh_count[dh] = dh_count.get(dh, 0) + 1
+        rows.append((fp, dh, source))
+    census: dict[tuple[bool, bool], list] = {}
+    for fp, dh, source in rows:
+        key = (fp_count[fp] > 1, dh_count[dh] > 1)
+        census.setdefault(key, [0, set()])
+        census[key][0] += 1
+        census[key][1].add(source)
+    expect = {
+        k: (v[0], len(v[1])) for k, v in census.items()
+    }
+    got = {
+        (bool(r["text_dup"]), bool(r["image_dup"])): (
+            int(r["n_docs"]),
+            int(r["n_sources"]),
+        )
+        for r in eq.curation_crossmodal_dedup_divergence(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == len(docs)
+    # the image modality carries duplicate signal at every SF (shared
+    # gradient params); byte-identical TEXT dups exist only at sf0.1,
+    # so the text quadrant is asserted through got == expect above
+    assert any(k[1] for k in got)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_matches_pure_python(spark):
+    freq: dict[str, int] = {}
+    for _, text, _ in _docs():
+        for w in re.split(r"\s+", text.lower().strip()):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_tokens = sum(freq.values())
+    n_types = len(freq)
+    expect = {}
+    for k in eq._VOCAB_KS:
+        covered = sum(f for _, f in ranked[:k])
+        expect[k] = (
+            min(k, n_types),
+            covered,
+            _r(covered / n_tokens, 6),
+            n_types,
+            n_tokens,
+        )
+    got = {
+        int(r["k"]): (
+            int(r["n_types_used"]),
+            int(r["covered_tokens"]),
+            float(r["coverage"]),
+            int(r["n_types"]),
+            int(r["n_tokens"]),
+        )
+        for r in eq.docs_vocab_coverage_curve(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # coverage is monotone in k and the tail is genuinely long
+    covs = [got[k][2] for k in sorted(got)]
+    assert covs == sorted(covs)
+    assert covs[-1] <= 1.0

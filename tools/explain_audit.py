@@ -57,6 +57,8 @@ EXPECTED_PYTHON_EVAL = {
     "multimodal_image_neardup_pairs",
     "multimodal_wav_neardup_pairs",
     "multimodal_y4m_neardup_pairs",
+    "multimodal_hamming_band_calibration",
+    "curation_crossmodal_dedup_divergence",
     "docs_pack_stats",
     "docs_pack_stats_det",
 }
@@ -100,6 +102,14 @@ EXPECTED_GLOBAL_WINDOW = {
         "lines, dozens of rows)"
     ),
     "events_binary_segmentation_split": "input = per-day aggregate series",
+    "docs_vocab_coverage_curve": (
+        "input = LIMIT-10000 vocabulary head (TakeOrderedAndProject "
+        "before the rank window)"
+    ),
+    "events_ips_offpolicy_eval": (
+        "input = |actions| rows (the 5-row action census ranked "
+        "alphabetically for the target-policy positions)"
+    ),
     "events_ewma_control_chart": "input = per-day aggregate series",
     "events_ks_binned_two_sample": "input = 20 histogram bins",
     "events_mannwhitney_auc": "input = bounded rank epilogue rows",
