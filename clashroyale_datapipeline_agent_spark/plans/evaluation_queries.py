@@ -1239,3 +1239,467 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Facility-location greedy selection (submodular coverage gains)
+# ---------------------------------------------------------------------------
+
+_FL_CANDS = 16     #: candidate facilities (vec_id < 16, literal carriers)
+_FL_K = 4          #: greedy picks
+_FL_SHIFT = 1000000  #: cosine -> [0, 2e6] shift (submodularity needs >= 0)
+
+
+def _fl_sql() -> str:
+    """Programmatic CTE chain replaying the greedy facility-location
+    recursion: stage t sums max(coverage, shifted-sim) per remaining
+    candidate over the WHOLE ground set and picks the argmax."""
+    sim6 = (
+        "CAST(ROUND(1000000.0 * CAST(list_sum(list_transform("
+        "generate_series(1, 64), j -> g.vq[j] * c.vq[j])) AS DOUBLE)"
+        " / sqrt(CAST(g.na2 AS DOUBLE) * CAST(c.na2 AS DOUBLE)))"
+        f" AS BIGINT) + {_FL_SHIFT}"
+    )
+    ctes = [
+        "v AS (SELECT vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS vq"
+        " FROM embeddings)",
+        "n2 AS (SELECT vec_id, vq,"
+        " CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS na2"
+        " FROM v)",
+        f"cand AS (SELECT vec_id AS cid, vq, na2 FROM n2"
+        f" WHERE vec_id < {_FL_CANDS})",
+        f"sims AS (SELECT g.vec_id, c.cid, {sim6} AS s6"
+        " FROM n2 g, cand c)",
+        "cov0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS cov"
+        " FROM n2)",
+        "p0 AS (SELECT CAST(NULL AS BIGINT) AS cid,"
+        " CAST(0 AS BIGINT) AS obj WHERE FALSE)",
+    ]
+    for t in range(1, _FL_K + 1):
+        ctes.append(
+            f"t{t} AS (SELECT s.cid, CAST(SUM(greatest(c.cov, s.s6))"
+            f" AS BIGINT) AS obj"
+            f" FROM sims s JOIN cov{t - 1} c USING (vec_id)"
+            f" WHERE s.cid NOT IN (SELECT cid FROM p{t - 1})"
+            f" GROUP BY s.cid ORDER BY obj DESC, s.cid ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"p{t} AS (SELECT cid, obj FROM p{t - 1}"
+            f" UNION ALL SELECT cid, obj FROM t{t})"
+        )
+        ctes.append(
+            f"cov{t} AS (SELECT c.vec_id,"
+            f" greatest(c.cov, s.s6) AS cov"
+            f" FROM cov{t - 1} c JOIN sims s USING (vec_id)"
+            f" WHERE s.cid = (SELECT cid FROM t{t}))"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS step, (SELECT cid FROM t{t}) AS vec_id,"
+        f" (SELECT obj FROM t{t}) AS objective6" for t in range(1, _FL_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT CAST(step AS BIGINT) AS step,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(objective6 - COALESCE(lag(objective6)
+               OVER (ORDER BY step), 0) AS BIGINT) AS gain6,
+           objective6
+    FROM ({rows})
+    ORDER BY step
+    """
+    )
+
+
+@register("embeddings_facility_location_gains", _fl_sql())
+def embeddings_facility_location_gains(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy facility-location selection — the SUBMODULAR-COVERAGE leg
+    of the data-selection trifecta (k-center = geometry,
+    ``embeddings_kcenter_coreset``; MMR = relevance-diversity,
+    ``embeddings_mmr_diverse_topk``; this = coverage): pick k=4
+    facilities from 16 candidate vectors maximizing
+    F(S) = sum_v max_{s in S} sim(v, s) over the WHOLE corpus, greedily
+    — the classic (1-1/e)-approximate coreset selector (Nemhauser et
+    al. 1978) used for exemplar selection in training-data curation.
+    Similarities are the house 1e6-scaled integer cosines shifted by
+    +1e6 into [0, 2e6] (facility location needs non-negative utility;
+    the affine shift preserves the argmax), so every coverage max and
+    objective sum is EXACT int64 arithmetic — the emitted marginal-gain
+    curve (classically non-increasing; the stopping diagnostic a
+    curation run reads) is engine-free. Scale: each greedy round is ONE
+    linear scan computing <= 16 candidate sums at once against <= k
+    literal picks (the k-center convention: bounded k x dim carriers,
+    no pair join, no vector shuffle); objective sums are int64 here and
+    decimal(38,0) at 100 TB row counts."""
+    from clashroyale_datapipeline_agent_spark.plans.coreset_queries import (
+        _greatest,
+        _sim6_to_lit,
+        _vq_col,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", _vq_col().alias("vq"))
+    n2 = e.select(
+        "vec_id",
+        "vq",
+        F.aggregate(
+            F.transform(F.col("vq"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("na2"),
+    ).localCheckpoint(eager=False)
+    cands = [
+        (int(r["vec_id"]), [int(x) for x in r["vq"]], int(r["na2"]))
+        for r in n2.filter(F.col("vec_id") < _FL_CANDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    def s6(c) -> F.Column:
+        return _sim6_to_lit(
+            F.col("vq"), F.col("na2"), c[1], c[2]
+        ) + F.lit(_FL_SHIFT)
+
+    picks: list = []
+    objective = 0
+    steps: list[tuple[int, int, int, int]] = []
+    for step in range(1, _FL_K + 1):
+        cov = (
+            _greatest([s6(p) for p in picks]) if picks
+            else F.lit(0).cast("bigint")
+        )
+        remaining = [c for c in cands if c[0] not in {p[0] for p in picks}]
+        totals = n2.agg(
+            *[
+                F.sum(F.greatest(cov, s6(c))).cast("bigint").alias(f"t{c[0]}")
+                for c in remaining
+            ]
+        ).collect()[0]
+        best = max(remaining, key=lambda c: (int(totals[f"t{c[0]}"]), -c[0]))
+        obj = int(totals[f"t{best[0]}"])
+        steps.append((step, best[0], obj - objective, obj))
+        objective = obj
+        picks.append(best)
+
+    # readout recomputed as ONE distributed pass over the ground set so
+    # the returned frame derives from the corpus, not driver state: the
+    # cumulative objective at step t is sum_v max over picks[:t]
+    objs = n2.agg(
+        *[
+            F.sum(_greatest([s6(p) for p in picks[:t]]))
+            .cast("bigint")
+            .alias(f"o{t}")
+            for t in range(1, _FL_K + 1)
+        ]
+    )
+    lit_steps = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("bigint").alias("step"),
+                F.lit(vid).cast("bigint").alias("vec_id"),
+            )
+            for t, vid, _, _ in steps
+        ]
+    )
+    return (
+        objs.select(
+            F.explode(lit_steps).alias("m"),
+            F.array(*[F.col(f"o{t}") for t in range(1, _FL_K + 1)]).alias(
+                "_o"
+            ),
+        )
+        .select(
+            F.col("m.step").alias("step"),
+            F.col("m.vec_id").alias("vec_id"),
+            (
+                F.element_at("_o", F.col("m.step").cast("int"))
+                - F.when(
+                    F.col("m.step") > 1,
+                    F.element_at("_o", (F.col("m.step") - 1).cast("int")),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("gain6"),
+            F.element_at("_o", F.col("m.step").cast("int")).alias(
+                "objective6"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution over conversion paths
+# ---------------------------------------------------------------------------
+
+_MTA_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS conv_cum
+        FROM events
+    ), convs AS (
+        SELECT user_id, CAST(MAX(conv_cum) AS BIGINT) AS n_conv
+        FROM ordered GROUP BY user_id
+    ), touches AS (
+        SELECT o.user_id, o.event_type,
+               o.conv_cum AS segment,
+               row_number() OVER (
+                   PARTITION BY o.user_id, o.conv_cum
+                   ORDER BY o.ts, o.event_id) AS pos,
+               COUNT(*) OVER (
+                   PARTITION BY o.user_id, o.conv_cum) AS n
+        FROM ordered o
+        JOIN convs c USING (user_id)
+        WHERE o.event_type <> 'purchase' AND o.conv_cum < c.n_conv
+    ), credited AS (
+        SELECT event_type,
+               CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS w_first,
+               CASE WHEN pos = n THEN 1000000 ELSE 0 END AS w_last,
+               CAST(ROUND(1000000.0 / n) AS BIGINT) AS w_linear,
+               CASE
+                   WHEN n = 1 THEN 1000000
+                   WHEN n = 2 THEN 500000
+                   WHEN pos = 1 OR pos = n THEN 400000
+                   ELSE CAST(ROUND(200000.0 / (n - 2)) AS BIGINT)
+               END AS w_position
+        FROM touches
+    ), melted AS (
+        SELECT event_type, 'first_touch' AS rule, w_first AS w6
+        FROM credited
+        UNION ALL SELECT event_type, 'last_touch', w_last FROM credited
+        UNION ALL SELECT event_type, 'linear', w_linear FROM credited
+        UNION ALL SELECT event_type, 'position', w_position FROM credited
+    )
+    SELECT rule, event_type,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(w6) AS BIGINT) AS credit6
+    FROM melted
+    GROUP BY rule, event_type
+    ORDER BY rule, event_type
+"""
+
+
+@register("events_multitouch_attribution", _MTA_SQL)
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch conversion attribution — the four standard credit
+    rules (first-touch, last-touch, linear, U-shaped position 40/20/40)
+    over per-user conversion paths, completing the attribution family
+    started by ``events_asof_attribution`` (which is pure last-touch at
+    the as-of grain): a user's events are segmented by a running
+    purchase count under the (ts, event_id) total order; the
+    non-purchase events of each CONVERTED segment are its touch path
+    (post-last-purchase events attribute to nothing and are dropped —
+    the unconverted-tail rule every attribution stack applies). Credits
+    are 1e6-quantized per rule (the only divisions, 1e6/n and
+    2e5/(n-2), are ROUNDed at birth); per (rule, event_type) rollups
+    are exact int64 sums. Scale: two windows partitioned by user (and
+    user+segment) — the sessionization shuffle shape, no global state;
+    the 4-rule melt is in-row."""
+    e = _t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("conv_cum"),
+    )
+    convs = ordered.groupBy("user_id").agg(
+        F.max("conv_cum").cast("bigint").alias("n_conv")
+    )
+    w_seg = Window.partitionBy("user_id", "conv_cum").orderBy(
+        "ts", "event_id"
+    )
+    w_seg_all = Window.partitionBy("user_id", "conv_cum")
+    touches = (
+        ordered.join(convs, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("conv_cum") < F.col("n_conv"))
+        )
+        .select(
+            "event_type",
+            F.row_number().over(w_seg).alias("pos"),
+            F.count(F.lit(1)).over(w_seg_all).alias("n"),
+        )
+    )
+    credited = touches.select(
+        "event_type",
+        F.when(F.col("pos") == 1, 1000000)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("w_first"),
+        F.when(F.col("pos") == F.col("n"), 1000000)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("w_last"),
+        F.round(1000000.0 / F.col("n")).cast("bigint").alias("w_linear"),
+        F.when(F.col("n") == 1, F.lit(1000000).cast("bigint"))
+        .when(F.col("n") == 2, F.lit(500000).cast("bigint"))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(400000).cast("bigint"),
+        )
+        .otherwise(
+            F.round(200000.0 / (F.col("n") - 2)).cast("bigint")
+        )
+        .alias("w_position"),
+    )
+    melted = credited.select(
+        "event_type",
+        F.expr(
+            "stack(4, 'first_touch', w_first, 'last_touch', w_last,"
+            " 'linear', w_linear, 'position', w_position)"
+        ).alias("rule", "w6"),
+    )
+    return (
+        melted.groupBy("rule", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+            F.sum("w6").cast("bigint").alias("credit6"),
+        )
+        .orderBy("rule", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Active-learning margin selection (composes the hashed classifier)
+# ---------------------------------------------------------------------------
+
+_AL_K = 25
+
+_AL_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> concat(t[i], ' ', t[i + 1]))) AS x
+        FROM toks WHERE len(t) >= 2
+    ), w AS (
+        SELECT doc_id, source,
+               CAST('0x' || md5('w:' || CAST(
+                   CAST('0x' || md5(x)[1:2] AS INTEGER) AS VARCHAR
+               ))[1:5] AS BIGINT) % {_HLQ_MOD} - {_HLQ_OFF} AS w6
+        FROM bg
+    ), per_doc AS (
+        SELECT doc_id, source,
+               CAST(ROUND(CAST(abs(SUM(w6)) AS DOUBLE) / COUNT(*))
+                   AS BIGINT) AS m6
+        FROM w GROUP BY doc_id, source
+    ), sel AS (
+        SELECT doc_id, source, m6,
+               CASE WHEN row_number() OVER (ORDER BY m6 ASC, doc_id ASC)
+                    <= {_AL_K} THEN 1 ELSE 0 END AS selected
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(selected) AS BIGINT) AS n_selected,
+           ROUND(CAST(SUM(CASE WHEN selected = 1 THEN m6 END) AS DOUBLE)
+                 / (1000000.0 * NULLIF(SUM(selected), 0)), 6)
+               AS avg_margin_selected,
+           ROUND(CAST(SUM(m6) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+               AS avg_margin_all
+    FROM sel
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_active_learning_margin", _AL_SQL)
+def docs_active_learning_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection by MARGIN (uncertainty) sampling
+    — the op that decides which documents go to human labelers / a
+    frontier-model judge to improve the cheap gate: per document, the
+    normalized margin of the hashed linear classifier
+    (``docs_hashed_linear_quality``) is |logit| / n_features (ROUNDed to
+    int64 in 1e6 quanta at birth); the 25 lowest-margin documents
+    corpus-wide (the ones the classifier is LEAST sure about; ties to
+    doc_id) form the labeling batch. Output: per-source census of the
+    batch plus selected-vs-corpus mean margins — the skew of the batch
+    toward a source is itself the signal that that source sits near the
+    decision boundary. Scale: the scoring scan is the classifier's
+    stateless linear pass; selection is a bounded global rank — at
+    production scale a top-k (TakeOrderedAndProject) of a tiny k, never
+    a full sort; the census is one hash agg."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    bgs = F.expr(
+        "transform(sequence(1, size(_t) - 1),"
+        " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+    )
+    w6 = F.expr(
+        "transform(_bg, x -> CAST(conv(substring(md5(concat('w:', CAST("
+        "CAST(conv(substring(md5(x), 1, 2), 16, 10) AS INT) AS STRING"
+        "))), 1, 5), 16, 10) AS BIGINT)"
+        f" % {_HLQ_MOD} - {_HLQ_OFF})"
+    )
+    per_doc = (
+        d.select("doc_id", "source", t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select("doc_id", "source", bgs.alias("_bg"))
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.abs(
+                    F.aggregate(
+                        w6, F.lit(0).cast("long"), lambda acc, x: acc + x
+                    )
+                ).cast("double")
+                / F.size("_bg")
+            )
+            .cast("bigint")
+            .alias("m6"),
+        )
+    )
+    # selection is a real top-k (TakeOrderedAndProject), NOT a global
+    # rank window — the k survivors broadcast back as a membership flag
+    batch = (
+        per_doc.orderBy(F.asc("m6"), F.asc("doc_id"))
+        .limit(_AL_K)
+        .select("doc_id", F.lit(1).alias("_sel"))
+    )
+    sel = per_doc.join(F.broadcast(batch), "doc_id", "left").select(
+        "source",
+        "m6",
+        F.coalesce(F.col("_sel"), F.lit(0)).alias("selected"),
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("selected").cast("bigint").alias("n_selected"),
+            F.round(
+                F.sum(F.when(F.col("selected") == 1, F.col("m6"))).cast(
+                    "double"
+                )
+                / (
+                    1000000.0
+                    * F.nullif(F.sum("selected"), F.lit(0)).cast("double")
+                ),
+                6,
+            ).alias("avg_margin_selected"),
+            F.round(
+                F.sum("m6").cast("double") / (1000000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("avg_margin_all"),
+        )
+        .orderBy("source")
+    )

@@ -500,3 +500,182 @@ def test_vocab_coverage_matches_pure_python(spark):
     covs = [got[k][2] for k in sorted(got)]
     assert covs == sorted(covs)
     assert covs[-1] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# facility-location greedy gains
+# ---------------------------------------------------------------------------
+
+
+def _sim6_py(a: list[int], na2: int, b: list[int], nb2: int) -> int:
+    cr = sum(x * y for x, y in zip(a, b))
+    return int(
+        _r(1e6 * float(cr) / math.sqrt(float(na2) * float(nb2)), 0)
+    )
+
+
+def test_facility_location_matches_pure_python(spark):
+    vecs = {
+        vid: [int(round(x * 1e6)) for x in emb]
+        for vid, emb in _embs().items()
+    }
+    n2 = {vid: sum(x * x for x in v) for vid, v in vecs.items()}
+    cands = [vid for vid in sorted(vecs) if vid < eq._FL_CANDS]
+    sims = {
+        (g, c): _sim6_py(vecs[g], n2[g], vecs[c], n2[c]) + eq._FL_SHIFT
+        for g in vecs
+        for c in cands
+    }
+    picks: list[int] = []
+    cov = {g: 0 for g in vecs}
+    objective = 0
+    expect = []
+    for step in range(1, eq._FL_K + 1):
+        best = None
+        for c in cands:
+            if c in picks:
+                continue
+            total = sum(max(cov[g], sims[(g, c)]) for g in vecs)
+            key = (-total, c)
+            if best is None or key < best[0]:
+                best = (key, c, total)
+        _, cid, total = best
+        expect.append((step, cid, total - objective, total))
+        objective = total
+        picks.append(cid)
+        for g in vecs:
+            cov[g] = max(cov[g], sims[(g, cid)])
+    got = [
+        (
+            int(r["step"]),
+            int(r["vec_id"]),
+            int(r["gain6"]),
+            int(r["objective6"]),
+        )
+        for r in eq.embeddings_facility_location_gains(
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == expect
+    # submodularity: marginal gains are non-increasing
+    gains = [g[2] for g in got]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_multitouch_attribution_matches_pure_python(spark):
+    t = pq.read_table(SF_DIR + "/events.parquet")
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    # segment per user by running purchase count; keep converted segments
+    paths: dict[tuple[int, int], list[str]] = {}
+    n_conv: dict[int, int] = {}
+    cum: dict[int, int] = {}
+    for user, _, _, etype in rows:
+        c = cum.get(user, 0)
+        if etype == "purchase":
+            cum[user] = c + 1
+            n_conv[user] = c + 1
+        else:
+            paths.setdefault((user, c), []).append(etype)
+    expect: dict[tuple[str, str], list[int]] = {}
+
+    def credit(rule: str, etype: str, w: int) -> None:
+        e = expect.setdefault((rule, etype), [0, 0])
+        e[0] += 1
+        e[1] += w
+
+    for (user, seg), touch in paths.items():
+        if seg >= n_conv.get(user, 0):
+            continue  # unconverted tail
+        n = len(touch)
+        for i, etype in enumerate(touch):
+            credit("first_touch", etype, 1000000 if i == 0 else 0)
+            credit("last_touch", etype, 1000000 if i == n - 1 else 0)
+            credit("linear", etype, int(_r(1e6 / n, 0)))
+            if n == 1:
+                wp = 1000000
+            elif n == 2:
+                wp = 500000
+            elif i in (0, n - 1):
+                wp = 400000
+            else:
+                wp = int(_r(200000.0 / (n - 2), 0))
+            credit("position", etype, wp)
+    got = {
+        (r["rule"], r["event_type"]): [int(r["touches"]), int(r["credit6"])]
+        for r in eq.events_multitouch_attribution(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # first- and last-touch each hand out exactly 1e6 per converted
+    # segment with touches
+    segs = sum(
+        1
+        for (user, seg), _ in paths.items()
+        if seg < n_conv.get(user, 0)
+    )
+    for rule in ("first_touch", "last_touch"):
+        total = sum(v[1] for (ru, _), v in got.items() if ru == rule)
+        assert total == segs * 1000000
+
+
+# ---------------------------------------------------------------------------
+# active-learning margin selection
+# ---------------------------------------------------------------------------
+
+
+def test_active_learning_margin_matches_pure_python(spark):
+    per_doc = []
+    for doc_id, text, source in _docs():
+        toks = [w for w in re.split(r"\s+", text.lower().strip()) if w]
+        if len(toks) < 2:
+            continue
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        logit6 = sum(_hlq_weight(bg) for bg in bgs)
+        m6 = int(_r(abs(logit6) / len(bgs), 0))
+        per_doc.append((doc_id, source, m6))
+    batch = {
+        d for d, _, _ in sorted(per_doc, key=lambda r: (r[2], r[0]))[: eq._AL_K]
+    }
+    expect = {}
+    by_src: dict[str, list] = {}
+    for doc_id, source, m6 in per_doc:
+        by_src.setdefault(source, []).append((doc_id, m6))
+    for src, rows in by_src.items():
+        n = len(rows)
+        sel = [(d, m) for d, m in rows if d in batch]
+        k = len(sel)
+        expect[src] = (
+            n,
+            k,
+            _r(sum(m for _, m in sel) / (1e6 * k), 6) if k else None,
+            _r(sum(m for _, m in rows) / (1e6 * n), 6),
+        )
+    got = {
+        r["source"]: (
+            int(r["n_docs"]),
+            int(r["n_selected"]),
+            None
+            if r["avg_margin_selected"] is None
+            else float(r["avg_margin_selected"]),
+            float(r["avg_margin_all"]),
+        )
+        for r in eq.docs_active_learning_margin(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert sum(v[1] for v in got.values()) == eq._AL_K
+    # the batch is genuinely low-margin: selected mean <= corpus mean
+    for src, (_, k, m_sel, m_all) in got.items():
+        if k:
+            assert m_sel <= m_all, src
