@@ -1703,3 +1703,328 @@ def docs_active_learning_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Joint lexical + semantic curation census
+# ---------------------------------------------------------------------------
+
+_JOINT_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> concat(t[i], ' ', t[i + 1]))) AS x
+        FROM toks WHERE len(t) >= 2
+    ), lex AS (
+        SELECT doc_id, source,
+               CAST(SUM(CAST('0x' || md5('w:' || CAST(
+                   CAST('0x' || md5(x)[1:2] AS INTEGER) AS VARCHAR
+               ))[1:5] AS BIGINT) % {_HLQ_MOD} - {_HLQ_OFF}) AS BIGINT)
+                   AS logit6
+        FROM bg GROUP BY doc_id, source
+    ), v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    init AS (SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < 8),
+    dist AS (
+        SELECT v.vec_id, i.cluster, list_distance(v.e, i.c) AS d
+        FROM v CROSS JOIN init i
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d ASC, cluster ASC
+                   ) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    nrm AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a
+        JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN nrm nb ON nb.vec_id = b.vec_id
+        WHERE ROUND(
+            list_dot_product(va.e, vb.e) / (na.nrm * nb.nrm), 6
+        ) >= 0.3
+    ), joint AS (
+        SELECT l.source,
+               l.logit6 > 0 AS lex_keep,
+               d.vec_id IS NULL AS sem_keep
+        FROM lex l
+        JOIN assign a ON a.vec_id = l.doc_id
+        LEFT JOIN dup d ON d.vec_id = l.doc_id
+    )
+    SELECT lex_keep, sem_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM joint
+    GROUP BY lex_keep, sem_keep
+    ORDER BY lex_keep, sem_keep
+"""
+
+
+@register("curation_lexical_semantic_joint_keep", _JOINT_SQL)
+def curation_lexical_semantic_joint_keep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The modern two-stage curation decision in ONE census: a document
+    survives a production pass only if it clears BOTH the cheap lexical
+    gate (the hashed linear classifier of
+    ``docs_hashed_linear_quality``: positive summed logit) AND the
+    semantic near-dup prune (SemDeDup,
+    ``similarity.semantic_dedup_prune``: not cosine >= 0.3 to a lower-id
+    member of its embedding cluster). The 2x2 (lex_keep, sem_keep)
+    matrix over the embedded subset (doc_id = vec_id — the realistic
+    "docs with embeddings" semi-join; at sf0.1 only 2000 of 5000 docs
+    are embedded) counts exactly the disagreement a single-stage
+    pipeline would act on wrongly: lexically-fluent semantic duplicates
+    (the redundancy SemDeDup exists for) and lexically-rejected unique
+    content (what a quality-only pass throws away). Determinism: the
+    lexical leg is exact int64 (md5-derived weights); the semantic leg
+    ROUNDs cosines to 6 before the threshold (the
+    ``semantic_dedup_cluster_stats`` convention). Scale: the lexical
+    scan is stateless; the semantic pair join keys on the cluster id
+    (never all-pairs); the join back to text is a doc_id equi-join —
+    three shuffle-bounded stages, each already audited standalone."""
+    from clashroyale_datapipeline_agent_spark.operators.similarity import (
+        semantic_dedup_prune,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    bgs = F.expr(
+        "transform(sequence(1, size(_t) - 1),"
+        " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+    )
+    w6 = F.expr(
+        "transform(_bg, x -> CAST(conv(substring(md5(concat('w:', CAST("
+        "CAST(conv(substring(md5(x), 1, 2), 16, 10) AS INT) AS STRING"
+        "))), 1, 5), 16, 10) AS BIGINT)"
+        f" % {_HLQ_MOD} - {_HLQ_OFF})"
+    )
+    lex = (
+        d.select("doc_id", "source", t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select("doc_id", "source", bgs.alias("_bg"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.aggregate(
+                    w6, F.lit(0).cast("long"), lambda acc, x: acc + x
+                )
+                > 0
+            ).alias("lex_keep"),
+        )
+    )
+    e = spread_if_narrow(_t(spark, sf_dir, "embeddings"))
+    seeds = [
+        [float(x) for x in r["e"]]
+        for r in e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    ]
+    sem = semantic_dedup_prune(e, seeds, threshold=0.3).select(
+        F.col("vec_id").alias("doc_id"), (~F.col("pruned")).alias("sem_keep")
+    )
+    joint = lex.join(sem, "doc_id")
+    return (
+        joint.groupBy("lex_keep", "sem_keep")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("lex_keep", "sem_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index staleness readout (when to retrain the coarse quantizer)
+# ---------------------------------------------------------------------------
+
+_STALE_SQL = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS vq
+        FROM embeddings
+    ), init AS (
+        SELECT vec_id AS cell, vq AS c FROM v WHERE vec_id < 8
+    ), dist AS (
+        SELECT v.vec_id, i.cell,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   j -> (v.vq[j] - i.c[j]) * (v.vq[j] - i.c[j])))
+                   AS BIGINT) AS d2
+        FROM v CROSS JOIN init i
+    ), assign AS (
+        SELECT vec_id, cell, d2 FROM (
+            SELECT vec_id, cell, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, cell ASC
+                   ) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ), split AS (
+        SELECT cell,
+               CAST(SUM(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hist,
+               CAST(SUM(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_batch,
+               CAST(SUM(CASE WHEN vec_id % 4 <> 0 THEN d2 ELSE 0 END)
+                   AS BIGINT) AS sd2_hist,
+               CAST(SUM(CASE WHEN vec_id % 4 = 0 THEN d2 ELSE 0 END)
+                   AS BIGINT) AS sd2_batch
+        FROM assign GROUP BY cell
+    ), tot AS (
+        SELECT CAST(SUM(n_hist) AS BIGINT) AS h,
+               CAST(SUM(n_batch) AS BIGINT) AS b
+        FROM split
+    )
+    SELECT CAST(s.cell AS BIGINT) AS cell, s.n_hist, s.n_batch,
+           CASE WHEN s.n_hist > 0 AND s.n_batch > 0 THEN
+               ROUND(CAST(s.n_batch * t.h AS DOUBLE)
+                     / CAST(s.n_hist * t.b AS DOUBLE), 4)
+           END AS occupancy_ratio,
+           CASE WHEN s.sd2_hist > 0 AND s.n_batch > 0 THEN
+               ROUND(CAST(CAST(s.sd2_batch AS HUGEINT) * s.n_hist AS DOUBLE)
+                     / CAST(CAST(s.sd2_hist AS HUGEINT) * s.n_batch
+                            AS DOUBLE), 4)
+           END AS d2_inflation,
+           CASE WHEN s.n_hist > 0 AND s.n_batch > 0 AND s.sd2_hist > 0 THEN
+               (CAST(s.n_batch AS HUGEINT) * t.h * 10
+                    > CAST(s.n_hist AS HUGEINT) * t.b * 15)
+               OR (CAST(s.sd2_batch AS HUGEINT) * s.n_hist * 10
+                    > CAST(s.sd2_hist AS HUGEINT) * s.n_batch * 15)
+           END AS reindex_flag
+    FROM split s, tot t
+    ORDER BY cell
+"""
+
+
+@register("ann_ivf_index_staleness", _STALE_SQL)
+def ann_ivf_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE readout — the ops question every production
+    vector index faces under continuous ingest: has the data drifted
+    enough from the coarse quantizer that a retrain is due? New vectors
+    (vec_id % 4 = 0, the ingest-batch stand-in) and the indexed history
+    are both assigned to the seeded 8-cell quantizer with EXACT integer
+    squared distances (1e6-quantized components — the k-center
+    convention, so the argmin is engine-free); per cell the readout
+    compares (a) occupancy: the batch's share of the cell vs history's
+    (ratio > 1.5 = the cell is absorbing disproportionate new mass) and
+    (b) quantization error: mean batch d2 vs mean history d2 (inflation
+    > 1.5 = new vectors sit far from the old centroid). The
+    reindex_flag ORs both tests as exact integer cross-multiplications
+    in decimal(38,0)/HUGEINT (d2 sums can pass int64 products) — so the
+    flag itself, not just the diagnostics, is hash-compared across
+    engines. Scale: one assignment scan (map-side argmin over centroid
+    literals) + one 8-row rollup; this is the preflight that schedules
+    ``kmeans_lloyd`` retraining, far cheaper than retraining on
+    suspicion."""
+    from clashroyale_datapipeline_agent_spark.plans.coreset_queries import (
+        _vq_col,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", _vq_col().alias("vq"))
+    seeds = [
+        [int(x) for x in r["vq"]]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+
+    def d2(c: list[int]) -> F.Column:
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("vq"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(d2(c).alias("d2"), F.lit(i).alias("cell"))
+                for i, c in enumerate(seeds)
+            ]
+        )
+    )
+    assign = e.select(
+        "vec_id",
+        best["cell"].alias("cell"),
+        best["d2"].alias("d2"),
+    )
+    split = assign.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 4 != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hist"),
+        F.sum(F.when(F.col("vec_id") % 4 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_batch"),
+        F.sum(F.when(F.col("vec_id") % 4 != 0, F.col("d2")).otherwise(0))
+        .cast("bigint")
+        .alias("sd2_hist"),
+        F.sum(F.when(F.col("vec_id") % 4 == 0, F.col("d2")).otherwise(0))
+        .cast("bigint")
+        .alias("sd2_batch"),
+    )
+    tot = split.agg(
+        F.sum("n_hist").cast("bigint").alias("h"),
+        F.sum("n_batch").cast("bigint").alias("b"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    return (
+        split.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_hist",
+            "n_batch",
+            F.when(
+                (F.col("n_hist") > 0) & (F.col("n_batch") > 0),
+                F.round(
+                    (F.col("n_batch") * F.col("h")).cast("double")
+                    / (F.col("n_hist") * F.col("b")).cast("double"),
+                    4,
+                ),
+            ).alias("occupancy_ratio"),
+            F.when(
+                (F.col("sd2_hist") > 0) & (F.col("n_batch") > 0),
+                F.round(
+                    (dec("sd2_batch") * dec("n_hist")).cast("double")
+                    / (dec("sd2_hist") * dec("n_batch")).cast("double"),
+                    4,
+                ),
+            ).alias("d2_inflation"),
+            F.when(
+                (F.col("n_hist") > 0)
+                & (F.col("n_batch") > 0)
+                & (F.col("sd2_hist") > 0),
+                (
+                    dec("n_batch") * dec("h") * F.lit(10)
+                    > dec("n_hist") * dec("b") * F.lit(15)
+                )
+                | (
+                    dec("sd2_batch") * dec("n_hist") * F.lit(10)
+                    > dec("sd2_hist") * dec("n_batch") * F.lit(15)
+                ),
+            ).alias("reindex_flag"),
+        )
+        .orderBy("cell")
+    )

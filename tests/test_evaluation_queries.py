@@ -679,3 +679,117 @@ def test_active_learning_margin_matches_pure_python(spark):
     for src, (_, k, m_sel, m_all) in got.items():
         if k:
             assert m_sel <= m_all, src
+
+
+# ---------------------------------------------------------------------------
+# joint lexical + semantic curation census
+# ---------------------------------------------------------------------------
+
+
+def test_joint_keep_matches_pure_python(spark):
+    lex: dict[int, tuple[str, bool]] = {}
+    for doc_id, text, source in _docs():
+        toks = [w for w in re.split(r"\s+", text.lower().strip()) if w]
+        if len(toks) < 2:
+            continue
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        lex[doc_id] = (source, sum(_hlq_weight(bg) for bg in bgs) > 0)
+    vecs = _embs()
+    seeds = [vecs[i] for i in range(8)]
+    assign = {
+        vid: min(range(8), key=lambda i: (_fold_d2(v, seeds[i]), i))
+        for vid, v in vecs.items()
+    }
+    nrm = {vid: math.sqrt(_fold_dot(v, v)) for vid, v in vecs.items()}
+    pruned = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if assign[a] != assign[b]:
+                continue
+            cos = _r(_fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b]), 6)
+            if cos >= 0.3:
+                pruned.add(b)
+    census: dict[tuple[bool, bool], list] = {}
+    for vid, v in vecs.items():
+        if vid not in lex:
+            continue
+        source, lkeep = lex[vid]
+        key = (lkeep, vid not in pruned)
+        census.setdefault(key, [0, set()])
+        census[key][0] += 1
+        census[key][1].add(source)
+    expect = {k: (v[0], len(v[1])) for k, v in census.items()}
+    got = {
+        (bool(r["lex_keep"]), bool(r["sem_keep"])): (
+            int(r["n_docs"]),
+            int(r["n_sources"]),
+        )
+        for r in eq.curation_lexical_semantic_joint_keep(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expect
+    # the two gates genuinely disagree somewhere (the census's point)
+    assert any(k[0] != k[1] for k in got)
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+# ---------------------------------------------------------------------------
+# IVF index staleness
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_staleness_matches_pure_python(spark):
+    vecs = {
+        vid: [int(round(x * 1e6)) for x in emb]
+        for vid, emb in _embs().items()
+    }
+    seeds = [vecs[i] for i in range(8)]
+
+    def d2i(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cells: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        dists = [(d2i(v, s), i) for i, s in enumerate(seeds)]
+        d, cell = min(dists)
+        cells.setdefault(cell, [0, 0, 0, 0])
+        if vid % 4 != 0:
+            cells[cell][0] += 1
+            cells[cell][2] += d
+        else:
+            cells[cell][1] += 1
+            cells[cell][3] += d
+    h = sum(v[0] for v in cells.values())
+    b = sum(v[1] for v in cells.values())
+    expect = {}
+    for cell, (nh, nb, sh, sb) in cells.items():
+        occ = _r((nb * h) / (nh * b), 4) if nh and nb else None
+        infl = _r((sb * nh) / (sh * nb), 4) if sh and nb else None
+        flag = (
+            (nb * h * 10 > nh * b * 15) or (sb * nh * 10 > sh * nb * 15)
+            if nh and nb and sh
+            else None
+        )
+        expect[cell] = (nh, nb, occ, infl, flag)
+    got = {
+        int(r["cell"]): (
+            int(r["n_hist"]),
+            int(r["n_batch"]),
+            None
+            if r["occupancy_ratio"] is None
+            else float(r["occupancy_ratio"]),
+            None if r["d2_inflation"] is None else float(r["d2_inflation"]),
+            None if r["reindex_flag"] is None else bool(r["reindex_flag"]),
+        )
+        for r in eq.ann_ivf_index_staleness(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert sum(v[0] + v[1] for v in got.values()) == len(vecs)
