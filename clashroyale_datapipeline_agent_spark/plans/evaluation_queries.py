@@ -2028,3 +2028,241 @@ def ann_ivf_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier vs handcrafted-quality concordance (validating the gate)
+# ---------------------------------------------------------------------------
+
+_STOPS = "'the','and','of','to','in','is','you','that','it','for'"
+
+_CONC_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), scores AS (
+        SELECT doc_id,
+               CAST(ROUND(1000000.0 * len(list_filter(t,
+                        x -> x IN ({_STOPS})))
+                    / len(t)) AS BIGINT) AS stop6,
+               len(t) AS n_toks, t
+        FROM toks WHERE len(t) >= 2
+    ), bg AS (
+        SELECT doc_id, stop6,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> concat(t[i], ' ', t[i + 1]))) AS x
+        FROM scores
+    ), lex AS (
+        SELECT doc_id, stop6,
+               CAST(ROUND(CAST(SUM(CAST('0x' || md5('w:' || CAST(
+                   CAST('0x' || md5(x)[1:2] AS INTEGER) AS VARCHAR
+               ))[1:5] AS BIGINT) % {_HLQ_MOD} - {_HLQ_OFF}) AS DOUBLE)
+                   / COUNT(*)) AS BIGINT) AS c6
+        FROM bg GROUP BY doc_id, stop6
+    ), b AS (
+        SELECT quantile_cont(c6, [0.2, 0.4, 0.6, 0.8]) AS bs FROM lex
+    ), assigned AS (
+        SELECT l.stop6,
+               (CASE WHEN CAST(l.c6 AS DOUBLE) > bs[1] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(l.c6 AS DOUBLE) > bs[2] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(l.c6 AS DOUBLE) > bs[3] THEN 1 ELSE 0 END
+              + CASE WHEN CAST(l.c6 AS DOUBLE) > bs[4] THEN 1 ELSE 0 END)
+                   AS bin
+        FROM lex l, b
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(stop6) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+               AS avg_stopword_ratio
+    FROM assigned
+    GROUP BY bin
+    ORDER BY bin
+"""
+
+
+@register("docs_classifier_quality_concordance", _CONC_SQL)
+def docs_classifier_quality_concordance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Concordance audit of the hashed linear gate against an
+    INDEPENDENT handcrafted quality signal — the validation step that
+    decides whether a cheap classifier can replace (or must defer to)
+    rule-based scoring: documents are binned into quintiles of their
+    per-bigram classifier score (mean logit, int64 1e6-quanta; quintile
+    boundaries are exact interpolated percentiles broadcast from a
+    1-row aggregate — the ``docs_quality_calibration_bins`` no-NTILE
+    discipline), and each bin reads out its mean stopword ratio (the
+    ``text_quality_scores`` fluency proxy, 1e6-quantized at birth). A
+    gate worth shipping shows a trend across bins; a flat profile says
+    the md5-derived weights carry no quality signal (true here by
+    construction — which is exactly what this audit exists to reveal
+    for an UNTRAINED weight table; swap in learned weights and the same
+    query grades them). Determinism: both scores are exact int64 in
+    1e6 quanta; one ROUNDed division per bin. Scale: two stateless
+    scans + a 4-scalar boundary broadcast + one hash agg — the
+    calibration-bins shape."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    stops = [s.strip("'") for s in _STOPS.split(",")]
+    scores = d.select("doc_id", t.alias("_t")).filter(
+        F.size("_t") >= 2
+    ).select(
+        "doc_id",
+        "_t",
+        F.round(
+            1000000.0
+            * F.size(F.filter(F.col("_t"), lambda x: x.isin(stops)))
+            / F.size("_t")
+        )
+        .cast("bigint")
+        .alias("stop6"),
+    )
+    bgs = F.expr(
+        "transform(sequence(1, size(_t) - 1),"
+        " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+    )
+    w6 = F.expr(
+        "transform(_bg, x -> CAST(conv(substring(md5(concat('w:', CAST("
+        "CAST(conv(substring(md5(x), 1, 2), 16, 10) AS INT) AS STRING"
+        "))), 1, 5), 16, 10) AS BIGINT)"
+        f" % {_HLQ_MOD} - {_HLQ_OFF})"
+    )
+    lex = scores.select("doc_id", "stop6", bgs.alias("_bg")).select(
+        "doc_id",
+        "stop6",
+        F.round(
+            F.aggregate(
+                w6, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).cast("double")
+            / F.size("_bg")
+        )
+        .cast("bigint")
+        .alias("c6"),
+    )
+    bounds = lex.agg(
+        F.expr(
+            "percentile(c6, array(CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),"
+            " CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)))"
+        ).alias("bs")
+    )
+    binc = sum(
+        F.when(
+            F.col("c6").cast("double") > F.element_at("bs", i + 1), 1
+        ).otherwise(0)
+        for i in range(4)
+    )
+    return (
+        lex.crossJoin(F.broadcast(bounds))
+        .select("stop6", binc.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("stop6").cast("double")
+                / (1000000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("avg_stopword_ratio"),
+        )
+        .select(F.col("bin").cast("bigint").alias("bin"), "n_docs",
+                "avg_stopword_ratio")
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware shard plan (cluster co-location invariant)
+# ---------------------------------------------------------------------------
+
+_DSHARDS = 8
+
+_DSHARD_SQL = f"""
+    WITH fp AS (
+        SELECT doc_id, md5(text) AS fp FROM documents
+    ), clusters AS (
+        SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS copies
+        FROM fp GROUP BY fp
+    ), placed AS (
+        SELECT f.doc_id, f.fp, c.keeper % {_DSHARDS} AS shard, c.copies
+        FROM fp f JOIN clusters c USING (fp)
+    ), spans AS (
+        SELECT fp, COUNT(DISTINCT shard) AS n_shards
+        FROM placed GROUP BY fp
+    ), split_tot AS (
+        SELECT CAST(SUM(CASE WHEN n_shards > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS split_clusters
+        FROM spans
+    )
+    SELECT CAST(p.shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT p.fp) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN p.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           t.split_clusters
+    FROM placed p, split_tot t
+    GROUP BY p.shard, t.split_clusters
+    ORDER BY shard
+"""
+
+
+@register("docs_dedup_aware_shard_plan", _DSHARD_SQL)
+def docs_dedup_aware_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE shard placement — the layout rule that makes
+    downstream incremental dedup cheap: every document routes to the
+    shard of its exact-dup cluster KEEPER (min doc_id per md5
+    fingerprint, the ``dedup_exact_groups`` grain), so a duplicate
+    cluster can never span shards and any later dedup pass is
+    shard-local (no cross-shard fingerprint exchange — the same reason
+    the incremental store buckets on fingerprint). The co-location
+    INVARIANT itself ships in the output: split_clusters (clusters
+    touching > 1 shard) is computed from the placement and
+    hash-compared cross-engine — a placement keyed on doc_id instead of
+    keeper would fail the oracle here, not in production. Per-shard
+    census: docs, clusters, docs belonging to multi-copy clusters.
+    Scale: one fingerprint agg (hash-partitioned), one broadcast-able
+    cluster join, one rollup — the exact-dedup shape plus a mod-hash;
+    at 100 TB the mod becomes the table's bucket spec."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    clusters = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+    placed = fp.join(clusters, "fp").select(
+        "doc_id",
+        "fp",
+        (F.col("keeper") % _DSHARDS).alias("shard"),
+        "copies",
+    )
+    split_tot = (
+        placed.groupBy("fp")
+        .agg(F.countDistinct("shard").alias("n_shards"))
+        .agg(
+            F.sum(F.when(F.col("n_shards") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("split_clusters")
+        )
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_clusters"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .crossJoin(F.broadcast(split_tot))
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "n_clusters",
+            "n_dup_docs",
+            "split_clusters",
+        )
+        .orderBy("shard")
+    )

@@ -1076,3 +1076,237 @@ def orders_brand_basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("n_both"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round-10 session 2: classic CRM analytics)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+    WITH ref AS (
+        SELECT CAST(MAX(o_orderdate) AS DATE) AS refd FROM orders
+    ), cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE), r.refd)
+                   AS recency,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS monet
+        FROM orders, ref r
+        GROUP BY o_custkey, r.refd
+    ), b AS (
+        SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
+               quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+               quantile_cont(monet, [0.2, 0.4, 0.6, 0.8]) AS mb
+        FROM cust
+    ), scored AS (
+        SELECT monet,
+               5 - (CASE WHEN CAST(recency AS DOUBLE) > rb[1] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(recency AS DOUBLE) > rb[2] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(recency AS DOUBLE) > rb[3] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(recency AS DOUBLE) > rb[4] THEN 1 ELSE 0 END)
+                   AS r_score,
+               1 + (CASE WHEN CAST(freq AS DOUBLE) > fb[1] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(freq AS DOUBLE) > fb[2] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(freq AS DOUBLE) > fb[3] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(freq AS DOUBLE) > fb[4] THEN 1 ELSE 0 END)
+                   AS f_score,
+               1 + (CASE WHEN CAST(monet AS DOUBLE) > mb[1] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(monet AS DOUBLE) > mb[2] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(monet AS DOUBLE) > mb[3] THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(monet AS DOUBLE) > mb[4] THEN 1 ELSE 0 END)
+                   AS m_score
+        FROM cust, b
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           -- exact integer round-half-up of mean cents: (2s+n)//(2n) —
+           -- a ROUND(double, 2) here lands on half-cent boundaries
+           -- whenever n divides the sum neatly (found by the oracle at
+           -- sf0.001: row with n=2 split .635 across engines)
+           CAST((2 * SUM(monet) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS avg_monetary_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+"""
+
+
+@register("customer_rfm_segments", _RFM_SQL)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM/retention cube (recency of
+    last order, order frequency, monetary total) with each axis scored
+    1-5 by equi-depth quintiles: the workhorse customer-value
+    segmentation every analytics stack ships. Determinism: recency is
+    an integer day diff against the corpus max date (broadcast 1-row);
+    monetary is exact cents (1e2-quantized at birth); quintile
+    boundaries are interpolated percentiles broadcast from one
+    aggregate and compared with the CASE-sum binning (the
+    ``docs_quality_calibration_bins`` no-NTILE discipline — recency
+    inverts so 5 = most recent). Output: the (r, f, m) segment census
+    with average customer value in EXACT cents via the integer
+    round-half-up identity (2s+n)//(2n) — a ROUND(double) here sits on
+    half-cent boundaries whenever the segment count divides the sum
+    (the FLOAT_ROUND_LEDGER hazard; the oracle caught a live n=2 case
+    at sf0.001). Scale: one per-customer agg
+    (hash-partitioned on custkey), a 12-scalar boundary broadcast, one
+    rollup — no windows, no sorts beyond the output ORDER BY."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("refd"))
+    cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey", "refd")
+        .agg(
+            F.datediff(
+                F.col("refd"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monet"),
+        )
+    )
+    qs = "array(CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE))"
+    b = cust.agg(
+        F.expr(f"percentile(recency, {qs})").alias("rb"),
+        F.expr(f"percentile(freq, {qs})").alias("fb"),
+        F.expr(f"percentile(monet, {qs})").alias("mb"),
+    )
+
+    def bins(col: str, arr: str):
+        return sum(
+            F.when(
+                F.col(col).cast("double") > F.element_at(arr, i + 1), 1
+            ).otherwise(0)
+            for i in range(4)
+        )
+
+    scored = cust.crossJoin(F.broadcast(b)).select(
+        "monet",
+        (5 - bins("recency", "rb")).alias("r_score"),
+        (1 + bins("freq", "fb")).alias("f_score"),
+        (1 + bins("monet", "mb")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("(2 * sum(monet) + count(1)) div (2 * count(1))")
+            .cast("bigint")
+            .alias("avg_monetary_cents"),
+        )
+        .select(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+            "n_customers",
+            "avg_monetary_cents",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (round-10 session 2)
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = """
+    WITH om AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), first AS (
+        SELECT o_custkey, MIN(ym) AS ym0 FROM om GROUP BY o_custkey
+    ), cohorts AS (
+        SELECT ym0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY ym0
+    ), aged AS (
+        SELECT f.ym0, om.ym - f.ym0 AS age, om.cents
+        FROM om JOIN first f USING (o_custkey)
+        WHERE f.ym0 < 1996 * 12 + 1
+    ), rolled AS (
+        SELECT ym0, age,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM aged GROUP BY ym0, age
+    ), cum AS (
+        SELECT ym0, age, n_orders, rev_cents,
+               CAST(SUM(rev_cents) OVER (
+                   PARTITION BY ym0 ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cents
+        FROM rolled
+    )
+    SELECT CAST(c.ym0 // 12 AS BIGINT) AS cohort_year,
+           CAST(c.ym0 % 12 AS BIGINT) AS cohort_month0,
+           CAST(c.age AS BIGINT) AS age_months,
+           c.n_orders, c.rev_cents,
+           -- exact integer round-half-up of cumulative cents per cohort
+           -- customer (the RFM money-rounding hazard, same fix)
+           CAST((2 * c.cum_cents + h.cohort_size)
+                // (2 * h.cohort_size) AS BIGINT) AS ltv_cents_per_customer
+    FROM cum c JOIN cohorts h USING (ym0)
+    ORDER BY cohort_year, cohort_month0, age_months
+"""
+
+
+@register("orders_cohort_ltv_curve", _LTV_SQL)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the growth-analytics table behind
+    every retention dashboard: customers cohort by FIRST-order month,
+    and each cohort's revenue accumulates over integer month age
+    (year*12+month arithmetic — no ``months_between`` float semantics),
+    yielding cumulative LTV per cohort customer. Restricted to the 1995
+    first-year cohorts so the curve family is bounded (12 cohorts x
+    corpus-lifetime ages). Determinism: revenue is exact cents; ages
+    and cohort keys are pure integer arithmetic; the cumulation is an
+    exact int window partitioned by cohort; per-customer LTV is the
+    exact integer round-half-up (2s+n)//(2n) in cents (the RFM
+    money-rounding hazard, same fix). Scale: first-order month is
+    one per-customer agg; the age rollup is a hash agg; the cumulative
+    window partitions by cohort month (bounded partitions — at most
+    corpus-lifetime months of rows each)."""
+    o = _t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("ym").alias("ym0"))
+    cohorts = first.groupBy("ym0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    aged = (
+        om.join(first, "o_custkey")
+        .filter(F.col("ym0") < 1996 * 12 + 1)
+        .select("ym0", (F.col("ym") - F.col("ym0")).alias("age"), "cents")
+    )
+    rolled = aged.groupBy("ym0", "age").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    w = (
+        Window.partitionBy("ym0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rolled.withColumn(
+        "cum_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return (
+        cum.join(F.broadcast(cohorts), "ym0")
+        .select(
+            F.expr("ym0 div 12").cast("bigint").alias("cohort_year"),
+            (F.col("ym0") % 12).cast("bigint").alias("cohort_month0"),
+            F.col("age").cast("bigint").alias("age_months"),
+            "n_orders",
+            "rev_cents",
+            F.expr("(2 * cum_cents + cohort_size) div (2 * cohort_size)")
+            .cast("bigint")
+            .alias("ltv_cents_per_customer"),
+        )
+        .orderBy("cohort_year", "cohort_month0", "age_months")
+    )

@@ -793,3 +793,213 @@ def test_ivf_staleness_matches_pure_python(spark):
     }
     assert got == expect
     assert sum(v[0] + v[1] for v in got.values()) == len(vecs)
+
+
+# ---------------------------------------------------------------------------
+# classifier vs quality concordance
+# ---------------------------------------------------------------------------
+
+_STOPSET = {
+    "the", "and", "of", "to", "in", "is", "you", "that", "it", "for",
+}
+
+
+def _percentile(sorted_vals: list[int], p: float) -> float:
+    """Interpolated percentile, the Spark `percentile` / DuckDB
+    quantile_cont definition."""
+    n = len(sorted_vals)
+    pos = p * (n - 1)
+    lo = int(math.floor(pos))
+    hi = min(lo + 1, n - 1)
+    frac = pos - lo
+    return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+
+def test_classifier_quality_concordance_matches_pure_python(spark):
+    rows = []
+    for doc_id, text, _ in _docs():
+        toks = [w for w in re.split(r"\s+", text.lower().strip()) if w]
+        if len(toks) < 2:
+            continue
+        stop6 = int(
+            _r(1e6 * sum(1 for w in toks if w in _STOPSET) / len(toks), 0)
+        )
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        c6 = int(_r(sum(_hlq_weight(bg) for bg in bgs) / len(bgs), 0))
+        rows.append((c6, stop6))
+    cs = sorted(c6 for c6, _ in rows)
+    bounds = [_percentile(cs, p) for p in (0.2, 0.4, 0.6, 0.8)]
+    census: dict[int, list[int]] = {}
+    for c6, stop6 in rows:
+        b = sum(1 for x in bounds if float(c6) > x)
+        census.setdefault(b, [0, 0])
+        census[b][0] += 1
+        census[b][1] += stop6
+    expect = {
+        b: (v[0], _r(v[1] / (1e6 * v[0]), 6)) for b, v in census.items()
+    }
+    got = {
+        int(r["bin"]): (int(r["n_docs"]), float(r["avg_stopword_ratio"]))
+        for r in eq.docs_classifier_quality_concordance(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expect
+    # equi-depth bins: each holds roughly a fifth of the corpus
+    total = sum(v[0] for v in got.values())
+    assert len(got) == 5
+    assert all(v[0] >= total // 10 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# dedup-aware shard plan
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_aware_shard_plan_matches_pure_python(spark):
+    docs = _docs()
+    by_fp: dict[str, list[int]] = {}
+    for doc_id, text, _ in docs:
+        by_fp.setdefault(_md5(text), []).append(doc_id)
+    census: dict[int, list[int]] = {}
+    for fp, ids in by_fp.items():
+        shard = min(ids) % eq._DSHARDS
+        census.setdefault(shard, [0, 0, 0])
+        census[shard][0] += len(ids)
+        census[shard][1] += 1
+        if len(ids) > 1:
+            census[shard][2] += len(ids)
+    expect = {s: tuple(v) + (0,) for s, v in census.items()}
+    got = {
+        int(r["shard"]): (
+            int(r["n_docs"]),
+            int(r["n_clusters"]),
+            int(r["n_dup_docs"]),
+            int(r["split_clusters"]),
+        )
+        for r in eq.docs_dedup_aware_shard_plan(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # co-location invariant: no cluster spans shards, all docs placed
+    assert all(v[3] == 0 for v in got.values())
+    assert sum(v[0] for v in got.values()) == len(docs)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (plans/tpch_extra.py, same wave)
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_segments_matches_pure_python(spark):
+    from clashroyale_datapipeline_agent_spark.plans import tpch_extra as tx
+
+    t = pq.read_table(SF_DIR + "/orders.parquet")
+    custs = t.column("o_custkey").to_pylist()
+    dates = t.column("o_orderdate").to_pylist()
+    prices = t.column("o_totalprice").to_pylist()
+    refd = max(d.date() for d in dates)
+    per: dict[int, list] = {}
+    for c, d, p in zip(custs, dates, prices):
+        e = per.setdefault(c, [None, 0, 0])
+        dd = d.date()
+        e[0] = dd if e[0] is None or dd > e[0] else e[0]
+        e[1] += 1
+        e[2] += int(_r(p * 100, 0))
+    rows = [
+        ((refd - last).days, freq, monet)
+        for last, freq, monet in per.values()
+    ]
+    rb = [_percentile(sorted(r for r, _, _ in rows), p)
+          for p in (0.2, 0.4, 0.6, 0.8)]
+    fb = [_percentile(sorted(f for _, f, _ in rows), p)
+          for p in (0.2, 0.4, 0.6, 0.8)]
+    mb = [_percentile(sorted(m for _, _, m in rows), p)
+          for p in (0.2, 0.4, 0.6, 0.8)]
+    census: dict[tuple[int, int, int], list[int]] = {}
+    for r, f, m in rows:
+        key = (
+            5 - sum(1 for x in rb if float(r) > x),
+            1 + sum(1 for x in fb if float(f) > x),
+            1 + sum(1 for x in mb if float(m) > x),
+        )
+        census.setdefault(key, [0, 0])
+        census[key][0] += 1
+        census[key][1] += m
+    expect = {
+        k: (v[0], (2 * v[1] + v[0]) // (2 * v[0]))
+        for k, v in census.items()
+    }
+    got = {
+        (int(r["r_score"]), int(r["f_score"]), int(r["m_score"])): (
+            int(r["n_customers"]),
+            int(r["avg_monetary_cents"]),
+        )
+        for r in tx.customer_rfm_segments(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # scores live on the 1-5 grid and every customer lands somewhere
+    assert all(
+        1 <= k[0] <= 5 and 1 <= k[1] <= 5 and 1 <= k[2] <= 5 for k in got
+    )
+    assert sum(v[0] for v in got.values()) == len(per)
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve (plans/tpch_extra.py, same wave)
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_matches_pure_python(spark):
+    from clashroyale_datapipeline_agent_spark.plans import tpch_extra as tx
+
+    t = pq.read_table(SF_DIR + "/orders.parquet")
+    custs = t.column("o_custkey").to_pylist()
+    dates = t.column("o_orderdate").to_pylist()
+    prices = t.column("o_totalprice").to_pylist()
+    ym = [d.year * 12 + d.month for d in dates]
+    first: dict[int, int] = {}
+    for c, y in zip(custs, ym):
+        if c not in first or y < first[c]:
+            first[c] = y
+    cohort_size: dict[int, int] = {}
+    for c, y0 in first.items():
+        cohort_size[y0] = cohort_size.get(y0, 0) + 1
+    rolled: dict[tuple[int, int], list[int]] = {}
+    for c, y, p in zip(custs, ym, prices):
+        y0 = first[c]
+        if y0 >= 1996 * 12 + 1:
+            continue
+        e = rolled.setdefault((y0, y - y0), [0, 0])
+        e[0] += 1
+        e[1] += int(_r(p * 100, 0))
+    expect = {}
+    for y0 in sorted({k[0] for k in rolled}):
+        cum = 0
+        for age in sorted(k[1] for k in rolled if k[0] == y0):
+            n, rev = rolled[(y0, age)]
+            cum += rev
+            sz = cohort_size[y0]
+            expect[(y0 // 12, y0 % 12, age)] = (
+                n,
+                rev,
+                (2 * cum + sz) // (2 * sz),
+            )
+    got = {
+        (
+            int(r["cohort_year"]),
+            int(r["cohort_month0"]),
+            int(r["age_months"]),
+        ): (
+            int(r["n_orders"]),
+            int(r["rev_cents"]),
+            int(r["ltv_cents_per_customer"]),
+        )
+        for r in tx.orders_cohort_ltv_curve(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # LTV curves are cumulative: non-decreasing within each cohort
+    for (cy, cm, _), _v in got.items():
+        ages = sorted(a for (y, m, a) in got if (y, m) == (cy, cm))
+        ltvs = [got[(cy, cm, a)][2] for a in ages]
+        assert ltvs == sorted(ltvs)
+        break
