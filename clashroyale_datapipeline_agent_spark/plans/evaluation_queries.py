@@ -2266,3 +2266,242 @@ def docs_dedup_aware_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rejection sampling by quality score (doc-level acceptance)
+# ---------------------------------------------------------------------------
+
+_REJ_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source,
+               CAST(ROUND(1000000.0 * len(list_distinct(t))
+                    / len(t)) AS BIGINT) AS score6,
+               CAST('0x' || md5('rej:' || CAST(doc_id AS VARCHAR))[1:5]
+                   AS BIGINT) % 1000001 AS u6
+        FROM toks WHERE len(t) >= 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u6 < score6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accepted,
+           ROUND(CAST(SUM(CASE WHEN u6 < score6 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS acceptance_rate,
+           CAST((2 * SUM(CASE WHEN u6 < score6 THEN score6 ELSE 0 END)
+                 + NULLIF(SUM(CASE WHEN u6 < score6 THEN 1 ELSE 0 END), 0))
+                // (2 * NULLIF(SUM(CASE WHEN u6 < score6 THEN 1 ELSE 0 END),
+                               0)) AS BIGINT) AS mean_score6_accepted,
+           CAST((2 * SUM(score6) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS mean_score6_all
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("docs_rejection_sample_counts", _REJ_SQL)
+def docs_rejection_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-proportional REJECTION sampling — the doc-level acceptance
+    rule (keep doc with probability = its quality score) that sits
+    between hard thresholding (``docs_quality_filter_summary``) and
+    group-level temperature resampling
+    (``docs_temperature_resample_counts``): soft selection preserves
+    tail diversity while still tilting the corpus toward quality, the
+    standard trick when a hard cutoff would collapse a domain. The
+    "coin" is deterministic — u6 = md5('rej:'||doc_id) parsed to
+    [0, 1e6] — so both engines flip identically (the Poisson-bootstrap
+    md5-inverse-CDF discipline); accept iff u6 < score6 (type-token
+    ratio, the lexical-diversity quality proxy, in 1e6 quanta — the
+    corpus TTR sits near 0.5 so the gate genuinely splits every
+    source). Output: per-source acceptance census with
+    mean accepted-vs-all scores via the exact integer half-up identity
+    (the size-bias uplift of the accepted mean holds in expectation;
+    with near-uniform scores it is a small effect, which is itself the
+    readout — soft selection barely distorts a already-uniform
+    corpus). Scale: one stateless scan + one
+    hash agg; no RNG service, no shuffle beyond the census."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    scored = (
+        d.select("doc_id", "source", t.alias("_t"))
+        .filter(F.size("_t") >= 1)
+        .select(
+            "source",
+            F.round(
+                1000000.0
+                * F.size(F.array_distinct("_t"))
+                / F.size("_t")
+            )
+            .cast("bigint")
+            .alias("score6"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("rej:"), F.col("doc_id").cast("string")
+                            )
+                        ),
+                        1,
+                        5,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 1000001
+            ).alias("u6"),
+        )
+    )
+    acc = F.when(F.col("u6") < F.col("score6"), 1).otherwise(0)
+    acc_score = F.when(F.col("u6") < F.col("score6"), F.col("score6")).otherwise(0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(acc).cast("bigint").alias("n_accepted"),
+            F.round(F.sum(acc).cast("double") / F.count(F.lit(1)), 4).alias(
+                "acceptance_rate"
+            ),
+            F.expr(
+                "CAST((2 * sum(CASE WHEN u6 < score6 THEN score6 ELSE 0 END)"
+                " + nullif(sum(CASE WHEN u6 < score6 THEN 1 ELSE 0 END), 0))"
+                " div (2 * nullif(sum(CASE WHEN u6 < score6 THEN 1 ELSE 0"
+                " END), 0)) AS BIGINT)"
+            ).alias("mean_score6_accepted"),
+            F.expr(
+                "CAST((2 * sum(score6) + count(1)) div (2 * count(1))"
+                " AS BIGINT)"
+            ).alias("mean_score6_all"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN outlier scores over a bounded embedding census
+# ---------------------------------------------------------------------------
+
+_KNN_N = 192   #: bounded census (vec_id < 192; 18336 exact pairs)
+_KNN_K = 5
+
+
+def _knn_outlier_sql() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS vq,
+               label
+        FROM embeddings WHERE vec_id < {_KNN_N}
+    ), pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   j -> (a.vq[j] - b.vq[j]) * (a.vq[j] - b.vq[j])))
+                   AS BIGINT) AS d2
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT ia, d2,
+               row_number() OVER (
+                   PARTITION BY ia ORDER BY d2 ASC, ib ASC) AS rk
+        FROM pairs
+    ), score AS (
+        SELECT ia AS vec_id,
+               CAST((2 * SUM(d2) + {_KNN_K}) // (2 * {_KNN_K}) AS BIGINT)
+                   AS knn_d2_mean
+        FROM ranked WHERE rk <= {_KNN_K}
+        GROUP BY ia
+    )
+    SELECT CAST(s.vec_id AS BIGINT) AS vec_id,
+           s.knn_d2_mean,
+           CAST(v.label AS BIGINT) AS label
+    FROM score s JOIN v USING (vec_id)
+    ORDER BY s.knn_d2_mean DESC, s.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register("embeddings_knn_outlier_topk", _knn_outlier_sql())
+def embeddings_knn_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier scoring (Ramaswamy et al. 2000 — the
+    standard embedding-space outlier filter a curation pass runs to
+    catch mislabeled/garbage vectors before they seed clusters or
+    coresets): over a FIXED 192-vector census, each vector's score is
+    the mean exact squared distance to its k=5 nearest neighbors
+    (integer mean via the (2s+k)//(2k) half-up identity — no float
+    anywhere), and the 10 most isolated vectors surface with their
+    labels. Complements the centroid-based ``embeddings_label_noise_audit``
+    (disagreement with one's own class) with a model-free density
+    criterion. Determinism: exact BIGINT distances on 1e6-quantized
+    components; neighbor ranking ties to the lower id. Scale: the
+    census is a bounded preflight (like the JL and banding audits —
+    O(1) cost, run on a sample); the full-corpus path is the bucketed
+    ANN family (IVF cells or LSH buckets bound the candidate set),
+    which these exact scores calibrate."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _KNN_N)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000000.0).cast("bigint"),
+            ).alias("vq"),
+            "label",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = e.select(F.col("vec_id").alias("ia"), F.col("vq").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("vq").alias("vb"))
+    spine = spark.range(_KNN_N * _KNN_N).select(
+        F.expr(f"id div {_KNN_N}").alias("ia"),
+        (F.col("id") % _KNN_N).alias("ib"),
+    ).filter(F.col("ia") != F.col("ib"))
+    pairs = (
+        spine.join(F.broadcast(a), "ia")
+        .join(F.broadcast(b), "ib")
+        .select(
+            "ia",
+            "ib",
+            F.aggregate(
+                F.zip_with(
+                    "va", "vb", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("ia").orderBy(F.asc("d2"), F.asc("ib"))
+    )
+    score = (
+        pairs.select("ia", "d2", rk.alias("rk"))
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy("ia")
+        .agg(
+            F.expr(
+                f"CAST((2 * sum(d2) + {_KNN_K}) div (2 * {_KNN_K})"
+                " AS BIGINT)"
+            ).alias("knn_d2_mean")
+        )
+    )
+    return (
+        score.join(
+            e.select(F.col("vec_id").alias("ia"), "label"), "ia"
+        )
+        .select(
+            F.col("ia").cast("bigint").alias("vec_id"),
+            "knn_d2_mean",
+            F.col("label").cast("bigint").alias("label"),
+        )
+        .orderBy(F.desc("knn_d2_mean"), F.asc("vec_id"))
+        .limit(10)
+    )

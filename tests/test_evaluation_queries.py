@@ -1003,3 +1003,93 @@ def test_cohort_ltv_matches_pure_python(spark):
         ltvs = [got[(cy, cm, a)][2] for a in ages]
         assert ltvs == sorted(ltvs)
         break
+
+
+# ---------------------------------------------------------------------------
+# rejection sampling by quality score
+# ---------------------------------------------------------------------------
+
+
+def test_rejection_sampling_matches_pure_python(spark):
+    census: dict[str, list[int]] = {}
+    for doc_id, text, source in _docs():
+        toks = [w for w in re.split(r"\s+", text.lower().strip()) if w]
+        if not toks:
+            continue
+        distinct = len(dict.fromkeys(toks))
+        score6 = int(_r(1e6 * distinct / len(toks), 0))
+        u6 = int(_md5(f"rej:{doc_id}")[:5], 16) % 1000001
+        e = census.setdefault(source, [0, 0, 0, 0])
+        e[0] += 1
+        e[3] += score6
+        if u6 < score6:
+            e[1] += 1
+            e[2] += score6
+    expect = {}
+    for src, (n, na, sacc, sall) in census.items():
+        expect[src] = (
+            n,
+            na,
+            _r(na / n, 4),
+            (2 * sacc + na) // (2 * na) if na else None,
+            (2 * sall + n) // (2 * n),
+        )
+    got = {
+        r["source"]: (
+            int(r["n_docs"]),
+            int(r["n_accepted"]),
+            float(r["acceptance_rate"]),
+            None
+            if r["mean_score6_accepted"] is None
+            else int(r["mean_score6_accepted"]),
+            int(r["mean_score6_all"]),
+        )
+        for r in eq.docs_rejection_sample_counts(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # TTR sits near 0.5, so acceptance genuinely splits every source;
+    # the size-bias uplift (accepted mean > corpus mean) holds only in
+    # expectation and drowns in noise at this sample size, so it is
+    # deliberately NOT asserted per source
+    for src, (_, na, rate, macc, mall) in got.items():
+        assert 0.15 < rate < 0.85, src
+
+
+# ---------------------------------------------------------------------------
+# kNN outlier scores
+# ---------------------------------------------------------------------------
+
+
+def test_knn_outlier_matches_pure_python(spark):
+    t = pq.read_table(SF_DIR + "/embeddings.parquet")
+    vecs, labels = {}, {}
+    for vid, emb, lab in zip(
+        t.column("vec_id").to_pylist(),
+        t.column("embedding").to_pylist(),
+        t.column("label").to_pylist(),
+    ):
+        if vid < eq._KNN_N:
+            vecs[vid] = [int(round(float(x) * 1e6)) for x in emb]
+            labels[vid] = int(lab)
+    scores = []
+    for vid, v in vecs.items():
+        ds = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(v, w)), j)
+            for j, w in vecs.items()
+            if j != vid
+        )[: eq._KNN_K]
+        s = sum(d for d, _ in ds)
+        scores.append(
+            ((2 * s + eq._KNN_K) // (2 * eq._KNN_K), vid)
+        )
+    scores.sort(key=lambda x: (-x[0], x[1]))
+    expect = [
+        (vid, sc, labels[vid]) for sc, vid in scores[:10]
+    ]
+    got = [
+        (int(r["vec_id"]), int(r["knn_d2_mean"]), int(r["label"]))
+        for r in eq.embeddings_knn_outlier_topk(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    # scores are positive and strictly ordered output
+    assert all(s > 0 for _, s, _ in got)
