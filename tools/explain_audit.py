@@ -59,6 +59,7 @@ EXPECTED_PYTHON_EVAL = {
     "multimodal_wav_neardup_pairs",
     "multimodal_y4m_neardup_pairs",
     "multimodal_hamming_band_calibration",
+    "multimodal_hamming_bits_calibration",
     "curation_crossmodal_dedup_divergence",
     "docs_pack_stats",
     "docs_pack_stats_det",
