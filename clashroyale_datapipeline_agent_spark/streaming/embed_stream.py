@@ -212,3 +212,39 @@ def start_streaming_assign(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_ivf_refresh(
+    vec_stream: DataFrame,
+    index,
+    checkpoint: str,
+    codebooks: list[list[list[float]]],
+):
+    """Continuous IVF index maintenance (round-11: composing the
+    streaming plane with ``similarity.IvfPqIndex``): every micro-batch
+    of ``(vec_id, vq)`` arrivals runs one :meth:`IvfPqIndex.refresh`
+    cycle — assign against current centroids, flag drifted cells by the
+    exact staleness rule, re-center and re-assign ONLY the flagged
+    cells, rewrite only touched partitions. foreachBatch serializes
+    cycles, so each batch sees the centroids the previous batch left
+    behind — the streaming form of the standing maintenance job a
+    billion-vector index runs on its ingest feed. ``availableNow`` so
+    tests drain deterministically.
+
+    Replay note: refresh is NOT naturally idempotent (a replayed batch
+    appends again), so exactly-once here relies on the checkpoint's
+    batch tracking; crash-between-write-and-commit re-appends one
+    batch, which the vec_id-keyed ``rows/`` layout makes detectable
+    (dup vec_ids) and repairable by a dedup compaction — the documented
+    Delta/Iceberg MERGE mapping (SCALE.md lakehouse section) removes
+    even that window."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        index.refresh(batch_df, codebooks)
+
+    return (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

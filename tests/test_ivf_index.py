@@ -185,3 +185,54 @@ def test_ivf_index_quiet_batch_appends_only(spark, tmp_path):
     assert idx.rows().count() == 68
     meta = {r["cell"]: r["n"] for r in idx.meta().collect()}
     assert meta == {0: 24, 1: 10, 2: 10, 3: 24}
+
+
+def test_streaming_ivf_refresh(spark, tmp_path):
+    """Round-11: the index maintenance loop on the streaming plane —
+    micro-batches drive IvfPqIndex.refresh serially via foreachBatch;
+    the drifting batch re-centers its cell and the final index equals
+    what the same batches applied directly in batch mode produce."""
+    import json as _json
+
+    from clashroyale_datapipeline_agent_spark.streaming.embed_stream import (
+        start_streaming_ivf_refresh,
+    )
+
+    def build(root):
+        idx = IvfPqIndex(spark, str(root))
+        idx.build(_hist(spark), CENTS, BOOKS)
+        return idx
+
+    b0 = [(100 + i, [140 + i % 2, 0, 0, 0]) for i in range(8)]
+    b1 = [(120, [0, 101, 0, 0]), (121, [0, 0, 0, 99])]
+
+    # streaming: two micro-batches through foreachBatch
+    s_idx = build(tmp_path / "s")
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    for name, rows in (("b0.jsonl", b0), ("b1.jsonl", b1)):
+        with open(src / name, "w") as f:
+            for vid, vq in rows:
+                f.write(_json.dumps({"vec_id": vid, "vq": vq}) + "\n")
+        stream = spark.readStream.schema("vec_id long, vq array<long>").json(
+            str(src)
+        )
+        q = start_streaming_ivf_refresh(
+            stream, s_idx, str(tmp_path / "vckpt"), BOOKS
+        )
+        q.awaitTermination(120)
+
+    # batch: same batches applied directly
+    b_idx = build(tmp_path / "b")
+    b_idx.refresh(_vecs(spark, b0), BOOKS)
+    b_idx.refresh(_vecs(spark, b1), BOOKS)
+
+    key = lambda r: (r["vec_id"], r["cell"], tuple(r["vq"]))  # noqa: E731
+    assert sorted(map(key, s_idx.rows().collect())) == sorted(
+        map(key, b_idx.rows().collect())
+    )
+    mkey = lambda r: (r["cell"], r["n"], tuple(r["centroid"]))  # noqa: E731
+    assert sorted(map(mkey, s_idx.meta().collect())) == sorted(
+        map(mkey, b_idx.meta().collect())
+    )
+    assert s_idx.rows().count() == 40 + 10
