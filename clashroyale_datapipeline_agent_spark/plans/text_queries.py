@@ -1907,6 +1907,192 @@ _PACK_STATS_SQL = """
 """
 
 
+def _incr_matrix_sql() -> str:
+    """DuckDB twin of ``multimodal_incremental_neardup_matrix``: all
+    three perceptual-hash closed forms (image dHash, audio delta-hash,
+    video temporal hash), one SHARED modality-prefixed band-key store,
+    and both membership screens replayed per modality."""
+    cells, hash_sum = _dhash_sql_parts()
+    wav_ml = (
+        "[ CASE WHEN ch = 1 THEN abs(((b + 7*f) % 97) - 48)"
+        " ELSE abs(((b + 14*f) % 97) - 48 + ((b + 14*f + 7) % 97) - 48)"
+        " END for f in generate_series(0, 64) ]"
+    )
+    y4m_ml = (
+        "[ 4 * list_sum([ (g + 3*t + y) % 256"
+        " for y in generate_series(0, 3) ])"
+        " for t in generate_series(0, 64) ]"
+    )
+    return f"""
+    WITH pi AS (
+        SELECT doc_id,
+               (doc_id // 2 * 7) % 240 + doc_id % 2 AS g,
+               1 + (doc_id // 2) % 5 AS d,
+               1 + (doc_id // 2 // 5) % 3 AS e
+        FROM documents
+    ), ci AS (
+        SELECT doc_id, {cells} AS cl FROM pi
+    ), hi AS (
+        SELECT doc_id, CAST({hash_sum} AS BIGINT) AS dh FROM ci
+    ), pw AS (
+        SELECT doc_id,
+               1 + (doc_id // 2) % 2 AS ch,
+               (doc_id // 2 * 11) % 96 + doc_id % 2 AS b
+        FROM documents
+    ), mw AS (
+        SELECT doc_id, {wav_ml} AS ml FROM pw
+    ), hw AS (
+        SELECT doc_id, CAST({_delta_hash_terms("ml")} AS BIGINT) AS dh
+        FROM mw
+    ), pv AS (
+        SELECT doc_id, (doc_id // 2 * 13) % 255 + doc_id % 2 AS g
+        FROM documents
+    ), mv AS (
+        SELECT doc_id, {y4m_ml} AS ml FROM pv
+    ), hv AS (
+        SELECT doc_id, CAST({_delta_hash_terms("ml")} AS BIGINT) AS dh
+        FROM mv
+    ), allh AS (
+        SELECT 'img' AS modality, doc_id, dh FROM hi
+        UNION ALL SELECT 'wav', doc_id, dh FROM hw
+        UNION ALL SELECT 'y4m', doc_id, dh FROM hv
+    ), keys AS (
+        SELECT modality, doc_id,
+               modality || '|' || CAST(band AS VARCHAR) || '|'
+                   || CAST((dh >> (band * 16)) & 65535 AS VARCHAR)
+                   AS band_key
+        FROM allh, (SELECT unnest(generate_series(0, 3)) AS band)
+    ), bkeys AS (
+        SELECT * FROM keys WHERE doc_id % 4 = 0
+    ), hkeys AS (
+        SELECT DISTINCT band_key FROM keys WHERE doc_id % 4 <> 0
+    ), hit AS (
+        SELECT DISTINCT b.modality, b.doc_id
+        FROM bkeys b JOIN hkeys h USING (band_key)
+    ), firsts AS (
+        SELECT band_key, MIN(doc_id) AS first_id FROM bkeys GROUP BY band_key
+    ), bdup AS (
+        SELECT DISTINCT b.modality, b.doc_id
+        FROM bkeys b JOIN firsts f USING (band_key)
+        WHERE b.doc_id > f.first_id
+    ), st AS (
+        SELECT a.modality, a.doc_id, a.dh,
+               CASE WHEN hit.doc_id IS NOT NULL THEN 'dup_history'
+                    WHEN bdup.doc_id IS NOT NULL THEN 'dup_batch'
+                    ELSE 'kept' END AS status
+        FROM (SELECT modality, doc_id, dh FROM allh WHERE doc_id % 4 = 0) a
+        LEFT JOIN hit ON hit.modality = a.modality
+                     AND hit.doc_id = a.doc_id
+        LEFT JOIN bdup ON bdup.modality = a.modality
+                      AND bdup.doc_id = a.doc_id
+    )
+    SELECT modality, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT dh) AS BIGINT) AS n_hashes
+    FROM st GROUP BY modality, status ORDER BY modality, status
+"""
+
+
+@register("multimodal_incremental_neardup_matrix", _incr_matrix_sql())
+def multimodal_incremental_neardup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL multimodal matrix through ONE shared near-dup store —
+    image, audio, and video arrivals screened against a single
+    admitted-corpus band-key history: per document a real PNG, a real
+    PCM16 WAV, and a real YUV4MPEG2 clip are synthesized, blind-decoded
+    and perceptually hashed by the three from-scratch codecs
+    (``dhash64`` / ``wav_delta_hash64`` / ``y4m_temporal_hash64``), the
+    history's keys land in one table under modality prefixes
+    ('img|…'/'wav|…'/'y4m|…' — ``hamming_band_keys``' namespacing, so
+    an image band equal to an audio band can never cross-fire), and
+    the batch (doc_id % 4 = 0) screens per modality with
+    ``dedup_incremental_hamming`` against that SHARED store. This is
+    the operational shape of a mixed-media crawl: one store, one
+    membership join per modality, no cross-modality false positives by
+    construction. The DuckDB twin recomputes all three hash families in
+    closed form, serializes the same prefixed keys, and replays both
+    screens, so a prefix collision, a wrong closed form, or a screen
+    precedence bug in ANY leg cannot hash-match. Output: per
+    (modality, status) doc + distinct-hash counts. Scale: three Arrow
+    codec passes (per-row, no shuffle) + three key joins against one
+    bucketed store read in place; the matrix costs three screens, not
+    one store per modality."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        dedup_incremental_hamming,
+        hamming_band_keys,
+    )
+    from clashroyale_datapipeline_agent_spark.operators.multimodal import (
+        dhash_assets,
+        perceptual_hash_assets,
+        synthesize_gradient_png_assets,
+        synthesize_wav_assets,
+        synthesize_y4m_assets,
+        wav_delta_hash64,
+        y4m_temporal_hash64,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grp = F.expr("doc_id div 2")
+    img_params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(18).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+        ((grp * 7) % 240 + F.col("doc_id") % 2).cast("int").alias("g"),
+        (grp % 5 + 1).cast("int").alias("d"),
+        (F.expr("doc_id div 2 div 5") % 3 + 1).cast("int").alias("e"),
+    )
+    wav_params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(80).cast("int").alias("n_frames"),
+        (grp % 2 + 1).cast("int").alias("channels"),
+        F.lit(8000).cast("int").alias("rate"),
+        ((grp * 11) % 96 + F.col("doc_id") % 2).cast("int").alias("b"),
+    )
+    y4m_params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(4).cast("int").alias("w"),
+        F.lit(4).cast("int").alias("h"),
+        F.lit(65).cast("int").alias("n_frames"),
+        ((grp * 13) % 255 + F.col("doc_id") % 2).cast("int").alias("g"),
+    )
+    legs = {
+        "img": dhash_assets(synthesize_gradient_png_assets(img_params)),
+        "wav": perceptual_hash_assets(
+            synthesize_wav_assets(wav_params), wav_delta_hash64
+        ),
+        "y4m": perceptual_hash_assets(
+            synthesize_y4m_assets(y4m_params), y4m_temporal_hash64
+        ),
+    }
+    hashes = {
+        mod: df.select(
+            F.col("asset_id").alias("id"), F.col("dhash").alias("h")
+        ).localCheckpoint(eager=True)
+        for mod, df in legs.items()
+    }
+    store = None
+    for mod, hdf in hashes.items():
+        keys = hamming_band_keys(
+            hdf.filter(F.col("id") % 4 != 0), prefix=mod
+        ).select("band_key")
+        store = keys if store is None else store.unionByName(keys)
+    store = store.distinct().localCheckpoint(eager=True)
+    out = None
+    for mod, hdf in hashes.items():
+        scr = dedup_incremental_hamming(
+            hdf.filter(F.col("id") % 4 == 0), store, prefix=mod
+        ).select(F.lit(mod).alias("modality"), "h", "status")
+        out = scr if out is None else out.unionByName(scr)
+    return (
+        out.groupBy("modality", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_hashes"),
+        )
+        .orderBy("modality", "status")
+    )
+
+
 @register("docs_pack_stats", _PACK_STATS_SQL)
 def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (``operators/packing.py``) audited at a

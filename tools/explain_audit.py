@@ -56,6 +56,7 @@ EXPECTED_PYTHON_EVAL = {
     "multimodal_wav_decimate_stats",
     "multimodal_image_neardup_pairs",
     "multimodal_incremental_neardup_counts",
+    "multimodal_incremental_neardup_matrix",
     "multimodal_wav_neardup_pairs",
     "multimodal_y4m_neardup_pairs",
     "multimodal_hamming_band_calibration",
