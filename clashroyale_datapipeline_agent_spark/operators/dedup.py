@@ -958,6 +958,152 @@ def dedup_incremental_neardup_bucketed(
     return dedup_incremental_neardup(batch, hist, **kwargs)
 
 
+def lsh_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    hash_fn=None,
+) -> DataFrame:
+    """One ``(id, sig array<string>)`` MinHash signature row per doc
+    with ≥ 1 shingle — the VERIFY-grain companion of
+    :func:`lsh_band_keys` (round-11): a near-dup history that persists
+    signatures alongside band keys can estimate Jaccard for banded
+    candidates WITHOUT ever rescanning history text (componentwise
+    signature agreement is an unbiased Jaccard estimator). Same
+    shingle → salted-md5 pipeline and the same zero-shingle exclusion,
+    so band keys and signatures describe exactly the same doc set."""
+    fn = hash_fn or md5_salted_hash
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return base.select(
+        "id", minhash_signature(F.col("sh"), num_hashes, hash_fn=fn).alias("sig")
+    )
+
+
+def dedup_incremental_neardup_verified(
+    batch: DataFrame,
+    store_key_map: DataFrame,
+    store_sigs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_fn=None,
+) -> DataFrame:
+    """The VERIFIED incremental near-dup screen — the production stage
+    :func:`dedup_incremental_neardup` defers to ("pipelines then
+    Jaccard-verify just those hits"), implemented against history
+    SIGNATURES so the admitted corpus's text is never rescanned:
+
+    1. the batch's band keys join the ``(band_key, id)`` history key
+       MAP (not just the key set) — each hit names WHICH admitted docs
+       are banded candidates;
+    2. exactly those (batch, candidate) pairs estimate Jaccard by
+       componentwise MinHash-signature agreement (batch signatures
+       computed here; history signatures read from the store —
+       ``num_hashes`` strings per admitted doc, kilobytes per
+       thousand);
+    3. statuses refine ``dup_history`` into ``'verified_dup'`` (best
+       estimate ≥ ``threshold``) vs ``'banded_only'`` (candidates
+       existed, none verified — the LSH false-positive bucket the
+       unverified screen over-rejects); ``'dup_batch'`` / ``'kept'``
+       as before.
+
+    Scale: one key join (fan-out bounded by band-bucket sizes — cap
+    mega-buckets upstream with the same ``max_bucket`` discipline),
+    one signature join on candidate ids only, one max-per-batch-doc
+    aggregation. Returns the batch plus ``status`` and
+    ``best_est`` (rounded to 4, NULL when no candidate)."""
+    fn = hash_fn or md5_salted_hash
+    bk = lsh_band_keys(
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_fn=fn,
+    )
+    sig_b = lsh_signatures(
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        hash_fn=fn,
+    )
+    cand = (
+        bk.join(
+            store_key_map.select(
+                "band_key", F.col("id").alias("hist_id")
+            ),
+            "band_key",
+        )
+        .select("id", "hist_id")
+        .distinct()
+    )
+    est_frac = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig"),
+                F.col("hsig"),
+                lambda a, b: F.when(a == b, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    best = (
+        cand.join(sig_b, "id")
+        .join(
+            store_sigs.select(
+                F.col("id").alias("hist_id"), F.col("sig").alias("hsig")
+            ),
+            "hist_id",
+        )
+        .select("id", est_frac.alias("est"))
+        .groupBy("id")
+        .agg(F.max("est").alias("best_est"))
+    )
+    w = Window.partitionBy("band_key")
+    bdup = (
+        bk.withColumn("_first", F.min("id").over(w))
+        .filter(F.col("id") > F.col("_first"))
+        .select("id")
+        .distinct()
+    )
+    status = (
+        F.when(F.col("best_est") >= threshold, "verified_dup")
+        .when(F.col("best_est").isNotNull(), "banded_only")
+        .when(F.col("_b").isNotNull(), "dup_batch")
+        .otherwise("kept")
+    )
+    return (
+        batch.join(
+            best.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .join(
+            bdup.select(F.col("id").alias(id_col), F.lit(True).alias("_b")),
+            id_col,
+            "left",
+        )
+        .select(
+            *batch.columns,
+            status.alias("status"),
+            F.round("best_est", 4).alias("best_est"),
+        )
+    )
+
+
 def hamming_band_keys(
     hashes: DataFrame,
     *,

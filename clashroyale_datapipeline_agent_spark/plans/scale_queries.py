@@ -1901,6 +1901,127 @@ def docs_incremental_neardup_counts(
 
 
 # ---------------------------------------------------------------------------
+# Incremental near-dup with the signature VERIFY stage
+# ---------------------------------------------------------------------------
+
+_INCR_VERIFIED_SQL = """
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+               )) AS shingles
+        FROM t
+    ), sig AS (
+        SELECT doc_id, source,
+               list_transform(generate_series(0, 7),
+                   k -> list_min(list_transform(shingles,
+                        s -> md5(s || '#' || CAST(k AS VARCHAR))))) AS sg
+        FROM sh WHERE len(shingles) > 0
+    ), keys AS (
+        SELECT doc_id,
+               CAST(bi AS VARCHAR) || '|' || sg[2*bi + 1] || '|'
+                   || sg[2*bi + 2] AS band_key
+        FROM sig, unnest(generate_series(0, 3)) AS u(bi)
+    ), bkeys AS (
+        SELECT * FROM keys WHERE doc_id % 4 = 0
+    ), hmap AS (
+        SELECT DISTINCT band_key, doc_id FROM keys WHERE doc_id % 4 <> 0
+    ), cand AS (
+        SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+        FROM bkeys b JOIN hmap h USING (band_key)
+    ), est AS (
+        SELECT c.bid,
+               MAX(list_sum(list_transform(generate_series(1, 8),
+                   k -> CASE WHEN sb.sg[k] = s2.sg[k] THEN 1 ELSE 0 END))
+                   / 8.0) AS best
+        FROM cand c
+        JOIN sig sb ON sb.doc_id = c.bid
+        JOIN sig s2 ON s2.doc_id = c.hid
+        GROUP BY c.bid
+    ), firsts AS (
+        SELECT band_key, MIN(doc_id) AS first_id FROM bkeys GROUP BY band_key
+    ), bdup AS (
+        SELECT DISTINCT b.doc_id
+        FROM bkeys b JOIN firsts f USING (band_key)
+        WHERE b.doc_id > f.first_id
+    ), st AS (
+        SELECT d.source,
+               CASE WHEN e.best >= 0.5 THEN 'verified_dup'
+                    WHEN e.best IS NOT NULL THEN 'banded_only'
+                    WHEN bdup.doc_id IS NOT NULL THEN 'dup_batch'
+                    ELSE 'kept' END AS status,
+               e.best
+        FROM (SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0) d
+        LEFT JOIN est e ON e.bid = d.doc_id
+        LEFT JOIN bdup ON bdup.doc_id = d.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(best), 4) AS avg_best_est
+    FROM st
+    GROUP BY source, status
+    ORDER BY source, status
+"""
+
+
+@register("docs_incremental_neardup_verified", _INCR_VERIFIED_SQL)
+def docs_incremental_neardup_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The VERIFY stage the banded incremental screen defers to
+    (round-11, completing ``docs_incremental_neardup_counts``'s
+    "production then Jaccard-verifies just those hits" promise
+    WITHOUT ever rescanning history text): the history store persists
+    the ``(band_key, id)`` key MAP plus one 8-component salted-md5
+    MinHash signature per admitted doc
+    (``operators/dedup.py:lsh_signatures``), and each batch doc's
+    banded candidates — exactly the docs sharing ≥ 1 band key — have
+    their Jaccard ESTIMATED by componentwise signature agreement
+    (unbiased; 8 components put estimates on the eighths grid, exact
+    in double). ``dup_history`` therefore refines into
+    ``verified_dup`` (best estimate ≥ 0.5) vs ``banded_only`` (the
+    LSH false-positive bucket an unverified screen would over-reject —
+    nonzero on this corpus, so the refinement is exercised). Per
+    (source, status): doc counts and the mean best-estimate. The
+    DuckDB twin replays shingling, signatures, the key map, candidate
+    generation, and the estimator. Scale: one key-map join (fan-out
+    bucket-bounded), one signature join on candidate ids only, one
+    max-per-doc rollup — history text untouched, store size =
+    kilobytes per thousand admitted docs
+    (``dedup_incremental_neardup_verified``)."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        dedup_incremental_neardup_verified,
+        lsh_band_keys,
+        lsh_signatures,
+    )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    batch = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "source", "text"
+    )
+    hist = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    key_map = lsh_band_keys(hist).distinct()
+    sigs = lsh_signatures(hist)
+    out = dedup_incremental_neardup_verified(batch, key_map, sigs)
+    return (
+        out.groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("best_est"), 4).alias("avg_best_est"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fightin' Words: per-source discriminative terms (Dirichlet log-odds)
 # ---------------------------------------------------------------------------
 
