@@ -1953,8 +1953,8 @@ _INCR_VERIFIED_SQL = """
     ), st AS (
         SELECT d.source,
                CASE WHEN e.best >= 0.5 THEN 'verified_dup'
-                    WHEN e.best IS NOT NULL THEN 'banded_only'
                     WHEN bdup.doc_id IS NOT NULL THEN 'dup_batch'
+                    WHEN e.best IS NOT NULL THEN 'banded_only'
                     ELSE 'kept' END AS status,
                e.best
         FROM (SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0) d

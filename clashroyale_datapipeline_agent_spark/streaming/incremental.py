@@ -231,7 +231,10 @@ class HammingBandStore:
     payloads, pixels, or hashes.
 
     Same two append-only parquet logs, PARTITIONED BY BATCH ID —
-    ``keys/batch=<id>`` (the admitted rows' band keys) and
+    ``keys/batch=<id>`` (the admitted rows' band keys AT THE
+    ``(band_key, h)`` GRAIN since round-12, so one store serves both
+    the membership screen — which column-prunes to ``band_key`` alone
+    at the parquet scan — and the popcount VERIFY stage) and
     ``hashes/batch=<id>`` (the admitted ``(id, h)`` rows). Band-key
     membership is a monotone set, so append-only needs no version
     chain; a foreachBatch replay excludes the batch's own partition
@@ -239,7 +242,15 @@ class HammingBandStore:
     admission without a marker protocol (the discipline proven on the
     text grain). The ``prefix`` namespaces modalities, so one store can
     serve image dHash, audio delta-hash, and video temporal-hash
-    streams concurrently without cross-modality key collisions."""
+    streams concurrently without cross-modality key collisions.
+
+    ``max_dist`` switches admission to the VERIFIED screen
+    (:func:`operators.dedup.dedup_incremental_hamming_verified`):
+    band hits against history popcount-verify against the stored
+    candidate hashes, and ``banded_only`` rows — pigeonhole false
+    positives the unverified screen over-rejects — are ADMITTED
+    alongside ``kept``; only ``verified_dup`` / ``dup_batch`` are
+    dropped."""
 
     def __init__(
         self,
@@ -249,12 +260,14 @@ class HammingBandStore:
         bands: int = 4,
         bits: int = 64,
         prefix: str = "img",
+        max_dist: int | None = None,
     ) -> None:
         self.spark = spark
         self.root = Path(root)
         self.bands = bands
         self.bits = bits
         self.prefix = prefix
+        self.max_dist = max_dist
         (self.root / "keys").mkdir(parents=True, exist_ok=True)
         (self.root / "hashes").mkdir(parents=True, exist_ok=True)
 
@@ -273,6 +286,17 @@ class HammingBandStore:
             *[str(p) for p in parts]
         )
 
+    def read_key_map(self, *, exclude_batch: int | None = None) -> DataFrame:
+        """The ``(band_key, h)`` verify-grain view of the keys log —
+        what the popcount stage joins. Same files as :meth:`read_keys`;
+        the membership screen just prunes the ``h`` column away."""
+        parts = self._parts("keys", exclude_batch)
+        if not parts:
+            return self.spark.createDataFrame([], "band_key string, h long")
+        return self.spark.read.schema("band_key string, h long").parquet(
+            *[str(p) for p in parts]
+        )
+
     def admitted(self) -> DataFrame:
         parts = self._parts("hashes")
         if not parts:
@@ -283,30 +307,46 @@ class HammingBandStore:
 
     def apply_batch(self, batch_hashes: DataFrame, batch_id: int) -> None:
         """Screen one micro-batch of ``(id, h)`` perceptual hashes
-        against history, admit the keepers, and append their band keys.
-        Kept rows round-trip through their own parquet partition before
-        key extraction, so the screen computes once and the keys always
-        describe exactly what was admitted."""
+        against history, admit the keepers, and append their band keys
+        at the ``(band_key, h)`` grain. Kept rows round-trip through
+        their own parquet partition before key extraction, so the
+        screen computes once and the keys always describe exactly what
+        was admitted. With ``max_dist`` set, band hits popcount-verify
+        and ``banded_only`` rows are admitted too (over-rejection
+        fix)."""
         from clashroyale_datapipeline_agent_spark.operators.dedup import (
             dedup_incremental_hamming,
-            hamming_band_keys,
+            dedup_incremental_hamming_verified,
+            hamming_key_map,
         )
 
-        screened = dedup_incremental_hamming(
-            batch_hashes.select("id", "h"),
-            self.read_keys(exclude_batch=batch_id),
-            bands=self.bands,
-            bits=self.bits,
-            prefix=self.prefix,
-        )
+        if self.max_dist is None:
+            screened = dedup_incremental_hamming(
+                batch_hashes.select("id", "h"),
+                self.read_keys(exclude_batch=batch_id),
+                bands=self.bands,
+                bits=self.bits,
+                prefix=self.prefix,
+            )
+            admit = F.col("status") == "kept"
+        else:
+            screened = dedup_incremental_hamming_verified(
+                batch_hashes.select("id", "h"),
+                self.read_key_map(exclude_batch=batch_id),
+                bands=self.bands,
+                bits=self.bits,
+                prefix=self.prefix,
+                max_dist=self.max_dist,
+            ).drop("best_dist")
+            admit = F.col("status").isin("kept", "banded_only")
         part = self.root / "hashes" / f"batch={batch_id}"
-        screened.filter(F.col("status") == "kept").drop("status").write.mode(
+        screened.filter(admit).drop("status").write.mode(
             "overwrite"
         ).parquet(str(part))
         kept = self.spark.read.schema("id long, h long").parquet(str(part))
-        hamming_band_keys(
+        hamming_key_map(
             kept, bands=self.bands, bits=self.bits, prefix=self.prefix
-        ).select("band_key").write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             str(self.root / "keys" / f"batch={batch_id}")
         )
 
