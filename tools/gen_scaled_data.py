@@ -17,7 +17,7 @@ from sf0.1 unchanged (constant-size dimensions; queries keyed on them
 are excluded from slope fits and say so in SCALE.md).
 
 Usage: python tools/gen_scaled_data.py [outroot]   # default .scaledata/
-Writes outroot/x1, x3, x10 — each a full 10-table sf dir.
+Writes outroot/x1, x3, x10, x30 — each a full 10-table sf dir.
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 BASE = {"documents": 5000, "embeddings": 2000, "events": 100_000}
-SCALES = {"x1": 1, "x3": 3, "x10": 10}
+SCALES = {"x1": 1, "x3": 3, "x10": 10, "x30": 30}
 
 VOCAB = (
     "batch part spark line column order small sort fast value scan hash "

