@@ -1186,8 +1186,9 @@ def dedup_incremental_hamming(
     Status per batch row: ``'dup_history'`` if ANY band key is already
     in the store (a banded Hamming candidate against the admitted
     corpus — production pipelines popcount-verify just those hits,
-    which needs the (band_key, hash) grain of the store, cf.
-    :func:`hamming_candidate_pairs`); else ``'dup_batch'`` if it shares
+    which is exactly :func:`dedup_incremental_hamming_verified` against
+    the ``(band_key, h)`` store of :func:`hamming_key_map`); else
+    ``'dup_batch'`` if it shares
     a band key with a lower-id row of the same batch (first wins); else
     ``'kept'``. Admitted rows' keys (:func:`hamming_band_keys` over the
     kept slice) are what the caller appends to the store.
