@@ -188,7 +188,11 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row ``least`` over ≤k literal vectors (k×dim bounded carrier, the
     ``kmeans_lloyd`` convention) feeding one TakeOrderedAndProject — no
     pair join, no quadratic term anywhere."""
-    v = _t(spark, sf_dir, "embeddings").select(
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    v = spread_if_narrow(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _vq_col().alias("vq")
     )
     seed = v.filter(F.col("vec_id") == 0).select("vq").collect()[0][0]

@@ -2335,8 +2335,13 @@ def curation_image_neardup_report(
         dhash_assets,
         synthesize_gradient_png_assets,
     )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    )
     grp = F.expr("doc_id div 2")
     params = d.select(
         F.col("doc_id").alias("asset_id"),

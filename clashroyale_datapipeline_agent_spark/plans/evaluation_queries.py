@@ -1518,8 +1518,13 @@ def embeddings_facility_location_gains(
         _sim6_to_lit,
         _vq_col,
     )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", _vq_col().alias("vq"))
+    e = spread_if_narrow(
+        _t(spark, sf_dir, "embeddings")
+    ).select("vec_id", _vq_col().alias("vq"))
     n2 = e.select(
         "vec_id",
         "vq",

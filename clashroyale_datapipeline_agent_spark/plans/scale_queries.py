@@ -1885,8 +1885,11 @@ def docs_incremental_neardup_counts(
         dedup_incremental_neardup,
         lsh_band_keys,
     )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     batch = d.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id", "source", "text"
     )

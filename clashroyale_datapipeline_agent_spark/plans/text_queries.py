@@ -1846,12 +1846,15 @@ def multimodal_incremental_neardup_counts(
         dedup_incremental_hamming,
         hamming_band_keys,
     )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
     from clashroyale_datapipeline_agent_spark.operators.multimodal import (
         dhash_assets,
         synthesize_gradient_png_assets,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     grp = F.expr("doc_id div 2")
     params = d.select(
         F.col("doc_id").alias("asset_id"),
@@ -1991,12 +1994,15 @@ def multimodal_incremental_neardup_verified(
         dedup_incremental_hamming_verified,
         hamming_key_map,
     )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
     from clashroyale_datapipeline_agent_spark.operators.multimodal import (
         dhash_assets,
         synthesize_gradient_png_assets,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     twin = F.col("doc_id") % 8 < 2
     grp8 = F.expr("doc_id div 8")
     params = d.select(
@@ -2173,6 +2179,9 @@ def multimodal_incremental_neardup_matrix(
         dedup_incremental_hamming,
         hamming_band_keys,
     )
+    from clashroyale_datapipeline_agent_spark.sources.readers import (
+        spread_if_narrow,
+    )
     from clashroyale_datapipeline_agent_spark.operators.multimodal import (
         dhash_assets,
         perceptual_hash_assets,
@@ -2183,7 +2192,7 @@ def multimodal_incremental_neardup_matrix(
         y4m_temporal_hash64,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
     grp = F.expr("doc_id div 2")
     img_params = d.select(
         F.col("doc_id").alias("asset_id"),

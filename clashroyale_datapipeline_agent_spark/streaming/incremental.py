@@ -289,7 +289,11 @@ class HammingBandStore:
     def read_key_map(self, *, exclude_batch: int | None = None) -> DataFrame:
         """The ``(band_key, h)`` verify-grain view of the keys log —
         what the popcount stage joins. Same files as :meth:`read_keys`;
-        the membership screen just prunes the ``h`` column away."""
+        the membership screen just prunes the ``h`` column away.
+        Key partitions written by the pre-round-12 band-key-only layout
+        read ``h`` as NULL here — those candidates can never verify, so
+        migrate a legacy store (rewrite keys from ``hashes/``) before
+        switching it to ``max_dist`` mode."""
         parts = self._parts("keys", exclude_batch)
         if not parts:
             return self.spark.createDataFrame([], "band_key string, h long")

@@ -151,11 +151,21 @@ def main() -> None:
     # slices, so row i is identical wherever it exists
     maxmul = max(SCALES.values())
     full = {t: GENS[t](BASE[t] * maxmul) for t in GENS}
+    # row groups sized so even x1 yields multiple input splits: a
+    # single-row-group file arrives as ONE Spark task however small
+    # maxPartitionBytes is, which would serialize per-row-heavy stages
+    # and measure the artifact instead of the plan (a 100 TB table has
+    # thousands of splits; the scaled fixtures should too)
+    row_groups = {"documents": 1250, "embeddings": 500, "events": 25_000}
     for name, mul in SCALES.items():
         d = outroot / name
         d.mkdir(parents=True, exist_ok=True)
         for t, tbl in full.items():
-            pq.write_table(tbl.slice(0, BASE[t] * mul), d / f"{t}.parquet")
+            pq.write_table(
+                tbl.slice(0, BASE[t] * mul),
+                d / f"{t}.parquet",
+                row_group_size=row_groups[t],
+            )
         for t in SIDE_TABLES:
             link = d / f"{t}.parquet"
             if not link.exists():

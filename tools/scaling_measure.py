@@ -42,12 +42,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from tools.oracle_check import git_sha  # noqa: E402
 
 #: top-of-BENCH queries whose runtime is keyed on the scaled tables.
-#: orders_adamic_adar_topk (orders — constant-size symlink) is excluded
-#: and documented in SCALE.md.
+#: orders_adamic_adar_topk AND graph_pagerank_topk (orders/lineitem —
+#: constant-size symlinks at every scale, so their "slope" is pure
+#: noise; the r11 14.7/8.8/54.1 pagerank triple was exactly this) are
+#: excluded and documented in SCALE.md.
 DEFAULT_QUERIES = [
     "docs_incremental_neardup_counts",
     "curation_image_neardup_report",
-    "graph_pagerank_topk",
+    "docs_incremental_neardup_verified",
     "dedup_lsh_band_sweep_xx",
     "embeddings_kcenter_coreset",
     "curation_neardup_pipeline_report",
