@@ -38,6 +38,56 @@ import time
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _host_snapshot() -> dict:
+    """Ambient host conditions (round-12 judge ask #5): load average,
+    CPU frequency, and a runnable-process census, so a later comparison
+    can REJECT a contaminated run instead of inferring drift from the
+    calibration probe after the fact. Metadata reads only; every field
+    degrades to absent on platforms without the source."""
+    import glob
+
+    snap: dict = {"cpus": os.cpu_count()}
+    try:
+        snap["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    freqs: list[float] = []
+    for p in glob.glob(
+        "/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq"
+    ):
+        try:
+            freqs.append(float(open(p).read()) / 1000.0)
+        except (OSError, ValueError):
+            pass
+    if not freqs:
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.lower().startswith("cpu mhz"):
+                        freqs.append(float(line.split(":", 1)[1]))
+        except (OSError, ValueError):
+            pass
+    if freqs:
+        snap["cpu_mhz_mean"] = round(sum(freqs) / len(freqs), 1)
+    try:
+        total = running = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            total += 1
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    state = fh.read().rsplit(")", 1)[1].split()[0]
+                running += state in ("R", "D")
+            except (OSError, IndexError):
+                pass
+        snap["procs"] = total
+        snap["procs_runnable"] = running
+    except OSError:
+        pass
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -45,6 +95,7 @@ def main() -> None:
     from clashroyale_datapipeline_agent_spark import plans  # noqa: F401
     import __spark_entry__ as entry
 
+    host_start = _host_snapshot()
     spark = get_spark("bench")
     qs = entry.queries()
     # the FULL registry (every driver query), deterministic order, so
@@ -130,6 +181,10 @@ def main() -> None:
             "reps": reps,
             "calibration_sec": cal,
             "git_sha": git_sha(),
+            # ambient host conditions at start and end of the run
+            # (round-12 ask #5): lets bench_compare REJECT a
+            # contaminated run instead of inferring drift post hoc
+            "host": {"start": host_start, "end": _host_snapshot()},
         }
     )
     print(line)

@@ -372,9 +372,13 @@ def test_ivf_maintenance_lock_is_serial(spark, tmp_path):
         [[[0.0], [100.0]]],
     )
     os.mkdir(os.path.join(idx.root, "_MAINT_LOCK"))
-    with pytest.raises(RuntimeError, match="concurrent IVF maintenance"):
+    with pytest.raises(
+        RuntimeError, match="concurrent IVF index maintenance"
+    ) as ei:
         idx.refresh(_vecs(spark, [(50, [1])]), [[[0.0], [100.0]]])
-    with pytest.raises(RuntimeError, match="concurrent IVF maintenance"):
+    # round-12 advisory: the error names the remediation path
+    assert "break_stale_lock" in str(ei.value)
+    with pytest.raises(RuntimeError, match="concurrent IVF index maintenance"):
         idx.compact()
     os.rmdir(os.path.join(idx.root, "_MAINT_LOCK"))
     res = idx.refresh(_vecs(spark, [(50, [1])]), [[[0.0], [100.0]]])

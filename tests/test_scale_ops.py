@@ -250,10 +250,11 @@ def test_lsh_band_sweep_monotone(spark):
 
 
 def test_lsh_band_sweep_xx_full_corpus_invariants(spark):
-    # The xxhash64 production twin runs the identical sweep over the FULL
-    # corpus (no key-mod slice): same three configs, same monotone
-    # candidate-volume law, and at least as many candidates per config as
-    # the md5 oracle form's quarter-slice.
+    # Round-12 flip: the xxhash64 production twin now SELF-CHECKS its
+    # full-corpus invariants (configs complete, nested-band
+    # monotonicity, bounds, exact-dup floor, full >= md5 quarter-slice)
+    # and exports them as oracle-pinned booleans alongside the md5-slice
+    # census it must stay consistent with.
     xx = {
         r.config: r
         for r in scale_queries.dedup_lsh_band_sweep_xx(spark, SF_DIR).collect()
@@ -263,10 +264,15 @@ def test_lsh_band_sweep_xx_full_corpus_invariants(spark):
         for r in scale_queries.dedup_lsh_band_sweep(spark, SF_DIR).collect()
     }
     assert set(xx) == {"b2r8", "b4r4", "b8r2"}
-    assert xx["b8r2"].n_candidates >= xx["b2r8"].n_candidates
     for cfg, r in xx.items():
-        assert 0 <= r.n_true_pairs <= r.n_candidates
-        assert r.n_candidates >= md5[cfg].n_candidates
+        assert r.xx_configs_complete and r.xx_nested_monotone
+        assert r.xx_bounds_ok and r.xx_ge_exact_dup_pairs
+        assert r.xx_ge_md5_slice
+        assert r.full_exact_dup_pairs >= 0
+        # the embedded census IS the md5 sweep's output, column for column
+        assert r.md5_slice_candidates == md5[cfg].n_candidates
+        assert r.md5_slice_true_pairs == md5[cfg].n_true_pairs
+        assert r.md5_slice_precision == md5[cfg].precision_at_05
 
 
 def test_weighted_sample_favors_long_docs(spark):

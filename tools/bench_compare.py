@@ -186,6 +186,22 @@ def main(argv: list[str]) -> int:
     ratio = float(argv[3]) if len(argv) > 3 else 2.0
     floor_s = float(argv[4]) if len(argv) > 4 else 0.5
     cal_old, cal_new = load_calibration(argv[1]), load_calibration(argv[2])
+    # round-12 ask #5: when the two runs' host-speed probes differ by
+    # more than 15%, raw per-query ratios are contaminated by ambient
+    # drift — warn loudly so the comparison is re-run on an idle host
+    # (or read via the rank test only) instead of being taken at face
+    # value. Never used to scale timings (round-12 discipline).
+    cal_warn = None
+    if cal_old and cal_new:
+        drift = max(cal_old, cal_new) / min(cal_old, cal_new)
+        if drift > 1.15:
+            cal_warn = (
+                f"calibrations differ {drift:.2f}x ({cal_old} vs {cal_new}):"
+                " host speed shifted between runs — treat raw per-query"
+                " ratios as contaminated; trust the rank test direction"
+                " only, or re-run on an idle host (see the 'host' block"
+                " in each artifact)"
+            )
     r = compare(old, new, ratio, floor_s)
     if emit:
         from pathlib import Path
@@ -199,6 +215,7 @@ def main(argv: list[str]) -> int:
                     "ratio": ratio,
                     "floor_s": floor_s,
                     "calibration_note": {"old": cal_old, "new": cal_new},
+                    "calibration_divergence_warning": cal_warn,
                     **{
                         k: r[k]
                         for k in (
@@ -231,6 +248,8 @@ def main(argv: list[str]) -> int:
         print(
             f"calibration (note only, not used): old={cal_old} new={cal_new}"
         )
+    if cal_warn:
+        print(f"WARNING {cal_warn}")
     if r["added"]:
         print(f"added ({len(r['added'])}): {', '.join(r['added'])}")
     if r["dropped"]:

@@ -128,11 +128,13 @@ def main() -> None:
     spark = get_spark("scaling-measure")
     qs = entrymod.queries()
     out: dict[str, dict] = {}
+    measured_scales: dict[str, int] = {}
     for name in names:
         fn = qs[name]
         scales = list(SCALES)
         if have_x30 and (want_x30 or name in X30_QUERIES):
             scales.append(X30)
+        measured_scales.update(dict(scales))
         rec: dict = {"points": {}}
         for sname, mult in scales:
             sf_dir = str(root / sname)
@@ -175,7 +177,10 @@ def main() -> None:
         {
             "git_sha": git_sha(),
             "reps": reps,
-            "scales": dict(SCALES + ([X30] if have_x30 else [])),
+            # the union of scales ACTUALLY measured across this run's
+            # queries (round-12 advisory: keying on .scaledata/x30's
+            # existence overstated coverage when no query ran at x30)
+            "scales": measured_scales,
             "monotone_tol": MONOTONE_TOL,
             "queries": out,
         }
