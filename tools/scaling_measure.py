@@ -46,9 +46,14 @@ from tools.oracle_check import git_sha  # noqa: E402
 #: constant-size symlinks at every scale, so their "slope" is pure
 #: noise; the r11 14.7/8.8/54.1 pagerank triple was exactly this) are
 #: excluded and documented in SCALE.md.
+#: curation_image_neardup_report and multimodal_incremental_neardup_counts
+#: were RETIRED from the probe set in round 13: their post-dedup cost is
+#: provably constant (the fixtures hold <= 480 distinct payloads at any
+#: size — SCALE.md "Measured scaling slopes"), so a slope would measure
+#: the PNG-encoder microbenchmark, not the plan.
 DEFAULT_QUERIES = [
     "docs_incremental_neardup_counts",
-    "curation_image_neardup_report",
+    "dedup_band_store_maintenance",
     "docs_incremental_neardup_verified",
     "dedup_lsh_band_sweep_xx",
     "embeddings_kcenter_coreset",
