@@ -376,3 +376,54 @@ def test_streaming_store_compaction_mid_stream(spark, tmp_path):
         store._parts("keys", exclude_batch=0)
     # noop when only the newest batch remains
     assert store.compact()["folded"] == []
+
+
+def test_hamming_store_compaction_verified_mode(spark, tmp_path):
+    """The perceptual twin: a VERIFIED-mode HammingBandStore compacts
+    its (band_key, h) key map into a segment between batches, and the
+    popcount verify keeps working — near-dups of folded history still
+    reject, pigeonhole false positives still admit, and the key map
+    reads NULL-free across the segment boundary."""
+    from pyspark.sql import functions as F
+
+    from clashroyale_datapipeline_agent_spark.streaming.incremental import (
+        HammingBandStore,
+    )
+
+    PAT = 0x0001000100010001
+    store = HammingBandStore(
+        spark, str(tmp_path / "hv_state"), prefix="img", max_dist=3
+    )
+    b0 = spark.createDataFrame(
+        [(i, i * PAT) for i in range(1, 6)], "id long, h long"
+    )
+    store.apply_batch(b0, 0)
+    b1 = spark.createDataFrame(
+        [(10, 20 * PAT), (11, 21 * PAT)], "id long, h long"
+    )
+    store.apply_batch(b1, 1)
+    keys_before = store.read_key_map().count()
+
+    res = store.compact()
+    assert res["folded"] == [0]
+    km = store.read_key_map()
+    assert km.count() == keys_before
+    assert km.filter(F.col("h").isNull()).count() == 0  # verify grain intact
+
+    b2 = spark.createDataFrame(
+        [
+            (30, 2 * PAT ^ 4),  # 1 bit from FOLDED asset 2 -> rejected
+            (31, 3 | (500 << 16) | (501 << 32) | (502 << 48)),
+            # band-0 hit on folded asset 3 but 40+ bits away
+            # -> banded_only, ADMITTED (over-rejection fix holds
+            # across the segment boundary)
+            (32, 99 * PAT),  # fresh -> kept
+        ],
+        "id long, h long",
+    )
+    store.apply_batch(b2, 2)
+    got = {r["id"] for r in store.admitted().collect()}
+    assert got == {1, 2, 3, 4, 5, 10, 11, 31, 32}
+    # newest-batch replay stays idempotent post-compaction
+    store.apply_batch(b2, 2)
+    assert {r["id"] for r in store.admitted().collect()} == got
