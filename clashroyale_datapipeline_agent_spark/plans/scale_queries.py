@@ -1525,23 +1525,28 @@ _LSH_XX_SQL = f"""
                       x -> x != '')) >= 3
             GROUP BY fp
         )
-    )
-    SELECT c.cfg AS config,
-           CAST(COUNT(*) AS BIGINT) AS md5_slice_candidates,
-           CAST(SUM(CASE WHEN j.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS md5_slice_true_pairs,
-           ROUND(SUM(CASE WHEN j.j >= 0.5 THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 4) AS md5_slice_precision,
+    ), census AS (
+        SELECT c.cfg,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN j.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+               ROUND(SUM(CASE WHEN j.j >= 0.5 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 4) AS prec
+        FROM cand c
+        JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+        GROUP BY c.cfg
+    ), cfgs(config) AS (VALUES ('b2r8'), ('b4r4'), ('b8r2'))
+    SELECT cfgs.config,
+           COALESCE(census.n_candidates, 0) AS md5_slice_candidates,
+           COALESCE(census.n_true, 0) AS md5_slice_true_pairs,
+           census.prec AS md5_slice_precision,
            exact.n_pairs AS full_exact_dup_pairs,
-           TRUE AS xx_configs_complete,
            TRUE AS xx_nested_monotone,
            TRUE AS xx_bounds_ok,
-           TRUE AS xx_ge_exact_dup_pairs,
-           TRUE AS xx_ge_md5_slice
-    FROM cand c
-    JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+           TRUE AS xx_ge_exact_dup_pairs
+    FROM cfgs
+    LEFT JOIN census ON census.cfg = cfgs.config
     CROSS JOIN exact
-    GROUP BY c.cfg, exact.n_pairs
     ORDER BY config
 """
 
@@ -1551,32 +1556,36 @@ def dedup_lsh_band_sweep_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path band sweep, INVARIANT-ORACLED (round-12 judge
     ask #3, retiring the registry's last rows-only query via the
     HLL/GK/bucket-cap flip discipline): the sweep runs over the FULL
-    corpus with xxhash64 signatures (the cheap JVM hash real runs use —
+    corpus with xxhash64 signatures (the cheap JVM hash real runs use --
     one codegen'd 64-bit mix per shingle instead of an md5 digest and
     string concat), and since DuckDB cannot replay xxhash64 itself, the
     checked output hashes (a) the md5-slice census this leg must stay
-    consistent with (the ``dedup_lsh_band_sweep`` numbers, replayed
-    exactly) plus the full-corpus exact-duplicate pair floor, and (b)
-    the xx leg's MEASURED invariants as booleans the oracle pins TRUE:
+    consistent with (the ``dedup_lsh_band_sweep`` numbers replayed
+    exactly -- one row per config ALWAYS, zero-backfilled when the
+    slice has no candidates, so the shape is corpus-independent) plus
+    the full-corpus exact-duplicate pair floor, and (b) the xx leg's
+    MEASURED invariants as booleans the oracle pins TRUE. Only
+    THEOREM-grade invariants ride in the hashed output -- each must
+    hold on ANY corpus (the hostile-whitespace parity fixture
+    included), with an absent config reading as zero candidates:
 
-    - ``xx_configs_complete`` — all three band configs produced rows;
-    - ``xx_nested_monotone`` — candidates(b2r8) <= candidates(b4r4) <=
-      candidates(b8r2). A THEOREM for nested band boundaries (a coarse
-      band is a concatenation of fine bands, so any coarse collision
-      implies a fine collision), not a statistical tendency;
-    - ``xx_bounds_ok`` — 0 <= true pairs <= candidates and precision in
-      [0, 1] per config;
-    - ``xx_ge_exact_dup_pairs`` — per config, candidates >= the number
-      of identical-text pairs among shingled docs (identical text ⇒
-      identical signature under ANY hash family ⇒ every band collides:
-      the floor DuckDB computes exactly in ``full_exact_dup_pairs``);
-    - ``xx_ge_md5_slice`` — the full-corpus xx candidate volume is at
-      least the quarter-slice md5 volume per config (the pytest
-      full-vs-slice consistency law, now driver-checked).
+    - ``xx_nested_monotone`` -- candidates(b2r8) <= candidates(b4r4)
+      <= candidates(b8r2): a coarse band is a concatenation of fine
+      bands under these nested boundaries, so any coarse collision
+      implies a fine collision -- a theorem, not a tendency;
+    - ``xx_bounds_ok`` -- 0 <= true pairs <= candidates and precision
+      in [0, 1] for every config that produced rows;
+    - ``xx_ge_exact_dup_pairs`` -- per config, candidates >= the
+      number of identical-text pairs among shingled docs (identical
+      text => identical signature under ANY hash family => every band
+      collides: the floor DuckDB computes in ``full_exact_dup_pairs``;
+      a positive floor forces every config to have rows, so the
+      zero-default cannot mask a violation).
 
-    The former pytest invariants are unchanged
-    (``tests/test_scale_ops.py``); this query makes them cross-engine
-    evidence at both driver SFs."""
+    The EMPIRICAL full-vs-slice law (xx full-corpus candidates >= md5
+    quarter-slice candidates per config) is hash-family-dependent --
+    not a theorem on arbitrary corpora -- so it stays pytest-pinned at
+    the standard fixtures (``tests/test_scale_ops.py``)."""
     def _mh_xx(seed: int):
         # numeric min over the 64-bit hashes, cast to string only for
         # the band-signature concat — one codegen'd mix per shingle
@@ -1628,32 +1637,22 @@ def dedup_lsh_band_sweep_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cfgs = [c for c, _, _ in _LSH_CONFIGS]
-    complete = set(xx) == set(cfgs) and set(md5) == set(cfgs)
-    nested = complete and (
-        xx["b2r8"]["n_candidates"]
-        <= xx["b4r4"]["n_candidates"]
-        <= xx["b8r2"]["n_candidates"]
-    )
-    bounds = complete and all(
+    xc = {c: int(xx[c]["n_candidates"]) if c in xx else 0 for c in cfgs}
+    nested = xc["b2r8"] <= xc["b4r4"] <= xc["b8r2"]
+    bounds = all(
         0 <= r["n_true_pairs"] <= r["n_candidates"]
         and 0.0 <= r["precision_at_05"] <= 1.0
         for r in xx.values()
     )
-    ge_exact = complete and all(
-        r["n_candidates"] >= exact_pairs for r in xx.values()
-    )
-    ge_slice = complete and all(
-        xx[c]["n_candidates"] >= md5[c]["n_candidates"] for c in cfgs
-    )
+    ge_exact = all(xc[c] >= exact_pairs for c in cfgs)
     rows = [
         (
             c,
-            int(md5[c]["n_candidates"]) if c in md5 else -1,
-            int(md5[c]["n_true_pairs"]) if c in md5 else -1,
-            float(md5[c]["precision_at_05"]) if c in md5 else -1.0,
+            int(md5[c]["n_candidates"]) if c in md5 else 0,
+            int(md5[c]["n_true_pairs"]) if c in md5 else 0,
+            float(md5[c]["precision_at_05"]) if c in md5 else None,
             exact_pairs,
-            bool(complete), bool(nested), bool(bounds),
-            bool(ge_exact), bool(ge_slice),
+            bool(nested), bool(bounds), bool(ge_exact),
         )
         for c in cfgs
     ]
@@ -1661,9 +1660,9 @@ def dedup_lsh_band_sweep_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "config string, md5_slice_candidates bigint, "
         "md5_slice_true_pairs bigint, md5_slice_precision double, "
-        "full_exact_dup_pairs bigint, xx_configs_complete boolean, "
+        "full_exact_dup_pairs bigint, "
         "xx_nested_monotone boolean, xx_bounds_ok boolean, "
-        "xx_ge_exact_dup_pairs boolean, xx_ge_md5_slice boolean",
+        "xx_ge_exact_dup_pairs boolean",
     ).orderBy("config")
 
 
