@@ -784,6 +784,35 @@ def dedup_incremental_bucketed(
     )
 
 
+def band_keys_from_sigs(
+    sigs: DataFrame, *, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """``(id, band_key)`` rows derived from an ``(id, sig)`` signature
+    frame — exactly the serialization :func:`lsh_band_keys` applies
+    after computing signatures, factored out so a caller that already
+    holds signatures (:func:`lsh_signatures`) derives the membership
+    grain as a pure reshape instead of paying the shingle + MinHash
+    pass a second time (round-13: the verified incremental screen
+    computed the identical md5 signature TWICE per side — once for
+    keys, once for estimates; one pass covers both grains). Rows are
+    unique by construction: the band index prefix makes the ``bands``
+    keys of one id pairwise distinct, so no ``.distinct()`` (and no
+    exchange) is needed on the output."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    "|", b.cast("string"), F.slice("sig", b * r + 1, r)
+                ),
+            )
+        ).alias("band_key"),
+    )
+
+
 def lsh_band_keys(
     docs: DataFrame,
     *,
@@ -829,17 +858,7 @@ def lsh_band_keys(
     # store and is bounded by batch size in steady state, where history
     # keys are READ, never recomputed)
     signed = base.select("id", sig.alias("sig")).localCheckpoint(eager=True)
-    return signed.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    "|", b.cast("string"), F.slice("sig", b * r + 1, r)
-                ),
-            )
-        ).alias("band_key"),
-    )
+    return band_keys_from_sigs(signed, num_hashes=num_hashes, bands=bands)
 
 
 def write_lsh_band_store(
@@ -966,6 +985,7 @@ def lsh_signatures(
     shingle_n: int = 3,
     num_hashes: int = 8,
     hash_fn=None,
+    materialize: bool = False,
 ) -> DataFrame:
     """One ``(id, sig array<string>)`` MinHash signature row per doc
     with ≥ 1 shingle — the VERIFY-grain companion of
@@ -974,15 +994,29 @@ def lsh_signatures(
     candidates WITHOUT ever rescanning history text (componentwise
     signature agreement is an unbiased Jaccard estimator). Same
     shingle → salted-md5 pipeline and the same zero-shingle exclusion,
-    so band keys and signatures describe exactly the same doc set."""
+    so band keys and signatures describe exactly the same doc set.
+
+    ``materialize=True`` applies the two-checkpoint discipline of
+    :func:`lsh_band_keys` (shingle projection, then signature, each
+    eagerly materialized so Project-collapse cannot inline the shingle
+    derivation into every ``array_min`` traversal) and returns the
+    checkpointed frame. Use it when the caller consumes the signature
+    more than once — e.g. deriving band keys via
+    :func:`band_keys_from_sigs` AND estimating Jaccard — so the
+    shingle + ``num_hashes``-hash pass over text is paid exactly once
+    (round-13: this halved the verified incremental screens, which
+    previously computed the identical signature separately per grain)."""
     fn = hash_fn or md5_salted_hash
     base = docs.select(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
-    return base.select(
+    if materialize:
+        base = base.localCheckpoint(eager=True)
+    out = base.select(
         "id", minhash_signature(F.col("sh"), num_hashes, hash_fn=fn).alias("sig")
     )
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def dedup_incremental_neardup_verified(
@@ -1030,15 +1064,10 @@ def dedup_incremental_neardup_verified(
     aggregation. Returns the batch plus ``status`` and
     ``best_est`` (rounded to 4, NULL when no candidate)."""
     fn = hash_fn or md5_salted_hash
-    bk = lsh_band_keys(
-        batch,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-        bands=bands,
-        hash_fn=fn,
-    )
+    # ONE materialized signature pass serves both grains: band keys are
+    # a pure reshape of the signature (round-13 — previously the
+    # identical shingle + num_hashes-hash pipeline ran twice over the
+    # batch, once per grain)
     sig_b = lsh_signatures(
         batch,
         text_col=text_col,
@@ -1046,7 +1075,9 @@ def dedup_incremental_neardup_verified(
         shingle_n=shingle_n,
         num_hashes=num_hashes,
         hash_fn=fn,
+        materialize=True,
     )
+    bk = band_keys_from_sigs(sig_b, num_hashes=num_hashes, bands=bands)
     cand = (
         bk.join(
             store_key_map.select(

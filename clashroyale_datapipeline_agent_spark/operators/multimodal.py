@@ -414,15 +414,23 @@ def dhash_assets(assets: DataFrame) -> DataFrame:
     banded join shuffles only (id, 8-byte hash) tuples."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo (guide §4.5 amortization, round-13): dedup
+        # corpora repeat payloads heavily by design, and identical bytes
+        # hash identically — decode each distinct payload once per task.
+        # Scoped to the task (fresh per invocation), never module-level.
+        memo: dict[bytes, tuple[int, str]] = {}
         for pdf in batches:
             hashes, status = [], []
             for payload in pdf["payload"]:
-                try:
-                    hashes.append(dhash64(payload))
-                    status.append("ok")
-                except Exception as e:  # noqa: BLE001 — per-row tolerance
-                    hashes.append(0)
-                    status.append(f"error:{type(e).__name__}")
+                hit = memo.get(payload)
+                if hit is None:
+                    try:
+                        hit = (dhash64(payload), "ok")
+                    except Exception as e:  # noqa: BLE001 — per-row tolerance
+                        hit = (0, f"error:{type(e).__name__}")
+                    memo[payload] = hit
+                hashes.append(hit[0])
+                status.append(hit[1])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -444,15 +452,21 @@ def perceptual_hash_assets(assets: DataFrame, hasher) -> DataFrame:
     in ``status`` with hash 0."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo: identical payloads hash identically (see
+        # dhash_assets) — one decode per distinct payload per task
+        memo: dict[bytes, tuple[int, str]] = {}
         for pdf in batches:
             hashes, status = [], []
             for payload in pdf["payload"]:
-                try:
-                    hashes.append(hasher(payload))
-                    status.append("ok")
-                except Exception as e:  # noqa: BLE001 — per-row tolerance
-                    hashes.append(0)
-                    status.append(f"error:{type(e).__name__}")
+                hit = memo.get(payload)
+                if hit is None:
+                    try:
+                        hit = (hasher(payload), "ok")
+                    except Exception as e:  # noqa: BLE001 — per-row tolerance
+                        hit = (0, f"error:{type(e).__name__}")
+                    memo[payload] = hit
+                hashes.append(hit[0])
+                status.append(hit[1])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -476,22 +490,29 @@ def synthesize_gradient_png_assets(params: DataFrame) -> DataFrame:
     paths. Deterministic per row: no RNG."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo: the payload depends only on (w, h, g, d, e),
+        # and the modular param derivations repeat tuples heavily (a few
+        # hundred distinct images per corpus) — encode each once per task
+        memo: dict[tuple, bytes] = {}
         for pdf in batches:
             payloads = []
             for w, h, g, dd, ee in zip(
                 pdf["w"], pdf["h"], pdf["g"], pdf["d"], pdf["e"]
             ):
-                w, h, g, dd, ee = int(w), int(h), int(g), int(dd), int(ee)
-                rows = [
-                    bytes((g + dd * x + ee * y) % 256 for x in range(w))
-                    for y in range(h)
-                ]
-                payloads.append(
-                    png_encode(
+                key = (int(w), int(h), int(g), int(dd), int(ee))
+                payload = memo.get(key)
+                if payload is None:
+                    w, h, g, dd, ee = key
+                    rows = [
+                        bytes((g + dd * x + ee * y) % 256 for x in range(w))
+                        for y in range(h)
+                    ]
+                    payload = png_encode(
                         w, h, rows,
                         color_type=0, filters=[0] + [2] * (h - 1),
                     )
-                )
+                    memo[key] = payload
+                payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -514,6 +535,10 @@ def synthesize_png_assets(params: DataFrame) -> DataFrame:
     per id: no RNG, stable across partitionings."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo for the gray branch only: its payload depends
+        # just on (w, h, g); the RGB branch's colour derives from the
+        # asset id, so every RGB payload is unique by construction
+        memo: dict[tuple, bytes] = {}
         for pdf in batches:
             payloads = []
             for aid, w, h, g, rgb in zip(
@@ -531,15 +556,17 @@ def synthesize_png_assets(params: DataFrame) -> DataFrame:
                         )
                     )
                 else:
-                    rows = [
-                        bytes([(g + y) % 256]) * w for y in range(h)
-                    ]
-                    payloads.append(
-                        png_encode(
+                    payload = memo.get((w, h, g))
+                    if payload is None:
+                        rows = [
+                            bytes([(g + y) % 256]) * w for y in range(h)
+                        ]
+                        payload = png_encode(
                             w, h, rows,
                             color_type=0, filters=[0] + [2] * (h - 1),
                         )
-                    )
+                        memo[(w, h, g)] = payload
+                    payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -583,15 +610,20 @@ def downsample_png_assets(assets: DataFrame) -> DataFrame:
     surface it in ``status``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo: identical payloads downsample identically
+        memo: dict[tuple, tuple] = {}
         for pdf in batches:
             payloads, mtypes = [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
-                try:
-                    payloads.append(png_box_downsample(payload))
-                    mtypes.append(mtype)
-                except Exception:  # noqa: BLE001 — per-row tolerance
-                    payloads.append(payload)
-                    mtypes.append(f"{mtype}+error")
+                hit = memo.get((payload, mtype))
+                if hit is None:
+                    try:
+                        hit = (png_box_downsample(payload), mtype)
+                    except Exception:  # noqa: BLE001 — per-row tolerance
+                        hit = (payload, f"{mtype}+error")
+                    memo[(payload, mtype)] = hit
+                payloads.append(hit[0])
+                mtypes.append(hit[1])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -705,15 +737,22 @@ def synthesize_wav_assets(params: DataFrame) -> DataFrame:
     in the DuckDB oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo: payload depends only on (n, ch, rate, b)
+        memo: dict[tuple, bytes] = {}
         for pdf in batches:
             payloads = []
             for aid, n, ch, rate, b in zip(
                 pdf["asset_id"], pdf["n_frames"], pdf["channels"],
                 pdf["rate"], pdf["b"],
             ):
-                n, ch, rate, b = int(n), int(ch), int(rate), int(b)
-                samples = [((b + 7 * k) % 97) - 48 for k in range(n * ch)]
-                payloads.append(wav_encode(rate, ch, samples))
+                key = (int(n), int(ch), int(rate), int(b))
+                payload = memo.get(key)
+                if payload is None:
+                    n, ch, rate, b = key
+                    samples = [((b + 7 * k) % 97) - 48 for k in range(n * ch)]
+                    payload = wav_encode(rate, ch, samples)
+                    memo[key] = payload
+                payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -744,15 +783,20 @@ def decimate_wav_assets(assets: DataFrame, *, factor: int = 2) -> DataFrame:
     failures pass through with ``+error`` tagged media_type."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo: identical payloads decimate identically
+        memo: dict[tuple, tuple] = {}
         for pdf in batches:
             payloads, mtypes = [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
-                try:
-                    payloads.append(wav_decimate(payload, factor))
-                    mtypes.append(mtype)
-                except Exception:  # noqa: BLE001 — per-row tolerance
-                    payloads.append(payload)
-                    mtypes.append(f"{mtype}+error")
+                hit = memo.get((payload, mtype))
+                if hit is None:
+                    try:
+                        hit = (wav_decimate(payload, factor), mtype)
+                    except Exception:  # noqa: BLE001 — per-row tolerance
+                        hit = (payload, f"{mtype}+error")
+                    memo[(payload, mtype)] = hit
+                payloads.append(hit[0])
+                mtypes.append(hit[1])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -883,19 +927,27 @@ def synthesize_y4m_assets(params: DataFrame) -> DataFrame:
     downstream decoder sees only bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo: payload depends only on (w, h, n, g)
+        memo: dict[tuple, bytes] = {}
         for pdf in batches:
             payloads = []
             for aid, w, h, n, g in zip(
                 pdf["asset_id"], pdf["w"], pdf["h"], pdf["n_frames"], pdf["g"]
             ):
-                aid, w, h, n, g = int(aid), int(w), int(h), int(n), int(g)
-                planes = [
-                    b"".join(
-                        bytes([(g + 3 * t + y) % 256]) * w for y in range(h)
-                    )
-                    for t in range(n)
-                ]
-                payloads.append(y4m_encode(w, h, planes))
+                key = (int(w), int(h), int(n), int(g))
+                payload = memo.get(key)
+                if payload is None:
+                    w, h, n, g = key
+                    planes = [
+                        b"".join(
+                            bytes([(g + 3 * t + y) % 256]) * w
+                            for y in range(h)
+                        )
+                        for t in range(n)
+                    ]
+                    payload = y4m_encode(w, h, planes)
+                    memo[key] = payload
+                payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -948,22 +1000,28 @@ def synthesize_y4m_scene_assets(params: DataFrame) -> DataFrame:
     oracle's closed form."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo: payload depends only on the param tuple
+        memo: dict[tuple, bytes] = {}
         for pdf in batches:
             payloads = []
             for w, h, n, g, cut, jump in zip(
                 pdf["w"], pdf["h"], pdf["n_frames"], pdf["g"],
                 pdf["cut"], pdf["jump"],
             ):
-                w, h, n = int(w), int(h), int(n)
-                g, cut, jump = int(g), int(cut), int(jump)
-                planes = [
-                    b"".join(
-                        bytes([g + y + (jump if t >= cut else 0)]) * w
-                        for y in range(h)
-                    )
-                    for t in range(n)
-                ]
-                payloads.append(y4m_encode(w, h, planes))
+                key = (int(w), int(h), int(n), int(g), int(cut), int(jump))
+                payload = memo.get(key)
+                if payload is None:
+                    w, h, n, g, cut, jump = key
+                    planes = [
+                        b"".join(
+                            bytes([g + y + (jump if t >= cut else 0)]) * w
+                            for y in range(h)
+                        )
+                        for t in range(n)
+                    ]
+                    payload = y4m_encode(w, h, planes)
+                    memo[key] = payload
+                payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -988,15 +1046,24 @@ def extract_features(assets: DataFrame, *, decoder=None) -> DataFrame:
     decode = decoder or _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-scoped memo: identical (payload, media_type) decode to
+        # identical features — one decode per distinct payload per task
+        memo: dict[tuple, tuple] = {}
         for pdf in batches:
             feats, status, nbytes = [], [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
-                try:
-                    feats.append(decode(payload, mtype))
-                    status.append("ok")
-                except Exception as e:  # noqa: BLE001 — per-row tolerance
-                    feats.append([0.0] * FEATURE_DIM)
-                    status.append(f"error:{type(e).__name__}")
+                hit = memo.get((payload, mtype))
+                if hit is None:
+                    try:
+                        hit = (decode(payload, mtype), "ok")
+                    except Exception as e:  # noqa: BLE001 — per-row tolerance
+                        hit = (
+                            [0.0] * FEATURE_DIM,
+                            f"error:{type(e).__name__}",
+                        )
+                    memo[(payload, mtype)] = hit
+                feats.append(hit[0])
+                status.append(hit[1])
                 nbytes.append(0 if payload is None else len(payload))
             yield pd.DataFrame(
                 {

@@ -605,13 +605,17 @@ def orders_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w9"),
     )
-    a = cp.select("c", F.col("p").alias("part_a"))
-    b = cp.select("c", F.col("p").alias("part_b"))
-    pairs = (
-        a.join(b, "c")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .join(w, "c")
-    )
+    # prune to the degree band BEFORE the quadratic self-join (round-13:
+    # the weight join ran after the pairing, so out-of-band hub
+    # customers still fanned out m² pairs only to be dropped — the
+    # opposite of the documented cap discipline); w9 rides leg a, so
+    # the post-pairing weight join disappears entirely. The banded edge
+    # list is materialized once so both pairing legs read it in place
+    # instead of each re-running the degree join (3 SMJ -> 2).
+    cpw = cp.join(w, "c").localCheckpoint(eager=True)
+    a = cpw.select("c", F.col("p").alias("part_a"), "w9")
+    b = cpw.select("c", F.col("p").alias("part_b"))
+    pairs = a.join(b, "c").filter(F.col("part_a") < F.col("part_b"))
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(

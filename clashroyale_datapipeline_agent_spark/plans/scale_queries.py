@@ -2414,8 +2414,8 @@ def docs_incremental_neardup_verified(
     kilobytes per thousand admitted docs
     (``dedup_incremental_neardup_verified``)."""
     from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        band_keys_from_sigs,
         dedup_incremental_neardup_verified,
-        lsh_band_keys,
         lsh_signatures,
     )
     from clashroyale_datapipeline_agent_spark.sources.readers import (
@@ -2427,8 +2427,12 @@ def docs_incremental_neardup_verified(
         "doc_id", "source", "text"
     )
     hist = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
-    key_map = lsh_band_keys(hist).distinct()
-    sigs = lsh_signatures(hist)
+    # ONE materialized history signature pass; the key map is a pure
+    # reshape of it (round-13 — previously band keys and signatures each
+    # re-ran the shingle + salted-md5 pipeline over history; rows are
+    # unique by the band-prefix construction, so no distinct exchange)
+    sigs = lsh_signatures(hist, materialize=True)
+    key_map = band_keys_from_sigs(sigs)
     out = dedup_incremental_neardup_verified(batch, key_map, sigs)
     return (
         out.groupBy("source", "status")

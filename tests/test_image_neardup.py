@@ -342,3 +342,31 @@ def test_pigeonhole_exactness_below_band_count(spark):
             ).collect()
         }
         assert got == want, (bands, got ^ want)
+
+
+def test_dhash_assets_memo_on_duplicate_payloads(spark):
+    """Round-13 task-scoped memo: a corpus where one payload repeats
+    (dedup fixtures do this by design) must hash every copy to the
+    per-unique-payload result — including the error path, where each
+    copy of a corrupt payload still reports its own error row."""
+    params = spark.createDataFrame(
+        [(i, 18, 16, 10, 2, 1) for i in range(5)]       # 5 identical images
+        + [(10, 18, 16, 40, 3, 2)],                      # 1 distinct image
+        "asset_id long, w int, h int, g int, d int, e int",
+    )
+    assets = synthesize_gradient_png_assets(params).coalesce(1)
+    corrupt = spark.createDataFrame(
+        [(90, bytearray(b"bad"), "image/png"),
+         (91, bytearray(b"bad"), "image/png")],          # repeated corrupt
+        "asset_id long, payload binary, media_type string",
+    )
+    out = {
+        r["asset_id"]: (r["dhash"], r["status"])
+        for r in dhash_assets(assets.unionByName(corrupt)).collect()
+    }
+    dup_expect = dhash64(_grad_png(18, 16, 10, 2, 1))
+    for i in range(5):
+        assert out[i] == (dup_expect, "ok")
+    assert out[10] == (dhash64(_grad_png(18, 16, 40, 3, 2)), "ok")
+    for aid in (90, 91):
+        assert out[aid][0] == 0 and out[aid][1].startswith("error:")

@@ -569,3 +569,41 @@ def test_incremental_hamming_verified_bucketed_no_history_shuffle(spark):
         assert all(s == "verified_dup" for s in statuses.values()), statuses
     finally:
         spark.sql("DROP TABLE IF EXISTS t_hamv_store")
+
+
+def test_band_keys_from_sigs_matches_lsh_band_keys(spark):
+    """Round-13 single-pass refactor: deriving band keys from an
+    already-computed signature frame (band_keys_from_sigs) must emit
+    exactly the rows lsh_band_keys computes from text — same id/band_key
+    set — and be duplicate-free by construction (the band-index prefix
+    makes one id's keys pairwise distinct), so callers can drop the
+    .distinct() exchange the two-pass shape needed."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        band_keys_from_sigs,
+        lsh_band_keys,
+        lsh_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc number {i} about topic {i % 5} with shared phrasing")
+            for i in range(30)
+        ]
+        + [(100, ""), (101, "xy")],  # zero-shingle docs: excluded by both
+        "doc_id long, text string",
+    )
+    direct = {
+        (r["id"], r["band_key"]) for r in lsh_band_keys(docs).collect()
+    }
+    sigs = lsh_signatures(docs, materialize=True)
+    derived_rows = band_keys_from_sigs(sigs).collect()
+    derived = {(r["id"], r["band_key"]) for r in derived_rows}
+    assert derived == direct
+    # duplicate-free without any distinct
+    assert len(derived_rows) == len(derived)
+    # materialize=True returns the same signature rows as the lazy path
+    lazy = {
+        (r["id"], tuple(r["sig"])) for r in lsh_signatures(docs).collect()
+    }
+    mat = {(r["id"], tuple(r["sig"])) for r in sigs.collect()}
+    assert mat == lazy
