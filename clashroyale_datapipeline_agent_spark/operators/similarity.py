@@ -1325,7 +1325,16 @@ class IvfPqIndex:
             }
             todo = sorted(c for c, nf in stats.items() if nf > max_files)
             skipped = sorted(c for c in stats if c not in todo)
-            for c in todo:
+
+            # two-phase (round-13, guide §2.6): stage every cell's
+            # replacement file CONCURRENTLY — each staging is one tiny
+            # independent Spark job with no durable effect, and the old
+            # serial loop paid full job latency per cell — then commit
+            # serially under the one-journal crash protocol. Any staging
+            # failure raises before the first commit.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def stage(c: int) -> tuple[int, list[str], str]:
                 part = os.path.join(base, f"cell={c}")
                 old = sorted(
                     os.path.join(part, f)
@@ -1335,9 +1344,15 @@ class IvfPqIndex:
                 expected = sum(sm._footer_rows(f) for f in old)
                 staging = os.path.join(sm._tmp_dir(base), f"c{c}")
                 shutil.rmtree(staging, ignore_errors=True)
-                self.spark.read.parquet(*old).coalesce(1).write.parquet(
-                    staging
+                self.spark.sparkContext.setJobDescription(
+                    f"IvfPqIndex.compact: stage cell {c}"
                 )
+                try:
+                    self.spark.read.parquet(*old).coalesce(1).write.parquet(
+                        staging
+                    )
+                finally:
+                    self.spark.sparkContext.setJobDescription(None)
                 parts = _glob.glob(os.path.join(staging, "part-*.parquet"))
                 if len(parts) != 1:
                     raise RuntimeError(
@@ -1351,6 +1366,16 @@ class IvfPqIndex:
                         f"vs expected {expected} — partition untouched, "
                         f"staging kept at {staging}"
                     )
+                return c, old, parts[0]
+
+            if len(todo) <= 1:
+                staged = [stage(c) for c in todo]
+            else:
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(todo))
+                ) as pool:
+                    staged = list(pool.map(stage, todo))
+            for c, old, staged_part in staged:
                 new_rel = (
                     f"cell={c}/part-00000-{_uuid.uuid4()}.c000.snappy.parquet"
                 )
@@ -1363,11 +1388,11 @@ class IvfPqIndex:
                         },
                         fh,
                     )
-                os.rename(parts[0], os.path.join(base, new_rel))
+                os.rename(staged_part, os.path.join(base, new_rel))
                 for f in old:
                     sm._rm_with_crc(f)
                 os.remove(sm._journal_path(base))
-                shutil.rmtree(staging, ignore_errors=True)
+                shutil.rmtree(os.path.dirname(staged_part), ignore_errors=True)
             return {"compacted": todo, "skipped": skipped}
 
 

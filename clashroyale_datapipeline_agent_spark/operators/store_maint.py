@@ -287,19 +287,20 @@ def _rm_with_crc(path: str) -> None:
             pass
 
 
-def _rewrite_bucket(
+def _stage_bucket(
     spark: SparkSession,
     location: str,
     bucket: int,
-    old_files: list[str],
     df: DataFrame,
     expected_rows: int,
     sort_cols: list[str],
-) -> None:
-    """Stage ``df`` as the bucket's single replacement file, verify the
-    footer row count against ``expected_rows``, then journal → rename in
-    → delete old. The journal write is the commit point for the delete
-    leg; a crash at any step is healed by :func:`recover`."""
+) -> str:
+    """Stage ``df`` as the bucket's single replacement file under
+    ``.maint_tmp/`` and verify the footer row count against
+    ``expected_rows``. Nothing durable changes here, so independent
+    buckets can stage CONCURRENTLY (guide §2.6: each staging is one
+    tiny Spark job; overlapping them back-fills the idle executors a
+    serial loop leaves); commit stays serial in :func:`_commit_bucket`."""
     staging = os.path.join(_tmp_dir(location), f"b{bucket}")
     shutil.rmtree(staging, ignore_errors=True)
     one = df.coalesce(1)
@@ -318,17 +319,80 @@ def _rewrite_bucket(
             f"expected {expected_rows} — store untouched, staging kept "
             f"at {staging} for inspection"
         )
+    return parts[0]
+
+
+def _commit_bucket(
+    location: str, bucket: int, old_files: list[str], staged_part: str
+) -> None:
+    """Journal → rename in → delete old → clear journal, for one staged
+    bucket. STRICTLY SERIAL (one journal file per store is the crash-
+    safety protocol); a crash at any step is healed by :func:`recover`."""
     new_name = f"part-00000-{uuid.uuid4()}_{bucket:05d}.c000.snappy.parquet"
     with open(_journal_path(location), "w") as fh:
         json.dump(
             {"bucket": bucket, "old_files": old_files, "new_file": new_name},
             fh,
         )
-    os.rename(parts[0], os.path.join(location, new_name))
+    os.rename(staged_part, os.path.join(location, new_name))
     for old in old_files:
         _rm_with_crc(old)
     os.remove(_journal_path(location))
-    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(staged_part), ignore_errors=True)
+
+
+def _rewrite_bucket(
+    spark: SparkSession,
+    location: str,
+    bucket: int,
+    old_files: list[str],
+    df: DataFrame,
+    expected_rows: int,
+    sort_cols: list[str],
+) -> None:
+    """Stage then commit one bucket (the single-bucket path retained
+    for the retention sweep, whose per-bucket work is data-dependent)."""
+    staged = _stage_bucket(
+        spark, location, bucket, df, expected_rows, sort_cols
+    )
+    _commit_bucket(location, bucket, old_files, staged)
+
+
+def _stage_all(
+    spark: SparkSession,
+    location: str,
+    work: list[tuple[int, list[str], DataFrame, int]],
+    sort_cols: list[str],
+) -> list[tuple[int, list[str], str]]:
+    """Stage every bucket's replacement file, overlapping the per-bucket
+    Spark jobs from a small thread pool (guide §2.6 — jobs are
+    independent; job descriptions are thread-local so each staging is
+    labelled). Returns ``(bucket, old_files, staged_part)`` in the input
+    order. Raises (with no durable change anywhere) if ANY staging
+    fails — the serial commit loop runs only on a fully-verified set,
+    which is strictly safer than the old stage-and-commit-per-bucket
+    interleave."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def stage(item):
+        b, _old, df, expected = item
+        spark.sparkContext.setJobDescription(
+            f"store_maint: stage bucket {b}"
+        )
+        try:
+            return _stage_bucket(spark, location, b, df, expected, sort_cols)
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    if len(work) <= 1:
+        staged = [stage(item) for item in work]
+    else:
+        with ThreadPoolExecutor(max_workers=min(8, len(work))) as pool:
+            staged = list(pool.map(stage, work))
+    return [
+        (b, old, part)
+        for (b, old, _df, _n), part in zip(work, staged)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -358,13 +422,21 @@ def store_compact(
         files = _bucket_files(loc)
         todo = sorted(b for b, fs in files.items() if len(fs) > max_files)
         skipped = sorted(b for b in files if b not in todo)
-        for b in todo:
-            old = files[b]
-            expected = sum(_footer_rows(f) for f in old)
-            df = spark.read.schema(schema).parquet(*old)
-            _rewrite_bucket(
-                spark, loc, b, old, df, expected, lay["sort_cols"]
+        # two-phase (round-13, guide §2.6): stage every bucket's
+        # replacement concurrently (independent tiny Spark jobs — a
+        # serial loop left the cluster idle per job), then commit
+        # serially under the one-journal crash protocol
+        work = [
+            (
+                b,
+                files[b],
+                spark.read.schema(schema).parquet(*files[b]),
+                sum(_footer_rows(f) for f in files[b]),
             )
+            for b in todo
+        ]
+        for b, old, staged in _stage_all(spark, loc, work, lay["sort_cols"]):
+            _commit_bucket(loc, b, old, staged)
     spark.sql(f"REFRESH TABLE {table}")
     return {"compacted": todo, "skipped": skipped}
 

@@ -192,9 +192,13 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_if_narrow,
     )
 
+    # the k−1 greedy rounds and the final readout each rescan the
+    # ground set: materialize the quantized projection ONCE (round-13,
+    # guide §5 localCheckpoint-to-cut-lineage) instead of re-reading
+    # parquet and re-deriving the 64-dim quantization 9 times
     v = spread_if_narrow(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _vq_col().alias("vq")
-    )
+    ).localCheckpoint(eager=True)
     seed = v.filter(F.col("vec_id") == 0).select("vq").collect()[0][0]
     picks: list[tuple[int, list[int]]] = [(0, [int(x) for x in seed])]
     for _ in range(_KC_K - 1):
