@@ -899,6 +899,7 @@ def dedup_incremental_neardup(
     num_hashes: int = 8,
     bands: int = 4,
     hash_fn=None,
+    batch_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup screen of a NEW batch against an LSH band-key history —
     the near-dup grain of :func:`dedup_incremental` (which is
@@ -919,8 +920,17 @@ def dedup_incremental_neardup(
     never text or signatures — plus one batch-local window on the same
     key. With the store bucketed (:func:`write_lsh_band_store`), the
     history side is read in place and only the batch exchanges.
+
+    ``batch_keys`` (round-13, guide §1.2 step 1): a caller that screens
+    the SAME batch more than once (the maintenance lifecycle screens it
+    before/after compaction and after retention) passes the batch's
+    ``(id, band_key)`` frame from one :func:`lsh_band_keys` call —
+    which eagerly materializes the signature internally — so the
+    shingle + MinHash pass is paid once, not once per screen. Must be
+    exactly ``lsh_band_keys(batch, ...)`` output for the same
+    parameters; results are identical by construction.
     """
-    bk = lsh_band_keys(
+    bk = batch_keys if batch_keys is not None else lsh_band_keys(
         batch,
         text_col=text_col,
         id_col=id_col,

@@ -155,7 +155,16 @@ def pagerank(
 
     Output: ``(node, rank, outdeg)`` with ``outdeg = 0`` for sinks.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge list ONCE (round-13, guide §2.4/§5): without
+    # this, the edges lineage — for the pagerank query a lineitem⋈orders
+    # + distinct — is embedded and re-executed in every consumer of the
+    # un-checkpointed subtrees: deg inside the ed checkpoint job, both
+    # union legs of nodes in the final job, and deg again in the final
+    # outdeg join (~5 upstream evaluations for one query; Spark does no
+    # cross-branch common-subexpression elimination on DataFrames)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     # rank universe = src ∪ dst: a sink-only node must appear (and keep

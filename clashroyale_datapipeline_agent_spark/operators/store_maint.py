@@ -341,23 +341,6 @@ def _commit_bucket(
     shutil.rmtree(os.path.dirname(staged_part), ignore_errors=True)
 
 
-def _rewrite_bucket(
-    spark: SparkSession,
-    location: str,
-    bucket: int,
-    old_files: list[str],
-    df: DataFrame,
-    expected_rows: int,
-    sort_cols: list[str],
-) -> None:
-    """Stage then commit one bucket (the single-bucket path retained
-    for the retention sweep, whose per-bucket work is data-dependent)."""
-    staged = _stage_bucket(
-        spark, location, bucket, df, expected_rows, sort_cols
-    )
-    _commit_bucket(location, bucket, old_files, staged)
-
-
 def _stage_all(
     spark: SparkSession,
     location: str,
@@ -500,37 +483,69 @@ def store_retention_sweep(
         recover(loc)
         os.makedirs(_tmp_dir(loc), exist_ok=True)
         files = _bucket_files(loc)
-        for b in affected:
+
+        # two-phase (round-13, guide §2.6, same shape as store_compact):
+        # phase 1 probes + stages every affected bucket CONCURRENTLY —
+        # the match count, keep-side scan and staging write are
+        # independent tiny Spark jobs with no durable effect, and a
+        # serial loop left the cluster idle through each job's tail.
+        # Any failure raises here, before anything durable happens.
+        def probe_and_stage(b: int):
+            """Returns (bucket, old_files, staged_part|None, n_dropped)
+            — ``staged_part is None`` means byte-untouched."""
             old = files.get(b, [])
             if not old:
+                return (b, old, None, 0)
+            spark.sparkContext.setJobDescription(
+                f"store_maint: retention probe/stage bucket {b}"
+            )
+            try:
+                before = sum(_footer_rows(f) for f in old)
+                bucket_df = spark.read.schema(schema).parquet(*old)
+                matched = (
+                    bucket_df.join(d, list(d.columns), "left_semi").count()
+                    if verify
+                    else None
+                )
+                keep = bucket_df.join(d, list(d.columns), "left_anti")
+                if matched == 0:
+                    return (b, old, None, 0)
+                if matched is None:
+                    # without the verify join we still must not rewrite
+                    # a bucket nothing matched in (byte-stability
+                    # contract): count the keep side once and compare
+                    # footers
+                    kept_n = keep.count()
+                    if kept_n == before:
+                        return (b, old, None, 0)
+                    expected = kept_n
+                else:
+                    expected = before - matched
+                staged = _stage_bucket(
+                    spark, loc, b, keep, expected, lay["sort_cols"]
+                )
+                return (b, old, staged, before - expected)
+            finally:
+                spark.sparkContext.setJobDescription(None)
+
+        if len(affected) <= 1:
+            results = [probe_and_stage(b) for b in affected]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(affected))
+            ) as pool:
+                results = list(pool.map(probe_and_stage, affected))
+
+        # phase 2: commit serially, in bucket order, under the
+        # one-journal crash protocol
+        for b, old, staged, n_dropped in results:
+            if staged is None:
                 untouched.append(b)
                 continue
-            before = sum(_footer_rows(f) for f in old)
-            bucket_df = spark.read.schema(schema).parquet(*old)
-            matched = (
-                bucket_df.join(d, list(d.columns), "left_semi").count()
-                if verify
-                else None
-            )
-            keep = bucket_df.join(d, list(d.columns), "left_anti")
-            if matched == 0:
-                untouched.append(b)
-                continue
-            if matched is None:
-                # without the verify join we still must not rewrite a
-                # bucket nothing matched in (byte-stability contract):
-                # count the keep side once and compare footers
-                kept_n = keep.count()
-                if kept_n == before:
-                    untouched.append(b)
-                    continue
-                expected = kept_n
-            else:
-                expected = before - matched
-            _rewrite_bucket(
-                spark, loc, b, old, keep, expected, lay["sort_cols"]
-            )
+            _commit_bucket(loc, b, old, staged)
             swept.append(b)
-            dropped += before - expected
+            dropped += n_dropped
     spark.sql(f"REFRESH TABLE {table}")
     return {"swept": swept, "untouched": untouched, "dropped_rows": dropped}

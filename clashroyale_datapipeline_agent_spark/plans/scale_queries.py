@@ -1600,22 +1600,8 @@ def dedup_lsh_band_sweep_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    xx = {
-        r["config"]: r
-        for r in _lsh_sweep(
-            spark, sf_dir,
-            F.array(*[_mh_xx(i) for i in range(_LSH_N_HASHES)]),
-            F.lit(True),
-        ).collect()
-    }
-    md5 = {
-        r["config"]: r
-        for r in _lsh_sweep(
-            spark, sf_dir,
-            F.array(*[_mh_md5(i) for i in range(_LSH_N_HASHES)]),
-            F.col("doc_id") % 4 == 0,
-        ).collect()
-    }
+    from concurrent.futures import ThreadPoolExecutor
+
     from clashroyale_datapipeline_agent_spark.operators.dedup import (
         shingles_col,
     )
@@ -1623,18 +1609,63 @@ def dedup_lsh_band_sweep_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_if_narrow,
     )
 
-    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
-    exact_pairs = int(
-        d.filter(F.size(shingles_col(F.col("text"), 3)) > 0)
-        .groupBy(F.md5("text").alias("fp"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(
-            F.coalesce(
-                F.sum(F.floor(F.col("n") * (F.col("n") - 1) / 2)), F.lit(0)
-            ).cast("bigint")
+    def xx_leg():
+        spark.sparkContext.setJobDescription("band_sweep_xx: xx full-corpus leg")
+        try:
+            return {
+                r["config"]: r
+                for r in _lsh_sweep(
+                    spark, sf_dir,
+                    F.array(*[_mh_xx(i) for i in range(_LSH_N_HASHES)]),
+                    F.lit(True),
+                ).collect()
+            }
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    def md5_leg():
+        spark.sparkContext.setJobDescription("band_sweep_xx: md5 slice leg")
+        try:
+            return {
+                r["config"]: r
+                for r in _lsh_sweep(
+                    spark, sf_dir,
+                    F.array(*[_mh_md5(i) for i in range(_LSH_N_HASHES)]),
+                    F.col("doc_id") % 4 == 0,
+                ).collect()
+            }
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    def exact_leg():
+        spark.sparkContext.setJobDescription("band_sweep_xx: exact-dup census leg")
+        try:
+            d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+            return int(
+                d.filter(F.size(shingles_col(F.col("text"), 3)) > 0)
+                .groupBy(F.md5("text").alias("fp"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.floor(F.col("n") * (F.col("n") - 1) / 2)),
+                        F.lit(0),
+                    ).cast("bigint")
+                )
+                .collect()[0][0]
+            )
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    # the three legs are INDEPENDENT driver-blocking computations
+    # (xx full-corpus sweep, md5 quarter-slice sweep, exact-dup
+    # census); overlapping them from driver threads (guide §2.6) turns
+    # sum-of-legs wall-clock into max-of-legs — each leg's eager
+    # checkpoints and collects leave the cluster idle otherwise
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fx, fm, fe = (
+            pool.submit(xx_leg), pool.submit(md5_leg), pool.submit(exact_leg)
         )
-        .collect()[0][0]
-    )
+        xx, md5, exact_pairs = fx.result(), fm.result(), fe.result()
 
     cfgs = [c for c, _, _ in _LSH_CONFIGS]
     xc = {c: int(xx[c]["n_candidates"]) if c in xx else 0 for c in cfgs}
@@ -2206,11 +2237,17 @@ def dedup_band_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
     hist_keys = lsh_band_keys(hist)  # (id, band_key); signature
     # checkpointed inside, so slabs/drop sets below re-explode only
+    # the batch side likewise (round-13): THREE lifecycle screens check
+    # the same batch, so its shingle+MinHash pass is paid once and each
+    # screen re-derives the key grain from the materialized signature
+    batch_keys = lsh_band_keys(batch)
 
     tbl = f"t_band_maint_{_uuid.uuid4().hex[:8]}"
 
     def counts(phase: str) -> list[tuple]:
-        out = dedup_incremental_neardup_bucketed(spark, batch, tbl)
+        out = dedup_incremental_neardup_bucketed(
+            spark, batch, tbl, batch_keys=batch_keys
+        )
         return [
             (phase, r["source"], r["status"], r["n"])
             for r in out.groupBy("source", "status")
@@ -2295,10 +2332,20 @@ def dedup_band_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist_keys.filter(~removed_ids).select("band_key").distinct()
         )
         store_keys = spark.table(tbl).select("band_key").distinct()
-        retention_membership_exact = (
-            store_keys.exceptAll(survivor_keys).count() == 0
-            and survivor_keys.exceptAll(store_keys).count() == 0
+        # set equality in ONE job (round-13): both sides are distinct,
+        # so |A\B| + |B\A| = rows of the full-outer join where either
+        # side is absent — the two exceptAll counts collapsed into one
+        mismatches = (
+            store_keys.withColumn("_s", F.lit(True))
+            .join(
+                survivor_keys.withColumn("_v", F.lit(True)),
+                "band_key",
+                "full_outer",
+            )
+            .filter(F.col("_s").isNull() | F.col("_v").isNull())
+            .count()
         )
+        retention_membership_exact = mismatches == 0
         post_retention = counts("c_post_retention")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")

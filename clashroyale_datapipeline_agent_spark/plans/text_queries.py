@@ -4434,9 +4434,21 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
         )
     )
+    # both orientations from ONE pass over pairs (explode, round-13):
+    # the two-leg union evaluated the join+distinct upstream once per
+    # leg inside pagerank's edge-list materialization job
     edges = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).unionByName(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cnode").alias("src"), F.col("snode").alias("dst")
+                ),
+                F.struct(
+                    F.col("snode").alias("src"), F.col("cnode").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank(edges, iterations=3, damping=0.85)
     return (
         pr.select("node", F.round("rank", 4).alias("rank"), "outdeg")

@@ -607,3 +607,49 @@ def test_band_keys_from_sigs_matches_lsh_band_keys(spark):
     }
     mat = {(r["id"], tuple(r["sig"])) for r in sigs.collect()}
     assert mat == lazy
+
+
+def test_incremental_neardup_precomputed_batch_keys_identical(spark):
+    """Round-13: a caller screening the same batch repeatedly (the
+    maintenance lifecycle) passes one lsh_band_keys() frame via
+    ``batch_keys`` so the shingle+MinHash pass is paid once — the
+    statuses must be IDENTICAL to the recompute path."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        dedup_incremental_neardup,
+        lsh_band_keys,
+    )
+
+    hist_docs = spark.createDataFrame(
+        [
+            (i, f"history doc number {i} about topic {i % 7} with more words")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1000 + i, f"history doc number {i} about topic {i % 7} with more words")
+            for i in range(5)
+        ]
+        + [
+            (1100, "zebra quokka wombat axolotl pangolin capuchin"),
+            (1101, "zebra quokka wombat axolotl pangolin capuchin"),
+            (1200, "fresh item entirely novel corpus entry"),
+            (1300, "xy"),  # zero-shingle: no keys, always kept
+        ],
+        "doc_id long, text string",
+    )
+    store = lsh_band_keys(hist_docs).select("band_key")
+    base = {
+        r["doc_id"]: r["status"]
+        for r in dedup_incremental_neardup(batch, store).collect()
+    }
+    pre = {
+        r["doc_id"]: r["status"]
+        for r in dedup_incremental_neardup(
+            batch, store, batch_keys=lsh_band_keys(batch)
+        ).collect()
+    }
+    assert pre == base
+    assert base[1300] == "kept" and base[1101] == "dup_batch"
+    assert {base[1000 + i] for i in range(5)} == {"dup_history"}
