@@ -108,6 +108,26 @@ def minhash_signature(
     return F.array(*[_mh(i) for i in range(num_hashes)])
 
 
+def shingle_frame(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The materialized ``(id, sh)`` shingle projection (round-13) — the
+    shared input of :func:`lsh_candidate_pairs` and
+    :func:`ngram_jaccard_pairs`: a caller running candidates + verify
+    over the same corpus computes it ONCE and passes it to both via
+    their ``shingles`` parameter, instead of paying the shingle pass
+    once for the candidate signature and twice more for the verify
+    join's two sides."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    ).localCheckpoint(eager=True)
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     *,
@@ -118,6 +138,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     max_bucket: int | None = None,
     hash_fn=None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -149,7 +170,10 @@ def lsh_candidate_pairs(
     # array from text inside one codegen stage (measured 53s -> ~2s at
     # sf0.1 on the band-sweep queries, same pathology). The checkpointed
     # frame is the narrow (id, shingles) projection, never the corpus.
-    base = docs.select(
+    # ``shingles`` (round-13): a caller also verifying with
+    # :func:`ngram_jaccard_pairs` passes one :func:`shingle_frame` for
+    # both stages (must match docs/id_col/shingle_n).
+    base = shingles if shingles is not None else docs.select(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), shingle_n).alias("sh"),
     ).localCheckpoint(eager=True)
@@ -207,14 +231,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs only.
 
     Joins shingle sets onto (id_a, id_b) and computes
     |A∩B| / |A∪B| with array intersection — verification stage of the
     MinHash pipeline (candidates << n², so the double join is cheap).
+    ``shingles`` (round-13): pass one :func:`shingle_frame` shared with
+    the candidate stage — otherwise the shingle pass is re-derived for
+    EACH side of the verify join (must match docs/id_col/shingle_n).
     """
-    sh = docs.select(
+    sh = shingles if shingles is not None else docs.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -295,9 +323,17 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
     larger id of each confirmed pair (greedy keeper = smallest id)."""
-    cands = lsh_candidate_pairs(docs, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    # one shingle pass for candidates AND verify (round-13) — sharable
+    # only when both stages shingle at the same n (verify is fixed at
+    # its default 3 here)
+    n = lsh_kwargs.get("shingle_n", 3)
+    sh = shingle_frame(docs, text_col=text_col, id_col=id_col, shingle_n=n)
+    cands = lsh_candidate_pairs(
+        docs, text_col=text_col, id_col=id_col, shingles=sh, **lsh_kwargs
+    )
     dupes = ngram_jaccard_pairs(
-        docs, cands, text_col=text_col, id_col=id_col, threshold=threshold
+        docs, cands, text_col=text_col, id_col=id_col, threshold=threshold,
+        shingles=sh if n == 3 else None,
     )
     losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")

@@ -37,9 +37,20 @@ def connected_components(
     ``max_iter`` bounds the rounds (diameter guard); raises if the
     fixpoint is not reached so truncated clusterings never slip through.
     """
+    # both orientations from ONE pass over edges (explode, round-13):
+    # the two-leg union evaluated the caller's edge lineage — typically
+    # a full LSH candidate/verify pipeline — once per leg inside the
+    # sym materialization job
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
@@ -222,6 +233,9 @@ def triangle_counts(
     wedge join on the middle node, closure join on the (src, dst) pair.
     Every triangle credits all 3 corners once.
     """
+    # materialize the normalized edge set once (round-13): it feeds deg
+    # (both union legs) and the with_deg join — 3 evaluations of the
+    # caller's edge lineage inside the adj checkpoint job otherwise
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -229,6 +243,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -359,13 +374,20 @@ def label_propagation(
     ordering dependence, so partitioning is free to follow the edge
     list.
     """
+    # one pass over the edge lineage for both orientations (round-13,
+    # same reshape as connected_components); u != v is orientation-
+    # symmetric so one post-explode filter replaces the per-leg pair
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .unionAll(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-            .filter(F.col("u") != F.col("v"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
         )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )

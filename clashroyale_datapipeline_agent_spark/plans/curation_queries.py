@@ -1549,6 +1549,7 @@ def curation_neardup_pipeline_report(
         lsh_candidate_pairs,
         md5_salted_hash,
         ngram_jaccard_pairs,
+        shingle_frame,
     )
     from clashroyale_datapipeline_agent_spark.operators.graph import (
         connected_components,
@@ -1599,6 +1600,10 @@ def curation_neardup_pipeline_report(
         .drop("rn", "fp", "mwl")
         .localCheckpoint(eager=True)
     )
+    # ONE shingle pass shared by the candidate signature and both sides
+    # of the Jaccard verify join (round-13, operators/dedup.py:
+    # shingle_frame) — previously derived three times from exact_kept
+    sh = shingle_frame(exact_kept, shingle_n=3)
     cand = lsh_candidate_pairs(
         exact_kept,
         shingle_n=3,
@@ -1606,9 +1611,10 @@ def curation_neardup_pipeline_report(
         bands=4,
         max_bucket=8,
         hash_fn=md5_salted_hash,
+        shingles=sh,
     )
     edges = ngram_jaccard_pairs(
-        exact_kept, cand, shingle_n=3, threshold=0.5
+        exact_kept, cand, shingle_n=3, threshold=0.5, shingles=sh
     ).select("id_a", "id_b")
     comps = connected_components(edges)
     assigned = exact_kept.join(

@@ -653,3 +653,48 @@ def test_incremental_neardup_precomputed_batch_keys_identical(spark):
     assert pre == base
     assert base[1300] == "kept" and base[1101] == "dup_batch"
     assert {base[1000 + i] for i in range(5)} == {"dup_history"}
+
+
+def test_shingle_frame_shared_pipeline_identical(spark):
+    """Round-13: one shingle_frame() passed to both lsh_candidate_pairs
+    and ngram_jaccard_pairs must reproduce the recompute path exactly
+    (the shared projection is a pure factoring of the same expression)."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"shared corpus doc {i % 4} about recurring topic {i % 4}")
+            for i in range(16)
+        ]
+        + [(100, "")],  # zero-shingle doc
+        "doc_id long, text string",
+    )
+    sh = shingle_frame(docs, shingle_n=3)
+    base_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    shared_pairs_df = lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, shingles=sh
+    )
+    shared_pairs = {
+        (r["id_a"], r["id_b"]) for r in shared_pairs_df.collect()
+    }
+    assert shared_pairs == base_pairs and base_pairs
+    base_ver = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, shared_pairs_df, threshold=0.5
+        ).collect()
+    }
+    shared_ver = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, shared_pairs_df, threshold=0.5, shingles=sh
+        ).collect()
+    }
+    assert shared_ver == base_ver and base_ver
