@@ -614,9 +614,11 @@ def orders_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customers still fanned out m² pairs only to be dropped — the
     # opposite of the documented cap discipline); w9 rides leg a, so
     # the post-pairing weight join disappears entirely. The banded edge
-    # list is materialized once so both pairing legs read it in place
-    # instead of each re-running the degree join (3 SMJ -> 2).
-    cpw = cp.join(w, "c").localCheckpoint(eager=True)
+    # list stays lineage-on-checkpoint (cp scan ⋈ w, with w a bounded
+    # per-customer agg of the same checkpoint): a second eager
+    # materialization here just serializes another job barrier without
+    # removing any fact-table work — cp is already pinned.
+    cpw = cp.join(w, "c")
     a = cpw.select("c", F.col("p").alias("part_a"), "w9")
     b = cpw.select("c", F.col("p").alias("part_b"))
     pairs = a.join(b, "c").filter(F.col("part_a") < F.col("part_b"))
