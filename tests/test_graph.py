@@ -32,8 +32,20 @@ def test_transitive_closure_beyond_greedy_pairs(spark):
 
 
 def test_nonconvergence_raises(spark):
+    # the first two rounds are plain one-hop hash-min, so a 30-chain
+    # cannot converge in max_iter=2 regardless of the path-compression
+    # rounds that would follow
     with pytest.raises(RuntimeError):
         _components(spark, [(i, i + 1) for i in range(30)], max_iter=2)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # 200-node chain: plain hash-min needs ~200 rounds; the escalated
+    # two-hop + pointer-jump rounds cover exponentially growing distance
+    # (d -> 2d + 4), so the default max_iter=20 must suffice and every
+    # node must land on the chain minimum
+    got = _components(spark, [(i, i + 1) for i in range(199)])
+    assert got == {i: 0 for i in range(200)}
 
 
 def test_leakage_safe_split_keeps_near_dups_together(spark):
