@@ -1374,29 +1374,29 @@ def _lsh_sweep(spark: SparkSession, sf_dir: str, minh, doc_filter) -> DataFrame:
     sigs = base.select("doc_id", "shingles", minh.alias("sig")).localCheckpoint(
         eager=True
     )
-    parts = []
-    for cfg, b, r in _LSH_CONFIGS:
-        bb = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("bi"),
-                        F.concat_ws("|", F.slice("sig", bi * r + 1, r)).alias(
-                            "bsig"
-                        ),
-                    )
-                    for bi in range(b)
-                ]
-            )
-        ).alias("bb")
-        parts.append(
-            sigs.select(F.lit(cfg).alias("cfg"), "doc_id", bb).select(
-                "cfg", "doc_id", "bb.bi", "bb.bsig"
-            )
+    # ONE traversal of the signature checkpoint for all band configs
+    # (round-13): the per-config union scanned sigs once per config —
+    # a single explode over every (cfg, bi) slice emits the identical
+    # row set in one pass, the shape the DuckDB twin's
+    # ``sigs CROSS JOIN bands`` already uses
+    bb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(cfg).alias("cfg"),
+                    F.lit(bi).alias("bi"),
+                    F.concat_ws("|", F.slice("sig", bi * r + 1, r)).alias(
+                        "bsig"
+                    ),
+                )
+                for cfg, b, r in _LSH_CONFIGS
+                for bi in range(b)
+            ]
         )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+    ).alias("bb")
+    banded = sigs.select("doc_id", bb).select(
+        "bb.cfg", "doc_id", "bb.bi", "bb.bsig"
+    )
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(
@@ -2245,15 +2245,28 @@ def dedup_band_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = f"t_band_maint_{_uuid.uuid4().hex[:8]}"
 
     def counts(phase: str) -> list[tuple]:
-        out = dedup_incremental_neardup_bucketed(
-            spark, batch, tbl, batch_keys=batch_keys
-        )
-        return [
-            (phase, r["source"], r["status"], r["n"])
-            for r in out.groupBy("source", "status")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            .collect()
-        ]
+        spark.sparkContext.setJobDescription(f"band_maint: screen {phase}")
+        try:
+            out = dedup_incremental_neardup_bucketed(
+                spark, batch, tbl, batch_keys=batch_keys
+            )
+            return [
+                (phase, r["source"], r["status"], r["n"])
+                for r in out.groupBy("source", "status")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                .collect()
+            ]
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _overlap(*thunks):
+        # READ-ONLY lifecycle steps between two mutations are
+        # independent driver-blocking legs; overlap them (guide §2.6)
+        # so each mutation waits on max-of-legs, not sum-of-legs
+        with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+            return [f.result() for f in [pool.submit(t) for t in thunks]]
 
     try:
         write_lsh_band_store(
@@ -2263,25 +2276,30 @@ def dedup_band_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist_keys.filter(F.col("id") % 2 == 1), tbl,
             num_buckets=8, mode="append",
         )
-        pre = counts("a_pre")
-
-        stats0 = sm.store_file_stats(spark, tbl).collect()
+        # screen + footer readout (store reads) + the survivor min
+        # (hist-only, store-independent) all precede the first mutation
+        pre, stats0, first_survivor = _overlap(
+            lambda: counts("a_pre"),
+            lambda: sm.store_file_stats(spark, tbl).collect(),
+            lambda: hist.filter(F.col("doc_id") % 5 != 1)
+            .agg(F.min("doc_id"))
+            .collect()[0][0],
+        )
         rows0 = sum(r["n_rows"] for r in stats0)
         sm.store_compact(spark, tbl, max_files=1)
-        rows1 = sum(
-            r["n_rows"] for r in sm.store_file_stats(spark, tbl).collect()
+        rows1_stats, post_raw = _overlap(
+            lambda: sm.store_file_stats(spark, tbl).collect(),
+            lambda: counts("x"),
         )
+        rows1 = sum(r["n_rows"] for r in rows1_stats)
         rows_conserved = rows1 == rows0
         post_compact = [
-            ("b_post_compact", s, st, n) for _, s, st, n in counts("x")
+            ("b_post_compact", s, st, n) for _, s, st, n in post_raw
         ]
 
         # tiny append (one surviving doc's keys, already members) makes
         # a SUBSET of buckets multi-file; the threshold pass must leave
         # the rest byte-identical and then have nothing left to do
-        first_survivor = hist.filter(F.col("doc_id") % 5 != 1).agg(
-            F.min("doc_id")
-        ).collect()[0][0]
         write_lsh_band_store(
             hist_keys.filter(F.col("id") == first_survivor), tbl,
             num_buckets=8, mode="append",
@@ -2335,18 +2353,18 @@ def dedup_band_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # set equality in ONE job (round-13): both sides are distinct,
         # so |A\B| + |B\A| = rows of the full-outer join where either
         # side is absent — the two exceptAll counts collapsed into one
-        mismatches = (
-            store_keys.withColumn("_s", F.lit(True))
+        mismatches, post_retention = _overlap(
+            lambda: store_keys.withColumn("_s", F.lit(True))
             .join(
                 survivor_keys.withColumn("_v", F.lit(True)),
                 "band_key",
                 "full_outer",
             )
             .filter(F.col("_s").isNull() | F.col("_v").isNull())
-            .count()
+            .count(),
+            lambda: counts("c_post_retention"),
         )
         retention_membership_exact = mismatches == 0
-        post_retention = counts("c_post_retention")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
