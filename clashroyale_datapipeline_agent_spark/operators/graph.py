@@ -60,7 +60,10 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
-    def _hop(lbl: DataFrame) -> DataFrame:
+    def _hop(lbl: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        # ``carry`` columns ride the lbl side of the (single) join —
+        # the round start's label travels with each row so the changed
+        # test needs no second join against the previous checkpoint
         nbr_min = (
             sym.join(lbl, sym.v == lbl.id)
             .groupBy(F.col("u").alias("id"))
@@ -71,14 +74,22 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce("nbr_min", F.col("component"))
             ).alias("component"),
+            *carry,
         )
 
     for i in range(max_iter):
+        # each round's checkpoint carries the round-start label as
+        # ``_orig`` (round-13): the changed test becomes a filter-count
+        # over the new checkpoint alone instead of a shuffle join of
+        # the new and old label tables — one exchange-free job per
+        # round, and labels only ever decrease so new < _orig is
+        # exactly the old new < old comparison
+        start = labels.select("id", "component", F.col("component").alias("_orig"))
         if i < 2:
             # small-diameter graphs (the common near-dup case) converge
             # in 2-4 plain hash-min rounds; keep those rounds at the
             # cheap one-hop shape
-            new_labels = _hop(labels).localCheckpoint()
+            new_labels = _hop(start, carry=("_orig",)).localCheckpoint()
         else:
             # still unconverged at round 2 ⇒ long chains — escalate to
             # the CC-MR / hash-min-with-path-compression round: TWO
@@ -96,22 +107,19 @@ def connected_components(
             # straggler tail, locally ~0.3 s of fixed job overhead
             # (measured 14 -> 6 rounds on the image near-dup report's
             # component stage).
-            two_hop = _hop(_hop(labels))
+            two_hop = _hop(_hop(start, carry=("_orig",)), carry=("_orig",))
             lut = two_hop.select(
                 F.col("id").alias("_k"), F.col("component").alias("_v")
             )
             new_labels = (
                 two_hop.join(lut, two_hop.component == lut._k)
-                .select("id", F.col("_v").alias("component"))
+                .select("id", F.col("_v").alias("component"), "_orig")
                 .localCheckpoint()
             )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") < F.col("_orig")
+        ).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
