@@ -359,6 +359,10 @@ def kcore_peel(
     )
     trail: list[tuple[DataFrame, DataFrame]] = []
     max_rounds = rounds if rounds is not None else 50
+    # each round's edge count is next round's "previous" count — carry
+    # it in the driver instead of re-counting the old checkpoint every
+    # round (round-13: one fewer job per peel round)
+    prev_n = cur.count() if rounds is None else None
     for _ in range(max_rounds):
         deg = (
             cur.select(F.col("u").alias("node"))
@@ -373,8 +377,11 @@ def kcore_peel(
             .localCheckpoint()
         )
         trail.append((keep, nxt))
-        if rounds is None and nxt.count() == cur.count():
-            return trail
+        if rounds is None:
+            nxt_n = nxt.count()
+            if nxt_n == prev_n:
+                return trail
+            prev_n = nxt_n
         cur = nxt
     if rounds is None:
         raise RuntimeError(f"kcore_peel did not stabilize in {max_rounds} rounds")
@@ -446,20 +453,25 @@ def label_propagation(
         winner = nbr_label_counts.groupBy("id").agg(
             F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
         ).select("id", (-F.col("m.nl")).alias("new_label"))
-        new_labels = (
+        # the old label is already on the join's lbl side, so the
+        # checkpoint carries the changed flag and the per-round count
+        # is a filter over the new checkpoint alone — no second shuffle
+        # join of old vs new labels (round-13, the
+        # connected_components discipline)
+        cp = (
             labels.join(winner, "id", "left")
             .select(
                 "id",
                 F.coalesce("new_label", F.col("label")).alias("label"),
+                (
+                    F.coalesce("new_label", F.col("label"))
+                    != F.col("label")
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = cp.filter(F.col("_chg")).count()
+        new_labels = cp.select("id", "label")
         trail.append((new_labels, changed))
         labels = new_labels
     return trail
