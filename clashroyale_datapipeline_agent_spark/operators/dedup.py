@@ -1077,6 +1077,7 @@ def dedup_incremental_neardup_verified(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn=None,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The VERIFIED incremental near-dup screen — the production stage
     :func:`dedup_incremental_neardup` defers to ("pipelines then
@@ -1113,8 +1114,12 @@ def dedup_incremental_neardup_verified(
     # ONE materialized signature pass serves both grains: band keys are
     # a pure reshape of the signature (round-13 — previously the
     # identical shingle + num_hashes-hash pipeline ran twice over the
-    # batch, once per grain)
-    sig_b = lsh_signatures(
+    # batch, once per grain). ``batch_sigs`` is the :func:`lsh_signatures`
+    # passthrough for callers that already hold the batch's signatures
+    # (e.g. one corpus-wide pass split into batch/history slices) —
+    # must be exactly ``lsh_signatures(batch, ...)`` output for the
+    # same parameters; results are identical by construction
+    sig_b = batch_sigs if batch_sigs is not None else lsh_signatures(
         batch,
         text_col=text_col,
         id_col=id_col,

@@ -2091,9 +2091,18 @@ def docs_incremental_neardup_counts(
     batch = d.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id", "source", "text"
     )
-    hist_docs = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
-    store = lsh_band_keys(hist_docs).select("band_key").distinct()
-    out = dedup_incremental_neardup(batch, store)
+    # ONE shingle+MinHash pass over the whole corpus, split into the
+    # history/batch slices afterwards (round-13): the per-side passes
+    # did the same total hashing in two serial checkpoint jobs; the
+    # signature is per-doc, so a filter of the corpus-wide key frame
+    # is exactly the per-side frame
+    keys = lsh_band_keys(d)
+    store = (
+        keys.filter(F.col("id") % 4 != 0).select("band_key").distinct()
+    )
+    out = dedup_incremental_neardup(
+        batch, store, batch_keys=keys.filter(F.col("id") % 4 == 0)
+    )
     return (
         out.groupBy("source", "status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -2235,12 +2244,14 @@ def dedup_band_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     hist = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
-    hist_keys = lsh_band_keys(hist)  # (id, band_key); signature
-    # checkpointed inside, so slabs/drop sets below re-explode only
-    # the batch side likewise (round-13): THREE lifecycle screens check
-    # the same batch, so its shingle+MinHash pass is paid once and each
-    # screen re-derives the key grain from the materialized signature
-    batch_keys = lsh_band_keys(batch)
+    # ONE shingle+MinHash pass over the whole corpus (round-13), split
+    # into the history/batch key slices afterwards — the signature is
+    # per-doc, so each slice equals its per-side lsh_band_keys output.
+    # The checkpointed signature inside means slabs/drop sets below
+    # only re-explode; the THREE lifecycle screens reuse batch_keys.
+    all_keys = lsh_band_keys(d)
+    hist_keys = all_keys.filter(F.col("id") % 4 != 0)
+    batch_keys = all_keys.filter(F.col("id") % 4 == 0)
 
     tbl = f"t_band_maint_{_uuid.uuid4().hex[:8]}"
 
@@ -2491,14 +2502,20 @@ def docs_incremental_neardup_verified(
     batch = d.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id", "source", "text"
     )
-    hist = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
-    # ONE materialized history signature pass; the key map is a pure
-    # reshape of it (round-13 — previously band keys and signatures each
-    # re-ran the shingle + salted-md5 pipeline over history; rows are
-    # unique by the band-prefix construction, so no distinct exchange)
-    sigs = lsh_signatures(hist, materialize=True)
+    # ONE materialized signature pass over the WHOLE corpus, split into
+    # history/batch slices afterwards (round-13 — previously band keys
+    # and signatures each re-ran the shingle + salted-md5 pipeline per
+    # grain, then once per side; the signature is per-doc, so slice
+    # filters of one corpus-wide pass are exactly the per-side frames;
+    # key-map rows stay unique by the band-prefix construction, so no
+    # distinct exchange)
+    sigs_all = lsh_signatures(d, materialize=True)
+    sigs = sigs_all.filter(F.col("id") % 4 != 0)
     key_map = band_keys_from_sigs(sigs)
-    out = dedup_incremental_neardup_verified(batch, key_map, sigs)
+    out = dedup_incremental_neardup_verified(
+        batch, key_map, sigs,
+        batch_sigs=sigs_all.filter(F.col("id") % 4 == 0),
+    )
     return (
         out.groupBy("source", "status")
         .agg(

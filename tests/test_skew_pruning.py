@@ -655,6 +655,65 @@ def test_incremental_neardup_precomputed_batch_keys_identical(spark):
     assert {base[1000 + i] for i in range(5)} == {"dup_history"}
 
 
+def test_incremental_neardup_verified_precomputed_batch_sigs_identical(spark):
+    """Round-13: a caller that already holds the batch's signatures
+    (one corpus-wide lsh_signatures pass split into slices) passes them
+    via ``batch_sigs`` — statuses and estimates must be IDENTICAL to
+    the internal-compute path, including when the passthrough frame is
+    a filter of a corpus-wide signature frame."""
+    from pyspark.sql import functions as F
+
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        band_keys_from_sigs,
+        dedup_incremental_neardup_verified,
+        lsh_signatures,
+    )
+
+    hist_docs = spark.createDataFrame(
+        [
+            (i, f"history doc number {i} about topic {i % 7} with more words")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1000 + i, f"history doc number {i} about topic {i % 7} with more words")
+            for i in range(5)
+        ]
+        + [
+            (1100, "zebra quokka wombat axolotl pangolin capuchin"),
+            (1101, "zebra quokka wombat axolotl pangolin capuchin"),
+            (1200, "fresh item entirely novel corpus entry"),
+            (1300, "xy"),  # zero-shingle: no keys, always kept
+        ],
+        "doc_id long, text string",
+    )
+    hist_sigs = lsh_signatures(hist_docs, materialize=True)
+    key_map = band_keys_from_sigs(hist_sigs)
+    base = {
+        r["doc_id"]: (r["status"], r["best_est"])
+        for r in dedup_incremental_neardup_verified(
+            batch, key_map, hist_sigs
+        ).collect()
+    }
+    # corpus-wide pass: batch + history signed together, then sliced
+    all_docs = hist_docs.unionByName(batch)
+    all_sigs = lsh_signatures(all_docs, materialize=True)
+    pre = {
+        r["doc_id"]: (r["status"], r["best_est"])
+        for r in dedup_incremental_neardup_verified(
+            batch,
+            band_keys_from_sigs(all_sigs.filter(F.col("id") < 1000)),
+            all_sigs.filter(F.col("id") < 1000),
+            batch_sigs=all_sigs.filter(F.col("id") >= 1000),
+        ).collect()
+    }
+    assert pre == base
+    assert base[1300] == ("kept", None)
+    assert {base[1000 + i][0] for i in range(5)} == {"verified_dup"}
+
+
 def test_shingle_frame_shared_pipeline_identical(spark):
     """Round-13: one shingle_frame() passed to both lsh_candidate_pairs
     and ngram_jaccard_pairs must reproduce the recompute path exactly
