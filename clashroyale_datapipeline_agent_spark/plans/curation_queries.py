@@ -2556,20 +2556,30 @@ def curation_image_neardup_report(
     )
     # one synthesis, two consumers (fingerprint + survivor hashing):
     # payloads are a few hundred bytes each, checkpoint instead of
-    # re-encoding the corpus twice
-    assets = synthesize_gradient_png_assets(params).localCheckpoint(
-        eager=True
+    # re-encoding the corpus twice; the content fingerprint rides the
+    # SAME checkpoint (round-13 — md5 over every payload ran once per
+    # exact_kept consumer otherwise)
+    assets = (
+        synthesize_gradient_png_assets(params)
+        .withColumn("fp", F.md5("payload"))
+        .localCheckpoint(eager=True)
     )
     fp_w = Window.partitionBy("fp").orderBy("asset_id")
+    # the keeper set feeds TWO joins (survivor hashing + the report
+    # merge); it is a tiny (asset_id) list — materialize it once so the
+    # fingerprint window runs once, not once per consumer
     exact_kept = (
-        assets.select("asset_id", F.md5("payload").alias("fp"))
+        assets.select("asset_id", "fp")
         .withColumn("rn", F.row_number().over(fp_w))
         .filter(F.col("rn") == 1)
         .select("asset_id")
+        .localCheckpoint(eager=True)
     )
-    hashes = dhash_assets(assets.join(exact_kept, "asset_id")).select(
-        F.col("asset_id").alias("id"), F.col("dhash").alias("h")
-    )
+    # project to exactly what the codec reads BEFORE the opaque Arrow
+    # stage (guide §4.1): the checkpoint now also carries fp
+    hashes = dhash_assets(
+        assets.select("asset_id", "payload").join(exact_kept, "asset_id")
+    ).select(F.col("asset_id").alias("id"), F.col("dhash").alias("h"))
     pairs = hamming_candidate_pairs(
         hashes, hash_col="h", id_col="id", bands=4, bits=64,
         max_hamming=6, max_bucket=16,

@@ -2463,9 +2463,13 @@ def ann_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged_cells = sorted(
         r["cell"] for r in flags.filter("flagged").collect()
     )
+    # a plain filter VIEW of the assign checkpoint (round-13): both
+    # consumers (the flagged-cell sums collect and the re-assign leg)
+    # re-apply a trivial predicate to checkpointed rows — a second
+    # eager materialization job bought nothing
     members = assign.filter(
         (F.col("cell").isin(flagged_cells) & ~is_batch) | is_batch
-    ).localCheckpoint(eager=True)
+    )
     updated = list(seeds)
     if flagged_cells:
         sums = (
