@@ -966,15 +966,28 @@ def dedup_incremental_neardup(
     exactly ``lsh_band_keys(batch, ...)`` output for the same
     parameters; results are identical by construction.
     """
-    bk = batch_keys if batch_keys is not None else lsh_band_keys(
-        batch,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-        bands=bands,
-        hash_fn=hash_fn,
-    )
+    if batch_keys is not None:
+        # loud guard on the passthrough contract (schema-level, free):
+        # a frame that is not lsh_band_keys output would silently skew
+        # the screen otherwise
+        missing = {"id", "band_key"} - set(batch_keys.columns)
+        if missing:
+            raise ValueError(
+                f"batch_keys passthrough lacks column(s) {sorted(missing)}: "
+                "must be lsh_band_keys(batch, ...) output for the same "
+                "parameters"
+            )
+        bk = batch_keys
+    else:
+        bk = lsh_band_keys(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_fn=hash_fn,
+        )
     hist = store_keys.select("band_key")
     # left_semi: membership without fan-out — a key appearing twice in
     # history (append-mode stores are not forced distinct) must not
@@ -1119,15 +1132,39 @@ def dedup_incremental_neardup_verified(
     # (e.g. one corpus-wide pass split into batch/history slices) —
     # must be exactly ``lsh_signatures(batch, ...)`` output for the
     # same parameters; results are identical by construction
-    sig_b = batch_sigs if batch_sigs is not None else lsh_signatures(
-        batch,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-        hash_fn=fn,
-        materialize=True,
-    )
+    if batch_sigs is not None:
+        # loud guard on the passthrough contract: est_frac divides the
+        # componentwise agreement by ``num_hashes``, so a signature
+        # built with different parameters would silently skew best_est.
+        # Schema-level check (free); the element count itself is only
+        # knowable at runtime and stays a docstring contract like
+        # ``batch_keys``.
+        from pyspark.sql import types as T
+
+        missing = {"id", "sig"} - set(batch_sigs.columns)
+        if missing:
+            raise ValueError(
+                f"batch_sigs passthrough lacks column(s) {sorted(missing)}: "
+                "must be lsh_signatures(batch, ...) output for the same "
+                "parameters"
+            )
+        sig_field = batch_sigs.schema["sig"].dataType
+        if not isinstance(sig_field, T.ArrayType):
+            raise ValueError(
+                f"batch_sigs.sig must be an array signature column, got "
+                f"{sig_field.simpleString()}"
+            )
+        sig_b = batch_sigs
+    else:
+        sig_b = lsh_signatures(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            hash_fn=fn,
+            materialize=True,
+        )
     bk = band_keys_from_sigs(sig_b, num_hashes=num_hashes, bands=bands)
     cand = (
         bk.join(

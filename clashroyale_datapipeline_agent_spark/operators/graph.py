@@ -24,6 +24,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release a SUPERSEDED localCheckpoint's cached blocks (guide §5:
+    unpersist when done). Loop operators otherwise hold one persisted
+    RDD per round until the session's context cleaner gets around to
+    it — bounded locally by round counts, but executor storage grows
+    linearly with rounds at scale. Only call this on a checkpoint that
+    no live DataFrame will ever read again: a local checkpoint's
+    lineage is truncated, so an unpersisted one cannot be recomputed.
+    Best-effort — on any JVM-handle change this degrades to the old
+    leave-it-to-the-cleaner behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail a query
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -77,6 +93,7 @@ def connected_components(
             *carry,
         )
 
+    prev_ck = labels
     for i in range(max_iter):
         # each round's checkpoint carries the round-start label as
         # ``_orig`` (round-13): the changed test becomes a filter-count
@@ -119,6 +136,12 @@ def connected_components(
         changed = new_labels.filter(
             F.col("component") < F.col("_orig")
         ).count()
+        # the count above materialized this round's checkpoint; the
+        # previous round's blocks are now unreachable by any future
+        # read — release them so persisted storage stays O(1) in
+        # rounds instead of O(rounds) (guide §5)
+        _unpersist_checkpoint(prev_ck)
+        prev_ck = new_labels
         labels = new_labels.select("id", "component")
         if changed == 0:
             return labels
@@ -224,6 +247,7 @@ def pagerank(
     )
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     base = F.lit(1.0 - damping)
+    prev_ck: DataFrame | None = None
     for i in range(iterations):
         contribs = (
             ed.join(ranks, ed.src == ranks.node)
@@ -243,6 +267,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+            # the new (eager) checkpoint is materialized; the previous
+            # one is superseded — release its blocks (guide §5)
+            if prev_ck is not None:
+                _unpersist_checkpoint(prev_ck)
+            prev_ck = ranks
     return ranks.join(deg, ranks.node == deg.src, "left").select(
         "node", "rank", F.coalesce("outdeg", F.lit(0)).cast("bigint").alias("outdeg")
     )

@@ -2275,9 +2275,29 @@ def dedup_band_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _overlap(*thunks):
         # READ-ONLY lifecycle steps between two mutations are
         # independent driver-blocking legs; overlap them (guide §2.6)
-        # so each mutation waits on max-of-legs, not sum-of-legs
+        # so each mutation waits on max-of-legs, not sum-of-legs.
+        # Job descriptions set inside the legs are thread-local in the
+        # JVM because PySpark's pinned-thread mode (default since 3.2)
+        # maps each Python thread to its own JVM thread; without it the
+        # labels could cross-tag, which is cosmetic only. All legs are
+        # awaited before any failure propagates, so a sibling leg's
+        # failure is never silently discarded mid-flight.
         with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-            return [f.result() for f in [pool.submit(t) for t in thunks]]
+            futs = [pool.submit(t) for t in thunks]
+            results, errors = [], []
+            for f in futs:
+                try:
+                    results.append(f.result())
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    errors.append(e)
+            if errors:
+                if len(errors) > 1:
+                    raise RuntimeError(
+                        f"{len(errors)} overlapped legs failed: "
+                        + "; ".join(repr(e) for e in errors)
+                    ) from errors[0]
+                raise errors[0]
+            return results
 
     try:
         write_lsh_band_store(

@@ -158,3 +158,38 @@ def test_kcore_query_monotone(spark):
     # peeling never grows the graph
     assert rows[0].n_nodes >= rows[1].n_nodes >= rows[2].n_nodes
     assert rows[0].n_edges >= rows[1].n_edges >= rows[2].n_edges
+
+
+def _persisted_rdd_ids(spark) -> set[int]:
+    return {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def test_cc_releases_superseded_round_checkpoints(spark):
+    # A 60-node chain needs ~6 rounds (2 one-hop + escalated); each
+    # round creates one localCheckpoint. Superseded rounds must be
+    # unpersisted as the loop advances (guide §5) — the persisted-RDD
+    # census may grow only by O(1) (sym + the final round's labels),
+    # never by O(rounds).
+    before = _persisted_rdd_ids(spark)
+    got = _components(spark, [(i, i + 1) for i in range(59)])
+    assert got == {i: 0 for i in range(60)}
+    leaked = _persisted_rdd_ids(spark) - before
+    assert len(leaked) <= 3, f"cc leaked {len(leaked)} persisted RDDs"
+
+
+def test_pagerank_releases_superseded_checkpoints(spark):
+    from clashroyale_datapipeline_agent_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    before = _persisted_rdd_ids(spark)
+    # 12 rounds / checkpoint_every=2 -> 5 mid-loop checkpoints; only
+    # the newest may stay persisted (plus the e/ed edge materializations)
+    rows = pagerank(edges, iterations=12, checkpoint_every=2).collect()
+    assert abs(sum(r.rank for r in rows) - 3.0) < 1e-9
+    leaked = _persisted_rdd_ids(spark) - before
+    assert len(leaked) <= 3, f"pagerank leaked {len(leaked)} persisted RDDs"

@@ -18,6 +18,14 @@ doc_id % 4 = 0 slice at $SPARK_GRAFT_SF_DIR), mirroring
 
 Usage: python tools/banding_shape_evidence.py <out_dir>
 Writes ``lsh_sweep_banding_union.txt`` / ``_explode.txt``.
+
+HONESTY PIN: the banding construction below is a hand copy of
+``plans/scale_queries.py::_lsh_sweep`` (the signature/minhash head and
+the per-(cfg, bi) struct-explode + banded self-join). The production
+function takes a live SparkSession + the full sweep tail, so it cannot
+be imported and truncated here; if ``_lsh_sweep``'s banding changes,
+UPDATE THIS SCRIPT IN THE SAME COMMIT or the evidence it dumps stops
+describing the shipped plan.
 """
 
 from __future__ import annotations
@@ -145,7 +153,8 @@ def main() -> None:
                     )
                 )
             )
-        plan = open(path).read()
+        with open(path) as fh:
+            plan = fh.read()
         print(
             f"{name}: ScanRDD={plan.count('Scan ExistingRDD')} "
             f"Generate={plan.count('Generate')} "
