@@ -601,23 +601,33 @@ def orders_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     deg = cp.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    w = deg.filter(
-        (F.col("d") >= _AA_MIN_DEG) & (F.col("d") <= _AA_MAX_DEG)
-    ).select(
-        "c",
-        F.round(F.lit(1000000000.0) / F.log(F.col("d").cast("double")))
-        .cast("bigint")
-        .alias("w9"),
+    # the banded per-customer weight table is tiny by construction
+    # (degree ≤ 40 cap, two narrow columns); materialize it ONCE
+    # (round-14, closing the r13 bench regression): lineage-on-
+    # checkpoint re-derived this agg of the cp checkpoint on BOTH
+    # pairing legs — two extra full-edge-list aggregations per run.
+    # The checkpoint is one bounded job and both legs' joins read it
+    # (broadcast-sized, AQE turns them into broadcast hash joins).
+    w = (
+        deg.filter(
+            (F.col("d") >= _AA_MIN_DEG) & (F.col("d") <= _AA_MAX_DEG)
+        )
+        .select(
+            "c",
+            F.round(F.lit(1000000000.0) / F.log(F.col("d").cast("double")))
+            .cast("bigint")
+            .alias("w9"),
+        )
+        .localCheckpoint(eager=True)
     )
     # prune to the degree band BEFORE the quadratic self-join (round-13:
     # the weight join ran after the pairing, so out-of-band hub
     # customers still fanned out m² pairs only to be dropped — the
     # opposite of the documented cap discipline); w9 rides leg a, so
     # the post-pairing weight join disappears entirely. The banded edge
-    # list stays lineage-on-checkpoint (cp scan ⋈ w, with w a bounded
-    # per-customer agg of the same checkpoint): a second eager
-    # materialization here just serializes another job barrier without
-    # removing any fact-table work — cp is already pinned.
+    # list itself stays lineage-on-checkpoint (cp scan ⋈ w): eagerly
+    # materializing cpw too was measured in round 13 as a net loss —
+    # the extra serial job barrier costs more than the saved join.
     cpw = cp.join(w, "c")
     a = cpw.select("c", F.col("p").alias("part_a"), "w9")
     b = cpw.select("c", F.col("p").alias("part_b"))

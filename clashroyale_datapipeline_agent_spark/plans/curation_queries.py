@@ -290,24 +290,84 @@ def semantic_dedup_multiprobe_stats(
         in_multi.alias("in_multi"),
     )
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
-    census = pairs.agg(
-        cnt(F.col("is_true")).alias("n_true_pairs"),
-        cnt(F.col("in_single")).alias("single_candidate_pairs"),
-        cnt(F.col("in_multi")).alias("multi_candidate_pairs"),
-        cnt(F.col("is_true") & F.col("in_single")).alias("single_captured"),
-        cnt(F.col("is_true") & F.col("in_multi")).alias("multi_captured"),
-    ).collect()[0]
-    n_vectors = assigned.count()
-    n_pruned_single = int(
-        semantic_dedup_prune(v, seeds, threshold=0.3)
-        .agg(F.sum(F.col("pruned").cast("long")))
-        .collect()[0][0]
-    )
-    n_pruned_multi = int(
-        semantic_dedup_multiprobe(v, seeds, threshold=0.3)
-        .agg(F.sum(F.col("pruned").cast("long")))
-        .collect()[0][0]
-    )
+
+    # the four post-checkpoint legs are independent driver-blocking
+    # computations (all-pairs census, row count, two prune-operator
+    # replays); overlap them from driver threads (guide §2.6) so the
+    # query waits on max-of-legs, not sum-of-legs. Round 13 measured
+    # this overlap but REVERTED it on 20–56 s scheduler stalls in ~1/3
+    # of isolated reps; round 14 re-examined under a thread-dump
+    # watchdog (tools/multiprobe_stall_probe.py): 47/47 overlap reps
+    # clean — including 12 under a deliberate 16-core CPU hog — with
+    # zero full GCs and max GC pause 17 ms, so the r13 stall does not
+    # reproduce on the current tree and the overlap ships. If a stall
+    # recurs, the probe captures the blocked JVM thread in the act.
+    def census_leg():
+        spark.sparkContext.setJobDescription("multiprobe_stats: census")
+        try:
+            return pairs.agg(
+                cnt(F.col("is_true")).alias("n_true_pairs"),
+                cnt(F.col("in_single")).alias("single_candidate_pairs"),
+                cnt(F.col("in_multi")).alias("multi_candidate_pairs"),
+                cnt(F.col("is_true") & F.col("in_single")).alias(
+                    "single_captured"
+                ),
+                cnt(F.col("is_true") & F.col("in_multi")).alias(
+                    "multi_captured"
+                ),
+            ).collect()[0]
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    def count_leg():
+        spark.sparkContext.setJobDescription("multiprobe_stats: n_vectors")
+        try:
+            return assigned.count()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    def prune_leg():
+        spark.sparkContext.setJobDescription("multiprobe_stats: prune replay")
+        try:
+            return int(
+                semantic_dedup_prune(v, seeds, threshold=0.3)
+                .agg(F.sum(F.col("pruned").cast("long")))
+                .collect()[0][0]
+            )
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    def multi_leg():
+        spark.sparkContext.setJobDescription(
+            "multiprobe_stats: multiprobe replay"
+        )
+        try:
+            return int(
+                semantic_dedup_multiprobe(v, seeds, threshold=0.3)
+                .agg(F.sum(F.col("pruned").cast("long")))
+                .collect()[0][0]
+            )
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(t)
+            for t in (census_leg, count_leg, prune_leg, multi_leg)
+        ]
+        # await every leg before raising so a sibling leg's failure is
+        # never silently discarded (the _overlap discipline)
+        results, errors = [], []
+        for f in futs:
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errors.append(e)
+        if errors:
+            raise errors[0]
+    census, n_vectors, n_pruned_single, n_pruned_multi = results
     row = (
         int(n_vectors), int(census["n_true_pairs"]),
         int(census["single_candidate_pairs"]),
@@ -2539,10 +2599,14 @@ def curation_image_neardup_report(
         synthesize_gradient_png_assets,
     )
     from clashroyale_datapipeline_agent_spark.sources.readers import (
-        spread_if_narrow,
+        spread_for_codec,
     )
 
-    d = spread_if_narrow(
+    # codec-stage input: data-volume-scaled partitioning (round-14 —
+    # spread_if_narrow's core-count pin made the Python boundary the
+    # dominant cost at sf0.1; the quality/raw aggregations downstream
+    # are exchange-coalesced by AQE either way)
+    d = spread_for_codec(
         _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     )
     grp = F.expr("doc_id div 2")

@@ -1847,14 +1847,17 @@ def multimodal_incremental_neardup_counts(
         hamming_band_keys,
     )
     from clashroyale_datapipeline_agent_spark.sources.readers import (
-        spread_if_narrow,
+        spread_for_codec,
     )
     from clashroyale_datapipeline_agent_spark.operators.multimodal import (
         dhash_assets,
         synthesize_gradient_png_assets,
     )
 
-    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    # codec-stage input: data-volume-scaled partitioning (round-14 —
+    # spread_if_narrow's core-count pin made the Python boundary the
+    # dominant cost at sf0.1 and inverted the 8-vs-32-core ratio)
+    d = spread_for_codec(_t(spark, sf_dir, "documents"))
     grp = F.expr("doc_id div 2")
     params = d.select(
         F.col("doc_id").alias("asset_id"),
@@ -1995,14 +1998,17 @@ def multimodal_incremental_neardup_verified(
         hamming_key_map,
     )
     from clashroyale_datapipeline_agent_spark.sources.readers import (
-        spread_if_narrow,
+        spread_for_codec,
     )
     from clashroyale_datapipeline_agent_spark.operators.multimodal import (
         dhash_assets,
         synthesize_gradient_png_assets,
     )
 
-    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    # codec-stage input: data-volume-scaled partitioning (round-14 —
+    # spread_if_narrow's core-count pin made the Python boundary the
+    # dominant cost at sf0.1 and inverted the 8-vs-32-core ratio)
+    d = spread_for_codec(_t(spark, sf_dir, "documents"))
     twin = F.col("doc_id") % 8 < 2
     grp8 = F.expr("doc_id div 8")
     params = d.select(
@@ -2180,7 +2186,7 @@ def multimodal_incremental_neardup_matrix(
         hamming_band_keys,
     )
     from clashroyale_datapipeline_agent_spark.sources.readers import (
-        spread_if_narrow,
+        spread_for_codec,
     )
     from clashroyale_datapipeline_agent_spark.operators.multimodal import (
         dhash_assets,
@@ -2192,7 +2198,10 @@ def multimodal_incremental_neardup_matrix(
         y4m_temporal_hash64,
     )
 
-    d = spread_if_narrow(_t(spark, sf_dir, "documents"))
+    # codec-stage input: data-volume-scaled partitioning (round-14 —
+    # spread_if_narrow's core-count pin made the Python boundary the
+    # dominant cost at sf0.1 and inverted the 8-vs-32-core ratio)
+    d = spread_for_codec(_t(spark, sf_dir, "documents"))
     grp = F.expr("doc_id div 2")
     img_params = d.select(
         F.col("doc_id").alias("asset_id"),

@@ -110,6 +110,36 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_for_codec(df: DataFrame, *, fanout: int = 8) -> DataFrame:
+    """Partitioning for Arrow codec stage inputs (``mapInPandas``
+    synthesize/decode legs): scale parallelism with DATA VOLUME, not
+    the core count.
+
+    :func:`spread_if_narrow` pins small scans to ``defaultParallelism``,
+    which is right for JVM-side text crunching but wrong for the Python
+    codec boundary: each extra partition costs a Python-runner round
+    trip (worker checkout, Arrow stream setup, per-task scheduling),
+    measured locally at ~13 ms per partition per chained stage — at
+    sf0.1 a 32-way codec leg spends more on the boundary than on
+    decoding (round-14: 0.67 s at 32 partitions vs 0.26 s at 1 for the
+    same work), which is exactly the 8-vs-32-core inversion the r13
+    scaling block flagged. The scan's size-based split count (one split
+    per ``maxPartitionBytes``) IS the data-volume signal, and per-row
+    codec work is roughly an order of magnitude heavier than scanning,
+    so the stage wants ``fanout``× the scan's splits — capped at the
+    session's parallelism, and a no-op once the input already has that
+    many splits (any real fact-table scan). 100 TB: splits ≫ cores →
+    unchanged; the sf0.1 fixtures: 1 split → ``fanout`` partitions at
+    EVERY core count, so per-core timing is flat instead of inverted.
+    """
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    target = min(sc.defaultParallelism, max(1, n * fanout))
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_star_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     wanted = names or tuple(schemas.STAR_SCHEMA)
     return {n: load_star_table(spark, sf_dir, n) for n in wanted}
