@@ -274,21 +274,30 @@ class _BatchLogStore:
             if not fold_ids:
                 return {"folded": [], "hi": old_hi}
             new_hi = max(fold_ids)
-            staged: list[tuple[Path, Path]] = []
-            for sub in self._subs:
+
+            def _stage(sub: str) -> tuple[Path, Path] | None:
                 base = self.root / sub
                 srcs = ([base / f"seg={old_hi}"] if st else []) + [
                     base / f"batch={i}" for i in fold_ids
                 ]
-                files = [f for s in srcs if s.exists() for f in self._pq_files(s)]
+                files = [
+                    f for s in srcs if s.exists() for f in self._pq_files(s)
+                ]
                 tmp = base / f".tmp_seg_{new_hi}"
                 shutil.rmtree(tmp, ignore_errors=True)
                 if not files:
-                    continue  # zero rows: a segment with no files IS the fold
+                    # zero rows: a segment with no files IS the fold
+                    return None
                 before = self._footer_rows(files)
-                self.spark.read.parquet(*[str(f) for f in files]).write.parquet(
-                    str(tmp)
+                self.spark.sparkContext.setJobDescription(
+                    f"compact {self.root.name}/{sub} -> seg={new_hi}"
                 )
+                try:
+                    self.spark.read.parquet(
+                        *[str(f) for f in files]
+                    ).write.parquet(str(tmp))
+                finally:
+                    self.spark.sparkContext.setJobDescription(None)
                 after = self._footer_rows(self._pq_files(tmp))
                 if after != before:
                     shutil.rmtree(tmp, ignore_errors=True)
@@ -296,7 +305,36 @@ class _BatchLogStore:
                         f"segment fold of {base} lost rows: staged {after} "
                         f"vs {before} across sources — store untouched"
                     )
-                staged.append((tmp, base / f"seg={new_hi}"))
+                return (tmp, base / f"seg={new_hi}")
+
+            # two-phase discipline (round-14, the store_maint shape,
+            # guide §2.6): the per-sub folds are independent read-only-
+            # source jobs with NO durable effect until the marker
+            # commit below, so stage them concurrently (max-of-legs,
+            # not sum-of-legs) and commit strictly serially. Any
+            # staging failure raises BEFORE the marker is touched;
+            # orphan tmp dirs of successful sibling legs are rolled
+            # back by _recover_segments on the next maintenance call.
+            # Job descriptions are thread-local under PySpark's
+            # pinned-thread mode (default since 3.2).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(self._subs)) as pool:
+                futs = [pool.submit(_stage, sub) for sub in self._subs]
+                results, errors = [], []
+                for f in futs:
+                    try:
+                        results.append(f.result())
+                    except Exception as e:  # noqa: BLE001 — re-raised below
+                        errors.append(e)
+                if errors:
+                    if len(errors) > 1:
+                        raise RuntimeError(
+                            f"{len(errors)} staging legs failed: "
+                            + "; ".join(repr(e) for e in errors)
+                        ) from errors[0]
+                    raise errors[0]
+            staged: list[tuple[Path, Path]] = [r for r in results if r]
             # COMMIT: atomically replace the marker; everything after
             # this line is completed by _recover_segments if we crash
             marker_tmp = self.root / "_seg_state.json.tmp"
@@ -369,22 +407,38 @@ class NearDupBandStore(_BatchLogStore):
             lsh_band_keys,
         )
 
+        # sign the batch ONCE (round-14, guide §1.2): lsh_band_keys
+        # eagerly materializes the MinHash signature internally, so
+        # this one call pays the shingle + md5-MinHash pass; the screen
+        # consumes it via the batch_keys passthrough and the admitted
+        # keys below are the same frame restricted to the kept ids —
+        # identical to re-signing the kept docs by construction
+        # (deterministic signing of unchanged text), at half the
+        # signing cost per micro-batch (measured: the signing pass
+        # dominates text-grain admission)
+        bk = lsh_band_keys(batch_docs, **lsh_kwargs)
         # history EXCLUDES this batch's own partition: on a foreachBatch
         # replay the batch's first-run keys are already on disk, and
         # screening a batch against its own keys would reject everything
         # and wipe the partition — excluding them makes replay recompute
         # the identical screen
         screened = dedup_incremental_neardup(
-            batch_docs, self.read_keys(exclude_batch=batch_id), **lsh_kwargs
+            batch_docs,
+            self.read_keys(exclude_batch=batch_id),
+            batch_keys=bk,
+            **lsh_kwargs,
         )
         doc_part = self.root / "docs" / f"batch={batch_id}"
         screened.filter(F.col("status") == "kept").drop("status").write.mode(
             "overwrite"
         ).parquet(str(doc_part))
         kept = self.spark.read.parquet(str(doc_part))
-        lsh_band_keys(kept, **lsh_kwargs).select("band_key").write.mode(
-            "overwrite"
-        ).parquet(str(self.root / "keys" / f"batch={batch_id}"))
+        id_col = lsh_kwargs.get("id_col", "doc_id")
+        bk.join(
+            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).select("band_key").write.mode("overwrite").parquet(
+            str(self.root / "keys" / f"batch={batch_id}")
+        )
 
 
 def start_streaming_neardup_dedup(
@@ -460,6 +514,16 @@ class HammingBandStore(_BatchLogStore):
         self.bits = bits
         self.prefix = prefix
         self.max_dist = max_dist
+        #: legacy-layout guard memo (round-14, guide §2.4): the NULL-h
+        #: scan below is one extra job over the WHOLE keys log per
+        #: micro-batch — O(history) per batch, the only streaming-plane
+        #: step whose per-batch cost grows with history size. A legacy
+        #: partition can only pre-exist this process (every key
+        #: partition THIS instance writes is (band_key, h) grain), so
+        #: one clean scan certifies the store for the instance's
+        #: lifetime; external writers racing a live stream were never
+        #: supported on any of these stores.
+        self._legacy_checked = False
         (self.root / "keys").mkdir(parents=True, exist_ok=True)
         (self.root / "hashes").mkdir(parents=True, exist_ok=True)
 
@@ -531,16 +595,22 @@ class HammingBandStore(_BatchLogStore):
             # constructor flag on the same root, so a mixed legacy/new
             # store is a plausible state: refuse it loudly instead of
             # relying on the migrate-first docstring note. (One
-            # metadata-light scan of the keys log per batch; the
-            # admission join reads the same files right after.)
-            if key_map.filter(F.col("h").isNull()).limit(1).count() > 0:
-                raise RuntimeError(
-                    f"HammingBandStore at {self.root}: verified mode "
-                    "(max_dist set) found key rows with NULL h — a "
-                    "legacy band-key-only partition. Migrate first: "
-                    "rewrite keys/ from hashes/ via hamming_key_map, "
-                    "or run without max_dist against this store."
-                )
+            # One scan per STORE INSTANCE, not per batch (round-14):
+            # this instance only ever appends (band_key, h)-grain
+            # partitions, so a single clean scan of the pre-existing
+            # log certifies every later batch; per-batch re-scanning
+            # made the guard the one admission step whose cost grows
+            # with history size.)
+            if not self._legacy_checked:
+                if key_map.filter(F.col("h").isNull()).limit(1).count() > 0:
+                    raise RuntimeError(
+                        f"HammingBandStore at {self.root}: verified mode "
+                        "(max_dist set) found key rows with NULL h — a "
+                        "legacy band-key-only partition. Migrate first: "
+                        "rewrite keys/ from hashes/ via hamming_key_map, "
+                        "or run without max_dist against this store."
+                    )
+                self._legacy_checked = True
             screened = dedup_incremental_hamming_verified(
                 batch_hashes.select("id", "h"),
                 key_map,

@@ -1326,3 +1326,100 @@ def test_streaming_hamming_verified_admission_and_replay(spark, tmp_path):
     # fresh id: every row rejected, nothing admitted twice
     store.apply_batch(batch1, 2)
     assert {r["id"] for r in store.admitted().collect()} == got
+
+
+def test_neardup_store_single_signing_keys_identical(spark, tmp_path):
+    """Round-14: `NearDupBandStore.apply_batch` signs each micro-batch
+    ONCE and derives the admitted keys by restricting that same frame
+    to the kept ids. The keys log must be exactly what re-signing the
+    admitted docs would produce (the pre-round-14 construction) —
+    identical by deterministic signing of unchanged text."""
+    from clashroyale_datapipeline_agent_spark.operators.dedup import (
+        lsh_band_keys,
+    )
+    from clashroyale_datapipeline_agent_spark.streaming.incremental import (
+        NearDupBandStore,
+    )
+
+    store = NearDupBandStore(spark, str(tmp_path / "nd"))
+    b0 = spark.createDataFrame(
+        [(i, f"original corpus document {i} with unique words w{i}")
+         for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, "original corpus document 1 with unique words w1"),
+            (11, "zebra quokka wombat axolotl pangolin capuchin toad"),
+            (12, "zebra quokka wombat axolotl pangolin capuchin toad"),
+            (13, "completely fresh entry about entirely new material"),
+        ],
+        "doc_id long, text string",
+    )
+    store.apply_batch(b0, 0)
+    store.apply_batch(b1, 1)
+    for bid in (0, 1):
+        admitted = spark.read.parquet(
+            str(tmp_path / "nd" / "docs" / f"batch={bid}")
+        )
+        want = sorted(
+            r["band_key"]
+            for r in lsh_band_keys(admitted).select("band_key").collect()
+        )
+        got = sorted(
+            r["band_key"]
+            for r in spark.read.parquet(
+                str(tmp_path / "nd" / "keys" / f"batch={bid}")
+            ).collect()
+        )
+        assert got == want, f"keys log of batch {bid} drifted"
+
+
+def test_hamming_verified_legacy_guard_fires_once(spark, tmp_path):
+    """Round-14: the NULL-h legacy-layout guard runs once per store
+    instance (it was one O(history) job per micro-batch). It must
+    still fail loudly on a pre-existing legacy partition, and memoize
+    after one clean scan."""
+    from clashroyale_datapipeline_agent_spark.streaming.incremental import (
+        HammingBandStore,
+    )
+
+    PAT = 0x0001000100010001
+    # a legacy band-key-only partition (no h column)
+    legacy = HammingBandStore(
+        spark, str(tmp_path / "hv"), prefix="img", max_dist=None
+    )
+    legacy.apply_batch(
+        spark.createDataFrame([(1, 1 * PAT)], "id long, h long"), 0
+    )
+    # strip h from the keys partition to simulate the pre-round-12 layout
+    keys0 = tmp_path / "hv" / "keys" / "batch=0"
+    stripped = spark.read.parquet(str(keys0)).select("band_key")
+    stripped.write.mode("overwrite").parquet(str(tmp_path / "k0"))
+    import shutil
+
+    shutil.rmtree(keys0)
+    shutil.move(str(tmp_path / "k0"), str(keys0))
+
+    v = HammingBandStore(
+        spark, str(tmp_path / "hv"), prefix="img", max_dist=3
+    )
+    with pytest.raises(RuntimeError, match="legacy band-key-only"):
+        v.apply_batch(
+            spark.createDataFrame([(2, 2 * PAT)], "id long, h long"), 1
+        )
+    assert not v._legacy_checked
+
+    # a clean store certifies once, then admission proceeds without
+    # re-scanning history
+    clean = HammingBandStore(
+        spark, str(tmp_path / "hv2"), prefix="img", max_dist=3
+    )
+    clean.apply_batch(
+        spark.createDataFrame([(1, 1 * PAT)], "id long, h long"), 0
+    )
+    assert clean._legacy_checked
+    clean.apply_batch(
+        spark.createDataFrame([(2, 1 * PAT)], "id long, h long"), 1
+    )
+    assert {r["id"] for r in clean.admitted().collect()} == {1}
